@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock seconds across the headline set (lower
+is better). Each query executes to completion with results drained to
+the driver via ``df.count()`` after a no-op cache-free run — we
+measure the full scan→shuffle→result path, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+#: headline set: one per capability family (scan-agg, multi-join,
+#: semi, top-k, window/argmax, stream-pipeline analog, join-heavy)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_volume",
+    "warning_notification",
+    "user_activity_category",
+    "latest_location",
+    "history_by_user_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+
+    from iot_sparkstreaming_spark.queries.registry import load_all
+    from iot_sparkstreaming_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest SF so per-query numbers
+    # measure steady-state execution, not first-query JIT.
+    registry["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

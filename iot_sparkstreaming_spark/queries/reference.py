@@ -1,0 +1,387 @@
+"""The reference's five logical pipelines (SURVEY.md §2.5) as batch
+queries over the harness ``events`` table.
+
+``events`` stands in for the fitbit stream (FIXTURES.md §4). The
+telemetry fields the reference parsed from CSV are derived
+deterministically from event columns so both Spark and the DuckDB
+oracle compute identical inputs:
+
+* ``pulse = 90 + value * 0.35``            (value ∈ [0.01, 490] → pulse ∈ [90, 262];
+  ~5-10% of rows cross the θ·maxHR warning threshold, so the
+  classifier output is non-degenerate)
+* ``age   = user_id % 76 + 15``            (15..90, spans the age<40 breakpoint)
+* ``bp_cat = k % 5 → {NORMAL, PRE_HYP, HYP_1, HYP_2, HYP_CR}`` with
+  ``k`` extracted from the ``props`` JSON
+* event-time string / epoch-millis string / date string exactly as the
+  reference emitted them (workingTest.scala:215-217)
+
+Pipelines covered (reference citations):
+1. warning-notification      — workingTest.scala:110-148
+2. user-activity-category    — workingTest.scala:150-208 (join J1)
+3. user-registration upsert  — workingTest.scala:55-75   (K1)
+4. telemetry persistence     — workingTest.scala:211-244 (K2/K3/K4,
+   Cassandra-implicit semantics of SURVEY.md §2.6 made explicit)
+5. history-by-user batch join — cassTest.scala:28-32     (J2)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from iot_sparkstreaming_spark.functions.health import (
+    classify_warning,
+    tuple_string,
+)
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+#: shared derivation CTE for every oracle (DuckDB SQL)
+TELEMETRY_CTE = """
+WITH telemetry AS (
+  SELECT
+    event_id,
+    user_id,
+    ts,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_dt_str,
+    CAST(epoch_ms(ts) AS VARCHAR) AS event_ms,
+    strftime(ts, '%Y-%m-%d') AS event_date,
+    90.0 + value * 0.35 AS pulse,
+    CAST(user_id % 76 AS INT) + 15 AS age,
+    CASE CAST(json_extract_string(props, 'k') AS INT) % 5
+      WHEN 0 THEN 'NORMAL' WHEN 1 THEN 'PRE_HYP'
+      WHEN 2 THEN 'HYP_1'  WHEN 3 THEN 'HYP_2'  ELSE 'HYP_CR'
+    END AS bp_cat,
+    value,
+    event_type,
+    CAST(json_extract_string(props, 'k') AS INT) AS k
+  FROM events
+),
+classified AS (
+  SELECT *,
+    CASE WHEN age < 40 THEN 220 - age ELSE 208 - 0.75 * age END AS max_hr,
+    CASE
+      WHEN pulse >= 0.95 * (CASE WHEN age < 40 THEN 220 - age ELSE 208 - 0.75 * age END)
+           AND bp_cat IN ('HYP_1','HYP_2','HYP_CR') THEN 'critical'
+      WHEN pulse >= 0.95 * (CASE WHEN age < 40 THEN 220 - age ELSE 208 - 0.75 * age END)
+           THEN 'simple'
+      ELSE 'no-use'
+    END AS warning
+  FROM telemetry
+)
+"""
+
+
+def telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived fitbit-shaped telemetry from ``events`` — the Spark twin
+    of ``TELEMETRY_CTE``. Pure column expressions; single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(col("props"), "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_dt_str"),
+        F.unix_millis(col("ts")).cast("string").alias("event_ms"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        (F.lit(90.0) + col("value") * 0.35).alias("pulse"),
+        ((col("user_id") % 76).cast("int") + 15).alias("age"),
+        F.element_at(
+            F.array(
+                F.lit("NORMAL"),
+                F.lit("PRE_HYP"),
+                F.lit("HYP_1"),
+                F.lit("HYP_2"),
+                F.lit("HYP_CR"),
+            ),
+            (k % 5) + 1,
+        ).alias("bp_cat"),
+        "value",
+        "event_type",
+        k.alias("k"),
+    )
+
+
+def classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = telemetry(spark, sf_dir)
+    return t.withColumn(
+        "warning", classify_warning(col("pulse"), col("age"), col("bp_cat"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 1 — warning-notification
+# ---------------------------------------------------------------------------
+
+WARNING_ORACLE = (
+    TELEMETRY_CTE
+    + """
+SELECT
+  user_id,
+  warning,
+  event_ms,
+  '(' || user_id || ',' || warning || ',' || event_ms || ')' AS payload
+FROM classified
+WHERE warning <> 'no-use'
+"""
+)
+
+
+@register("warning_notification", oracle=WARNING_ORACLE)
+def warning_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 1 (workingTest.scala:110-148): classify each telemetry
+    row with the θ=0.95 max-HR rule, drop 'no-use', and format the
+    Scala-tuple Kafka payload ``(user_id,warning,ms)`` byte-for-byte
+    (FIXTURES.md §3). Narrow ops only — no shuffle at any scale."""
+    c = classified(spark, sf_dir)
+    return c.filter(col("warning") != "no-use").select(
+        "user_id",
+        "warning",
+        "event_ms",
+        tuple_string(col("user_id"), col("warning"), col("event_ms")).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 2 — user-activity-category (stream-static join J1)
+# ---------------------------------------------------------------------------
+
+ACTIVITY_ORACLE = (
+    TELEMETRY_CTE
+    + """
+SELECT
+  c.user_id,
+  c.event_ms,
+  cu.c_mktsegment AS category,
+  '(' || c.user_id || ',' || c.event_ms || ',' || cu.c_mktsegment || ')' AS payload
+FROM classified c
+JOIN customer cu ON c.user_id = cu.c_custkey
+WHERE c.warning <> 'no-use'
+"""
+)
+
+
+@register("user_activity_category", oracle=ACTIVITY_ORACLE)
+def user_activity_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 2 (workingTest.scala:150-208): warnings joined to the
+    user-details dimension (here ``customer``), inner semantics — rows
+    without a dimension match drop, exactly like the reference's
+    ``joinWithCassandraTable`` point lookups (J1).
+
+    The dimension side is broadcast: the reference's per-key Cassandra
+    lookup becomes a broadcast-hash join with zero shuffle of the
+    fact stream."""
+    c = classified(spark, sf_dir).filter(col("warning") != "no-use")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        c.join(broadcast(cust), c.user_id == cust.c_custkey, "inner")
+        .select(
+            "user_id",
+            "event_ms",
+            col("c_mktsegment").alias("category"),
+            tuple_string(col("user_id"), col("event_ms"), col("c_mktsegment")).alias(
+                "payload"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 3 — user-registration upsert (K1: keyed replace)
+# ---------------------------------------------------------------------------
+
+REGISTRATION_ORACLE = (
+    TELEMETRY_CTE
+    + """
+SELECT user_id, event_ms AS registered_ms, k AS device_code, n_registrations
+FROM (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_registrations
+  FROM classified
+  WHERE event_type = 'signup'
+)
+WHERE rn = 1
+"""
+)
+
+
+@register("user_registration_latest", oracle=REGISTRATION_ORACLE)
+def user_registration_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 3 (workingTest.scala:55-75 + SURVEY.md §2.6 keyed
+    replace): the Cassandra PK-upsert of ``user_details`` means the
+    *latest* registration wins. Made explicit and deterministic:
+    max (ts, event_id) per user via one window — a single shuffle on
+    the key, no driver state."""
+    from pyspark.sql.window import Window
+
+    signups = classified(spark, sf_dir).filter(col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy(col("ts").desc(), col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    return (
+        signups.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_registrations", F.count("*").over(wc))
+        .filter(col("rn") == 1)
+        .select(
+            "user_id",
+            col("event_ms").alias("registered_ms"),
+            col("k").alias("device_code"),
+            "n_registrations",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 4a — latest_location (K2: last-value-per-key)
+# ---------------------------------------------------------------------------
+
+LATEST_LOCATION_ORACLE = (
+    TELEMETRY_CTE
+    + """
+SELECT user_id,
+       event_dt_str AS last_seen,
+       ROUND(12.0 + value * 0.01, 4) AS lat,
+       ROUND(77.0 + value * 0.01, 4) AS lon
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM classified
+)
+WHERE rn = 1
+"""
+)
+
+
+@register("latest_location", oracle=LATEST_LOCATION_ORACLE)
+def latest_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 4 / K2 (workingTest.scala:235-244): last-write-wins
+    location per user. The reference relied on Cassandra arrival-order
+    upserts — order-dependent and wrong under replay (SURVEY.md §2.8);
+    here last-by-event-time with event_id tie-break is deterministic.
+
+    Scale shape: one shuffle on user_id; at 100 TB this is the
+    classic argmax-per-key, done with a window (AQE splits skewed
+    users)."""
+    from pyspark.sql.window import Window
+
+    c = classified(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(col("ts").desc(), col("event_id").desc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select(
+            "user_id",
+            col("event_dt_str").alias("last_seen"),
+            F.round(F.lit(12.0) + col("value") * 0.01, 4).alias("lat"),
+            F.round(F.lit(77.0) + col("value") * 0.01, 4).alias("lon"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 4b — sales keyed replace (K4: replace-not-sum)
+# ---------------------------------------------------------------------------
+
+SALES_ORACLE = (
+    TELEMETRY_CTE
+    + """
+SELECT event_date AS date, k AS count
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY ts DESC, event_id DESC) AS rn
+  FROM classified
+  WHERE event_type = 'purchase'
+)
+WHERE rn = 1
+"""
+)
+
+
+@register("sales_keyed_replace", oracle=SALES_ORACLE)
+def sales_keyed_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 (workingTest.scala:93-97, cass_queries_1.txt:28-31): the
+    ``sales`` PK upsert REPLACES the count for a date — it never sums.
+    Explicit form: latest purchase record per date wins."""
+    from pyspark.sql.window import Window
+
+    c = classified(spark, sf_dir).filter(col("event_type") == "purchase")
+    w = Window.partitionBy("event_date").orderBy(
+        col("ts").desc(), col("event_id").desc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select(col("event_date").alias("date"), col("k").alias("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 4c — userhistory PK dedup (K3)
+# ---------------------------------------------------------------------------
+
+USERHISTORY_ORACLE = (
+    TELEMETRY_CTE
+    + """
+SELECT
+  user_id,
+  event_date AS date,
+  event_ms AS time,
+  CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+  CAST(COUNT(*) AS BIGINT) AS n_dups,
+  CAST(MIN(pulse) AS DOUBLE) AS pulse
+FROM classified
+GROUP BY user_id, event_date, event_ms
+"""
+)
+
+
+@register("userhistory_pk_dedup", oracle=USERHISTORY_ORACLE)
+def userhistory_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 (workingTest.scala:211-233; DDL cass_queries_1.txt:35-44):
+    the ``userhistory`` PK ``((user_id), date, time)`` silently
+    collapses duplicate keys. Explicit form: group by the PK with a
+    deterministic representative (min event_id / min pulse) instead of
+    ``dropDuplicates``'s arbitrary pick — same semantics, reproducible
+    output, one shuffle."""
+    c = classified(spark, sf_dir)
+    return (
+        c.groupBy(
+            "user_id",
+            col("event_date").alias("date"),
+            col("event_ms").alias("time"),
+        )
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_dups"),
+            F.min("pulse").alias("pulse"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline 5 — history-by-user batch join (J2)
+# ---------------------------------------------------------------------------
+
+HISTORY_JOIN_ORACLE = (
+    TELEMETRY_CTE
+    + """
+SELECT c.user_id, cu.c_mktsegment AS category, c.event_date AS date
+FROM classified c
+JOIN customer cu ON c.user_id = cu.c_custkey
+"""
+)
+
+
+@register("history_by_user_join", oracle=HISTORY_JOIN_ORACLE)
+def history_by_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 5 (cassTest.scala:28-32): the batch
+    ``user_details ⋈ userhistory`` equi-join with column pruning —
+    only (user_id, category) ⋈ (user_id, date) survive to the join,
+    so the scan reads 2 columns a side (ReadSchema shows the pruning).
+    Dimension side broadcast."""
+    c = telemetry(spark, sf_dir).select("user_id", "event_date")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return c.join(broadcast(cust), c.user_id == cust.c_custkey).select(
+        "user_id",
+        col("c_mktsegment").alias("category"),
+        col("event_date").alias("date"),
+    )

@@ -1,0 +1,557 @@
+"""TPC-H-style batch queries over the harness star schema.
+
+The reference has **zero** aggregations, sorts, or SQL (SURVEY.md
+§2.8) — these queries are the engine's batch-SQL surface, exercising
+every absent category: group-by aggregation, multi-way joins,
+semi/anti joins, outer joins, top-k, and scalar expression families.
+
+Numeric determinism contract (see registry docstring): every double
+SUM goes through ``decimal(38,4)`` (input columns carry ≤2 decimals)
+or ``decimal(38,6)`` (products of doubles), making the aggregate exact
+and order-independent, then casts back to double. Both Spark and
+DuckDB compute the identical value regardless of parallelism.
+
+Scale notes (100 TB posture):
+* fact-fact joins (lineitem ⋈ orders) are shuffle hash/sort-merge on
+  the join key — AQE handles skew; dimension joins (region, nation,
+  customer at dimension scale) get explicit ``broadcast()`` hints.
+* every query filters and projects before joining, so Catalyst pushes
+  predicates/pruning into the parquet scan (verified via
+  ``explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+
+def _dsum(c, scale: int = 4):
+    """Order-independent double sum via exact decimal accumulation."""
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def _davg(c, scale: int = 4):
+    return (F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(c)).cast(
+        "double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (flagship: full scalar+agg core in one scan)
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: one parquet scan → partial (map-side) agg → final agg.
+
+    The filter and 7-column projection push into the scan; the
+    group-by has 6 groups so the shuffle is trivially small after
+    partial aggregation — the 100 TB cost is the scan alone.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = col("l_extendedprice") * (1 - col("l_discount"))
+    charge = disc_price * (1 + col("l_tax"))
+    return (
+        li.filter(col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(col("l_quantity")).alias("sum_qty"),
+            _dsum(col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price, 6).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            _davg(col("l_quantity")).alias("avg_qty"),
+            _davg(col("l_extendedprice")).alias("avg_price"),
+            _davg(col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (fact-fact join + top-k)
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dimension filter broadcast into fact joins,
+    then top-10 by revenue (TakeOrderedAndProject — no global sort).
+
+    Tie-break on ``l_orderkey`` makes the LIMIT deterministic.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(broadcast(cust), col("o_custkey") == col("c_custkey")),
+            col("l_orderkey") == col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(col("l_extendedprice") * (1 - col("l_discount")), 6).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+            "o_orderpriority",
+        )
+        .orderBy(col("revenue").desc(), col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (SEMI join)
+# ---------------------------------------------------------------------------
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: left-semi join — the join variety the reference never
+    had (SURVEY.md §2.8). Semi join avoids materializing duplicates,
+    so the shuffle carries at most one row per order key.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (col("l_orderkey") == col("o_orderkey"))
+            & (col("l_shipdate") > col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (5-way join through the dimension chain)
+# ---------------------------------------------------------------------------
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier", oracle=Q5_ORACLE)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: the dimension chain region→nation→supplier broadcasts
+    (all tiny at any SF); only lineitem⋈orders shuffles. The
+    ``c_nationkey = s_nationkey`` condition rides the supplier join.
+    """
+    region = load_table(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dim = broadcast(
+        supplier.join(
+            broadcast(nation.join(broadcast(region), col("n_regionkey") == col("r_regionkey"))),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+    )
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(
+            dim,
+            (col("l_suppkey") == col("s_suppkey"))
+            & (col("c_nationkey") == col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            _dsum(col("l_extendedprice") * (1 - col("l_discount")), 6).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue (pure scan+filter+agg; pushdown showcase)
+# ---------------------------------------------------------------------------
+
+Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: every predicate pushes to the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity); 3-column
+    ReadSchema. The 100 TB plan is scan→partial-agg→single-row result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (col("l_discount") >= 0.05)
+            & (col("l_discount") <= 0.07)
+            & (col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(col("l_extendedprice") * col("l_discount"), 6).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (join + agg + top-k per revenue)
+# ---------------------------------------------------------------------------
+
+Q10_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  n_name,
+  c_mktsegment
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20
+    (deterministic tie-break on c_custkey)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(col("l_returnflag") == "R")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            _dsum(col("l_extendedprice") * (1 - col("l_discount")), 6).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_mktsegment")
+        .orderBy(col("revenue").desc(), col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+Q14_ORACLE = """
+SELECT
+  100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+    AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_effect", oracle=Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional agg (CASE inside SUM) over a broadcast
+    part join; single-row output."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * _dsum(F.when(col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), 6)
+                / _dsum(rev, 6)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (agg-derived semi filter, HAVING)
+# ---------------------------------------------------------------------------
+
+Q18_ORACLE = """
+SELECT
+  c_custkey,
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str,
+  CAST(o_totalprice AS DOUBLE) AS totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 140
+)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume", oracle=Q18_ORACLE)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-derived key set → semi join back to facts.
+
+    The quantity threshold comparison happens on exact decimals on
+    both engines, so boundary rows agree.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(col("l_quantity").cast("decimal(38,4)")).alias("q"))
+        .filter(col("q") > 140)
+        .select(col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(big, col("l_orderkey") == col("big_orderkey"), "left_semi")
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+            col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(col("totalprice").desc(), col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive multi-predicate join)
+# ---------------------------------------------------------------------------
+
+Q19_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("q19_discounted_revenue", oracle=Q19_ORACLE)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides —
+    Catalyst extracts the common equi-key (partkey) for the join and
+    evaluates the disjunction post-join; part side broadcasts."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+    cond = (
+        (
+            (col("p_brand") == "Brand#11")
+            & col("p_size").between(1, 15)
+            & col("l_quantity").between(1, 21)
+        )
+        | (
+            (col("p_brand") == "Brand#22")
+            & col("p_size").between(1, 25)
+            & col("l_quantity").between(10, 30)
+        )
+        | (
+            (col("p_brand") == "Brand#13")
+            & col("p_size").between(1, 35)
+            & col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        _dsum(col("l_extendedprice") * (1 - col("l_discount")), 6).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti join — customers with no orders (absent category: anti)
+# ---------------------------------------------------------------------------
+
+ANTI_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("customers_without_orders", oracle=ANTI_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no *recent* orders (the date
+    scope keeps the result non-degenerate — every customer has some
+    order), counted per segment. Anti joins shuffle only keys —
+    cheap at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        customer.join(orders, col("c_custkey") == col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer join — nation supplier/customer census (absent category: outer)
+# ---------------------------------------------------------------------------
+
+OUTER_ORACLE = """
+SELECT
+  n_name,
+  COALESCE(s.cnt, 0) AS n_suppliers,
+  COALESCE(c.cnt, 0) AS n_customers
+FROM nation
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey) s
+  ON n_nationkey = s.s_nationkey
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) c
+  ON n_nationkey = c.c_nationkey
+"""
+
+
+@register("nation_census_outer", oracle=OUTER_ORACLE)
+def nation_census_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer joins with aggregated sides: pre-aggregating before
+    the outer join keeps the shuffled build sides at one row per
+    nation — the scalable shape (never outer-join raw facts to a
+    dimension then aggregate)."""
+    nation = load_table(spark, sf_dir, "nation")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("s_cnt"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    return (
+        nation.join(sup, col("n_nationkey") == col("s_nationkey"), "left")
+        .join(cust, col("n_nationkey") == col("c_nationkey"), "left")
+        .select(
+            "n_name",
+            F.coalesce(col("s_cnt"), F.lit(0)).alias("n_suppliers"),
+            F.coalesce(col("c_cnt"), F.lit(0)).alias("n_customers"),
+        )
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference app configured only ``local[*]`` and a Cassandra host
+(reference workingTest.scala:20-23). Here the session carries the
+settings that matter on a real cluster reading 100 TB:
+
+* AQE on (runtime coalescing + skew-join splitting + join re-plan).
+* Shuffle partition count is a knob (`SPARK_GRAFT_CPUS` locally; on a
+  cluster you'd size it to ~2-3x total cores and let AQE coalesce).
+* Arrow enabled so any Pandas-UDF path is batch-vectorized.
+* Broadcast threshold left at default (10 MB) — dimension tables
+  (region/nation/customer at dimension scale) broadcast automatically;
+  queries additionally hint `broadcast()` where the dimension is known
+  small so the plan survives stale statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "iot_sparkstreaming_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet scans: vectorized reader + pushdown are on by default;
+        # cap split size so a 100 TB scan yields sane task counts.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        # and convert (tables.load_table) — Spark has no nanos timestamp.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,40 @@
+"""Parquet table loading for the harness testdata.
+
+One `spark.read.parquet` per table: the scan is the pushdown target —
+filters and column pruning from downstream plans reach the parquet
+reader via Catalyst (verify with ``df.explain`` → ``PushedFilters`` /
+``ReadSchema``). Nothing is cached here: at 100 TB you want the scan
+pruned per-query, not a materialized full table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iot_sparkstreaming_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — unsupported by the
+        # Spark reader, so spark.sql.legacy.parquet.nanosAsLong
+        # surfaces it as nanos-since-epoch bigint. Convert via exact
+        # integer division (NOT float division: ~1.7e18 ns exceeds the
+        # double mantissa) to microseconds, matching DuckDB's own
+        # nanos→micros truncation so oracles agree.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every harness table as an unmaterialized DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
