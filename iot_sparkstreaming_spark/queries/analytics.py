@@ -1,1 +1,399 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Analytic query surface: window functions, sessionization, grouping
+sets, set operations, as-of / range joins.
+
+Every category here is explicitly ABSENT from the reference
+(SURVEY.md §2.8 — no aggregations, no windows, no sorts, no set ops,
+no join varieties beyond inner equi) and is added as a first-class
+part of the new engine's surface, implemented on Spark built-ins.
+
+Determinism: window orderings always include a unique tie-break
+column (event_id); double window-sums accumulate exact decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from iot_sparkstreaming_spark.operators.joins import asof_join, range_join
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Ranking window: top-k per key
+# ---------------------------------------------------------------------------
+
+TOPK_ORACLE = """
+SELECT user_id, event_id, CAST(value AS DOUBLE) AS value, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+WHERE rk <= 3
+"""
+
+
+@register("window_topk_per_user", oracle=TOPK_ORACLE)
+def window_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user (ranking window). At scale this
+    is the one-shuffle argmax pattern; rank ties broken by event_id so
+    the result is a function of the data, not the partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(col("value").desc(), col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("user_id", "event_id", "value", col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running aggregate window (frame-exact, decimal-deterministic)
+# ---------------------------------------------------------------------------
+
+RUNNING_ORACLE = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_total,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+  ) AS BIGINT) AS seq
+FROM events
+"""
+
+
+@register("window_running_total", oracle=RUNNING_ORACLE)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over event time with an explicit ROWS
+    frame. The sum accumulates decimals so the running value is exact
+    — a parallel double prefix-sum would not hash-match any oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(col("value").cast("decimal(38,4)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+        F.row_number().over(wr).cast("bigint").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag/lead analytics
+# ---------------------------------------------------------------------------
+
+DELTA_ORACLE = """
+SELECT event_id, user_id,
+  CAST(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta_value,
+  CAST(epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_ms
+FROM events
+"""
+
+
+@register("window_event_deltas", oracle=DELTA_ORACLE)
+def window_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-based per-user deltas: value change and inter-event gap in
+    milliseconds (exact integer epoch-millis difference — whole-second
+    epochs round differently across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (col("value") - F.lag("value").over(w)).cast("double").alias("delta_value"),
+        (
+            F.unix_millis(col("ts")) - F.unix_millis(F.lag("ts").over(w))
+        ).cast("bigint").alias("gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) — batch twin of streaming session windows
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MS = 1800 * 1000
+
+SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > {SESSION_GAP_MS}
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+@register("sessionize_events", oracle=SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), the batch twin of
+    Structured Streaming's ``session_window`` (streaming/pipelines.py).
+
+    Classic two-window formulation: flag session starts via LAG, then
+    a running SUM of flags numbers the sessions — one shuffle on
+    user_id total, no self-join, no UDF. At 100 TB this is the only
+    shape that works: everything else (self-joins on time ranges)
+    blows up quadratically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_millis(col("ts")) - F.unix_millis(prev_ts)) > SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_idx", F.sum("new_session").over(wrun))
+        .groupBy("user_id", col("session_idx").cast("bigint").alias("session_idx"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP and CUBE (NULL subtotals labeled for parity)
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT
+  COALESCE(r_name, 'ALL') AS region,
+  COALESCE(n_name, 'ALL') AS nation,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("rollup_customer_census", oracle=ROLLUP_ORACLE)
+def rollup_customer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation with subtotal rows (NULLs COALESCEd to
+    'ALL' so both engines label subtotals identically — r_name/n_name
+    are never NULL in data, so the label is unambiguous)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+        .join(F.broadcast(region), col("n_regionkey") == col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(col("c_acctbal").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT
+  COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS date,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+@register("cube_event_census", oracle=CUBE_ORACLE)
+def cube_event_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, date): all four grouping combinations in
+    one pass — Spark expands grouping sets before the shuffle, so it's
+    still a single aggregation exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+        .cube("event_type", "date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce(col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(col("date"), F.lit("ALL")).alias("date"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+SETOPS_ORACLE = """
+SELECT user_id FROM (
+  (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 300
+   INTERSECT
+   SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 300)
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 400
+)
+"""
+
+
+@register("setops_user_cohorts", oracle=SETOPS_ORACLE)
+def setops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(big-purchasers ∩ big-clickers) ∖ big-error users — INTERSECT
+    and EXCEPT, both absent from the reference. Value thresholds keep
+    each cohort a strict subset so the result is non-degenerate."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cohort(etype: str, minval: float) -> DataFrame:
+        return (
+            ev.filter((col("event_type") == etype) & (col("value") > minval))
+            .select("user_id")
+            .distinct()
+        )
+
+    return (
+        cohort("purchase", 300.0)
+        .intersect(cohort("click", 300.0))
+        .exceptAll(cohort("error", 400.0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (events ← latest purchase at-or-before each click)
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_event_id, value AS p_value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id,
+       CAST(epoch_ms(c.ts) AS VARCHAR) AS click_ms,
+       p.p_event_id,
+       CAST(p.p_value AS DOUBLE) AS p_value,
+       CAST(epoch_ms(p.p_ts) AS VARCHAR) AS purchase_ms
+FROM clicks c
+ASOF JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.p_ts
+"""
+
+
+@register("asof_click_to_purchase", oracle=ASOF_ORACLE)
+def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent
+    purchase at-or-before it (inner semantics — clicks before any
+    purchase drop). Implemented with the union-and-carry operator
+    (operators/joins.py:asof_join): one shuffle, linear in rows —
+    the DuckDB oracle uses its native ASOF JOIN, so this checks our
+    from-scratch implementation against a reference implementation."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id",
+        col("ts").alias("p_ts"),
+        col("event_id").alias("p_event_id"),
+        col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        right_cols=["p_event_id", "p_value", "p_ts"],
+        tie_break="p_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(col("ts")).cast("string").alias("click_ms"),
+        "p_event_id",
+        col("p_value").cast("double").alias("p_value"),
+        F.unix_millis(col("p_ts")).cast("string").alias("purchase_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (errors ← views in the preceding hour, same user)
+# ---------------------------------------------------------------------------
+
+RANGE_ORACLE = """
+SELECT e.event_id, e.user_id, COUNT(v.event_id) AS n_views_prev_hour
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON e.user_id = v.user_id
+ AND v.ts >= e.ts - INTERVAL 1 HOUR
+ AND v.ts < e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@register("range_join_views_before_error", oracle=RANGE_ORACLE)
+def range_join_views_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: per error event, how many views the same
+    user made in the preceding hour. The equi-key (user_id) carries
+    the join; the time band is a post-join filter — with a selective
+    per-user key this stays linear-ish; for keyless band joins,
+    bucketize time first (see operators/joins.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(col("event_type") == "error").select(
+        col("event_id").alias("e_id"), col("user_id").alias("e_user"), col("ts").alias("e_ts")
+    )
+    views = ev.filter(col("event_type") == "view").select(
+        col("event_id").alias("v_id"), col("user_id").alias("v_user"), col("ts").alias("v_ts")
+    )
+    cond = (col("v_ts") >= col("e_ts") - F.expr("INTERVAL 1 HOUR")) & (
+        col("v_ts") < col("e_ts")
+    )
+    return (
+        errors.join(views, (col("e_user") == col("v_user")) & cond, "left")
+        .groupBy(col("e_id").alias("event_id"), col("e_user").alias("user_id"))
+        .agg(F.count(col("v_id")).alias("n_views_prev_hour"))
+    )
