@@ -1,0 +1,128 @@
+"""Text-analysis column expressions (tokenize, hash, shingle,
+fingerprint) — the building blocks for the training-data-pipeline
+operators (dedup, language-ID, quality scoring).
+
+Everything is a built-in-function composition (regexp_extract_all /
+transform / aggregate / md5 / conv) — JVM-side, no Python UDFs — and
+every expression has a byte-identical DuckDB twin (documented inline)
+so dedup/text queries are oracle-checkable.
+
+Cross-engine invariants (validated in tests):
+* tokens: ``regexp_extract_all(text, '[a-z0-9]+')`` matches DuckDB's.
+* hash64: first 8 md5 hex chars as bigint —
+  Spark ``conv(substr(md5(x),1,8),16,10)`` ==
+  DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT`` (value < 2^32, no
+  sign issues).
+* folds: Spark ``aggregate`` and DuckDB ``list_reduce`` both run
+  left-to-right (list_reduce has no init arg — prepend the seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Lowercase word tokens. DuckDB twin:
+    ``regexp_extract_all(text, '[a-z0-9]+')``."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-tokenization: letter runs, digit runs, and single
+    punctuation marks each count as a token. DuckDB twin:
+    ``regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')``."""
+    return F.regexp_extract_all(text, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+
+
+def hash64(c: Column) -> Column:
+    """Deterministic 32-bit-range hash as bigint from md5 hex.
+
+    Shared across engines (unlike Spark's ``hash``/``xxhash64``,
+    whose seeds/algorithms DuckDB doesn't implement)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def salted_hash64(salt, c: Column) -> Column:
+    """hash64 with an integer salt — one hash function per salt, the
+    minhash family. DuckDB twin:
+    ``('0x' || substr(md5(salt || '|' || s), 1, 8))::BIGINT``."""
+    return hash64(F.concat(F.lit(str(salt)), F.lit("|"), c))
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles of a token array (empty if < k tokens).
+    DuckDB twin:
+    ``list_transform(generate_series(1, len(toks)-k+1),
+      i -> array_to_string(toks[i:i+k-1], ' '))`` behind the same
+    length guard (Spark's ``sequence(1, n)`` is DESCENDING for n<1 —
+    never call it unguarded)."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(toks: Column) -> Column:
+    """Rolling polynomial hash of the token stream:
+    ``acc = (acc*31 + hash64(tok)) % 1e9+7`` folded left-to-right.
+    Order-sensitive by design (a reordered document fingerprints
+    differently). DuckDB twin: ``list_reduce`` over pre-hashed tokens
+    with a prepended 0 seed."""
+    hashed = F.transform(toks, hash64)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-element minhash signature: for each salt i,
+    ``min over shingles of salted_hash64(i, s)``; empty shingle set →
+    nulls. Computed per-row over the shingle array (transform ×
+    array_min) — NO explode/shuffle; the signature costs O(k·|set|)
+    inside codegen.
+
+    A document pair agreeing on j of k signature slots estimates
+    Jaccard ≈ j/k (MinHash, Broder 1997)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: hash64(F.concat(i.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash (Charikar 2002): per bit j, count tokens whose
+    hash has bit j set; the output bit is 1 when set-count exceeds
+    half the tokens (strict majority — ties → 0). Per-row array ops,
+    no shuffle; the 32 bit-terms are unrolled statically (shift
+    amounts must be literals) so the whole thing is one codegen'd
+    expression."""
+    hashed = F.transform(toks, hash64)
+    n = F.size(hashed)
+    def _bit_test(j: int):
+        # single-param lambda required: PySpark maps a 2-param lambda
+        # to (element, index) — a default arg would become the index.
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("bigint")
+    for j in range(32):
+        set_count = F.size(F.filter(hashed, _bit_test(j)))
+        out = out + F.when(
+            set_count * 2 > n, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return out

@@ -1,1 +1,361 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Deduplication operator family over ``documents`` / ``embeddings``:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+North-star training-data-pipeline operators. Each query's Spark
+implementation uses the SCALABLE plan shape (per-row signatures in
+codegen, banding to avoid all-pairs, inverted-index joins); oracles
+verify the *semantics* with whatever brute-force SQL is clearest —
+both sides must produce identical rows, which also proves the banded
+plan loses no recall versus brute force at the chosen thresholds.
+
+Data note: the harness plants 25 near-dup document pairs (3-gram
+Jaccard ≥ 0.8; the next-highest pair is < 0.15) — thresholds sit in
+that gap so results are stable and non-degenerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from iot_sparkstreaming_spark.functions.text import (
+    minhash_signature,
+    simhash32,
+    tokens,
+    word_shingles,
+)
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+#: distinct 3-gram word shingles per doc (docs with <3 tokens excluded)
+SHINGLES_CTE = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(tk)-2),
+                                 i -> array_to_string(tk[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents)
+  WHERE len(tk) >= 3
+)
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(col("text"))
+    return (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.array_distinct(word_shingles(col("tk"), 3)).alias("sh"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+EXACT_ORACLE = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id. At 100 TB
+    the groupBy shuffles 16-byte hashes + ids, never the text — the
+    canonical first dedup pass of any training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted-index join)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+JACCARD_ORACLE = (
+    SHINGLES_CTE
+    + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+@register("dedup_ngram_jaccard", oracle=JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.5.
+
+    Spark plan is the inverted-index join — explode shingles, self-join
+    on shingle, count co-occurrences — NOT the oracle's all-pairs
+    list_intersect: all-pairs is O(n²) and dead at scale, while the
+    inverted index shuffles |doc|·|shingles| rows on the shingle key.
+    (At 100 TB you'd additionally drop ultra-frequent shingles — a
+    stop-shingle cutoff — to bound the hottest posting lists.)"""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posts = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = posts.select(col("doc_id").alias("doc_a"), "s")
+    b = posts.select(col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"))
+    sb = sizes.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"))
+    jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            col("n_common").cast("bigint").alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .filter(col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (banded signatures)
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16
+LSH_BANDS = 4
+BAND_WIDTH = MINHASH_K // LSH_BANDS
+EST_THRESHOLD = 0.5
+
+_SIG_SQL = (
+    "list_transform(generate_series(0, 15), i -> "
+    "list_min(list_transform(sh, s -> "
+    "('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 8))::BIGINT)))"
+)
+
+MINHASH_ORACLE = (
+    SHINGLES_CTE
+    + f"""
+, sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, sig, b.band_id,
+         array_to_string(sig[b.band_id*{BAND_WIDTH}+1 : b.band_id*{BAND_WIDTH}+{BAND_WIDTH}], ',') AS band_key
+  FROM sigs, (SELECT UNNEST(generate_series(0, {LSH_BANDS - 1})) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(list_sum(list_transform(generate_series(1, {MINHASH_K}),
+       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_matching,
+  CAST(list_sum(list_transform(generate_series(1, {MINHASH_K}),
+       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+FROM cand c
+JOIN sigs sa ON c.doc_a = sa.doc_id
+JOIN sigs sb ON c.doc_b = sb.doc_id
+WHERE CAST(list_sum(list_transform(generate_series(1, {MINHASH_K}),
+       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / {MINHASH_K}
+      >= {EST_THRESHOLD}
+"""
+)
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4 bands × 4): the sub-quadratic near-dup
+    path. Signatures are per-row array math inside codegen (NO explode
+    of shingles, no shuffle); only 4 tiny (band_id, band_key) rows per
+    doc shuffle for the bucket join; candidate pairs then filter on
+    signature agreement ≥ 0.5 (est. Jaccard, Broder '97).
+
+    The oracle runs the *identical* LSH construction in DuckDB, so
+    this checks signature math, banding, and the estimate bit-for-bit."""
+    sh = _shingled(spark, sf_dir)
+    sigs = sh.select("doc_id", minhash_signature(col("sh"), MINHASH_K).alias("sig"))
+
+    band_id = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_id")
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        band_id,
+    ).select(
+        "doc_id",
+        "sig",
+        "band_id",
+        F.concat_ws(
+            ",", F.slice(col("sig"), col("band_id") * BAND_WIDTH + 1, BAND_WIDTH)
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        col("doc_id").alias("doc_a"), col("band_id").alias("ba"), col("band_key").alias("ka")
+    )
+    b = bands.select(
+        col("doc_id").alias("doc_b"), col("band_id").alias("bb"), col("band_key").alias("kb")
+    )
+    cand = (
+        a.join(b, (col("ba") == col("bb")) & (col("ka") == col("kb")))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(col("doc_id").alias("doc_a"), col("sig").alias("sig_a"))
+    sb = sigs.select(col("doc_id").alias("doc_b"), col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with(col("sig_a"), col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("bigint").alias("n_matching"),
+            (n_match.cast("double") / MINHASH_K).alias("est_jaccard"),
+        )
+        .filter(col("est_jaccard") >= EST_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (banded hamming search)
+# ---------------------------------------------------------------------------
+
+HAMMING_MAX = 3
+
+SIMHASH_ORACLE = """
+WITH sims AS (
+  SELECT doc_id,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(0, 31), j ->
+        CASE WHEN 2 * len(list_filter(
+            list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+            h -> (h >> j) & 1 = 1))
+          > len(regexp_extract_all(text, '[a-z0-9]+'))
+        THEN (1::BIGINT << j) ELSE 0 END)),
+      (acc, x) -> acc + x) AS BIGINT) AS sim
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs with hamming ≤ 3, found via
+    4 bands of 8 bits: ≤3 flipped bits leave ≥1 band intact
+    (pigeonhole), so the banded join has FULL recall versus the
+    oracle's brute-force all-pairs scan — which is exactly what this
+    oracle proves. Band join shuffles 4 byte-sized keys per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = docs.select("doc_id", simhash32(tokens(col("text"))).alias("sim"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(col("sim"), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sims.select("doc_id", "sim", F.explode(band_structs).alias("bv")).select(
+        "doc_id", "sim", col("bv.band_id").alias("band_id"), col("bv.band_val").alias("band_val")
+    )
+    a = bands.select(
+        col("doc_id").alias("doc_a"), col("sim").alias("sim_a"),
+        col("band_id").alias("ba"), col("band_val").alias("va"),
+    )
+    b = bands.select(
+        col("doc_id").alias("doc_b"), col("sim").alias("sim_b"),
+        col("band_id").alias("bb"), col("band_val").alias("vb"),
+    )
+    hamming = F.bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    return (
+        a.join(b, (col("ba") == col("bb")) & (col("va") == col("vb")))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_THRESHOLD = 0.4
+
+EMB_NEARDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_dot_product(a.v, b.v)
+        / sqrt(list_dot_product(a.v, a.v))
+        / sqrt(list_dot_product(b.v, b.v)), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+        / sqrt(list_dot_product(a.v, a.v))
+        / sqrt(list_dot_product(b.v, b.v)), 6) >= {COSINE_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 over the float vectors
+    (cast to double; dot products fold left-to-right → bitwise equal
+    across engines; rounded to 6 dp before the threshold so the
+    filter is stable).
+
+    This brute all-pairs form is the small-N verifier; the scale path
+    is the LSH-bucketed variant in queries/similarity.py which bounds
+    candidates per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform(col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(col("vec_id").alias("vec_a"), col("v").alias("va"))
+    b = e.select(col("vec_id").alias("vec_b"), col("v").alias("vb"))
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.round(
+        dot(col("va"), col("vb"))
+        / F.sqrt(dot(col("va"), col("va")))
+        / F.sqrt(dot(col("vb"), col("vb"))),
+        6,
+    )
+    return (
+        a.join(b, col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(col("cosine") >= COSINE_THRESHOLD)
+    )

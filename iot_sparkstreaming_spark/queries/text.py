@@ -1,1 +1,219 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Text-analysis queries over the ``documents`` table: token stats,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+North-star training-data-pipeline operators (BASELINE.json); the
+reference's string surface was split/trim/equality only
+(SURVEY.md §2.8) — this module is the engine's text layer, all
+built-in expressions (functions/text.py), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from iot_sparkstreaming_spark.functions.text import (
+    bpe_ish_tokens,
+    fingerprint,
+    tokens,
+)
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+#: shared tokenization CTE for every oracle in this module
+TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         regexp_extract_all(text, '[a-z0-9]+') AS tk
+  FROM documents
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Token statistics (whitespace tokens + BPE-ish subtokens)
+# ---------------------------------------------------------------------------
+
+TOKEN_STATS_ORACLE = (
+    TOKS_CTE
+    + """
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, t -> CAST(len(t) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)
+    / len(tk) AS avg_token_len,
+  n_chars
+FROM toks
+"""
+)
+
+
+@register("doc_token_stats", oracle=TOKEN_STATS_ORACLE)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: word tokens, distinct tokens,
+    BPE-ish subtokens (letter runs / digit runs / punctuation marks),
+    exact average token length. All per-row array expressions — the
+    100 TB plan is a map-only scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(bpe_ish_tokens(col("text"))).cast("bigint").alias("n_subtokens"),
+        (
+            F.aggregate(
+                F.transform(tk, lambda t: F.length(t).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.size(tk)
+        ).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (marker-token profiles, argmax with priority)
+# ---------------------------------------------------------------------------
+
+PROFILES = {
+    "sqlish": ("table", "row", "column", "scan", "query"),
+    "streamish": ("stream", "window", "batch", "spark"),
+    "perfish": ("fast", "slow", "big", "small"),
+}
+
+
+def _profile_sql(name: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in PROFILES[name])
+    return f"CAST(len(list_filter(tk, t -> t IN ({markers}))) AS BIGINT)"
+
+
+LANG_ID_ORACLE = (
+    TOKS_CTE
+    + f"""
+SELECT doc_id, lang,
+  {_profile_sql("sqlish")} AS score_sqlish,
+  {_profile_sql("streamish")} AS score_streamish,
+  {_profile_sql("perfish")} AS score_perfish,
+  CASE
+    WHEN {_profile_sql("sqlish")} = 0 AND {_profile_sql("streamish")} = 0
+         AND {_profile_sql("perfish")} = 0 THEN 'und'
+    WHEN {_profile_sql("sqlish")} >= {_profile_sql("streamish")}
+         AND {_profile_sql("sqlish")} >= {_profile_sql("perfish")} THEN 'sqlish'
+    WHEN {_profile_sql("streamish")} >= {_profile_sql("perfish")} THEN 'streamish'
+    ELSE 'perfish'
+  END AS predicted
+FROM toks
+"""
+)
+
+
+@register("lang_id_heuristic", oracle=LANG_ID_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-profile language-ID: count marker-token hits per
+    profile, classify by argmax with a fixed priority order for ties
+    (deterministic — an unordered argmax would not hash-match).
+
+    The same shape as real fasttext-style lang-ID over stopword
+    profiles; scales as a map-only pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(col("text"))
+
+    def score(name: str):
+        markers = PROFILES[name]
+        return F.size(F.filter(tk, lambda t: t.isin(*markers))).cast("bigint")
+
+    s1, s2, s3 = score("sqlish"), score("streamish"), score("perfish")
+    return docs.select(
+        "doc_id",
+        "lang",
+        s1.alias("score_sqlish"),
+        s2.alias("score_streamish"),
+        s3.alias("score_perfish"),
+        F.when((s1 == 0) & (s2 == 0) & (s3 == 0), F.lit("und"))
+        .when((s1 >= s2) & (s1 >= s3), F.lit("sqlish"))
+        .when(s2 >= s3, F.lit("streamish"))
+        .otherwise(F.lit("perfish"))
+        .alias("predicted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / distinct / stopword ratios)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "value", "data")
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+QUALITY_ORACLE = (
+    TOKS_CTE
+    + f"""
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
+  CAST(len(list_filter(tk, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(tk) AS stopword_ratio,
+  ROUND(
+    (0.5 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+     + 0.3 * (1.0 - CAST(len(list_filter(tk, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(tk)))
+    + 0.2 * LEAST(CAST(len(tk) AS DOUBLE) / 64.0, 1.0), 6) AS quality_score
+FROM toks
+"""
+)
+
+
+@register("doc_quality_score", oracle=QUALITY_ORACLE)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: lexical diversity + low stopword mass
+    + length saturation, combined with a fixed parenthesization so
+    both engines evaluate the identical float expression tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(col("text"))
+    n = F.size(tk)
+    distinct_ratio = F.size(F.array_distinct(tk)).cast("double") / n
+    stop_ratio = (
+        F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    )
+    length_sat = F.least(n.cast("double") / 64.0, F.lit(1.0))
+    score = F.round(
+        (0.5 * distinct_ratio + 0.3 * (1.0 - stop_ratio)) + 0.2 * length_sat, 6
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = (
+    TOKS_CTE
+    + """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+  CAST(len(tk) AS BIGINT) AS n_tokens
+FROM toks
+"""
+)
+
+
+@register("doc_fingerprint", oracle=FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash over the token stream — the
+    content-defined fingerprint used for shift-tolerant dedup
+    bookkeeping. Left-to-right fold, exact bigint arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(tokens(col("text"))).alias("fingerprint"),
+        F.size(tokens(col("text"))).cast("bigint").alias("n_tokens"),
+    )
