@@ -1,0 +1,79 @@
+"""Source edges: CSV-line record parsing and stream builders.
+
+The reference consumed one multiplexed Kafka stream of CSV strings
+and dispatched on field 0 (SURVEY.md §2.1 S1, §2.2 P1-P3). Here the
+same parse is declarative: split + trim + cast under an explicit
+StructType, applied identically to a batch DataFrame or a streaming
+one (batch/stream unification — the transform doesn't know which).
+
+Kafka vs file/memory is a config switch: ``lines_stream`` builds the
+raw-lines stream from whatever edge is available. The container has
+no broker, so tests use file/memory edges; the Kafka branch is the
+same two lines the production edge needs
+(reference IOTSparkStreaming.scala:43-44 → ``format("kafka")``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def parse_csv_records(
+    lines: DataFrame,
+    schema: T.StructType,
+    tag: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Parse one record type out of a multiplexed CSV-line stream.
+
+    Mirrors the reference's dispatch-then-parse
+    (``lines.filter(_.split(",")(0) == tag)`` then positional
+    ``split/trim/cast`` — workingTest.scala:51,56-69) as pure column
+    expressions: filter on field 0, then one ``split`` feeding every
+    field (Catalyst collapses the repeated ``element_at`` into a
+    single split via subexpression elimination). Every field is
+    trimmed before cast, exactly like the reference's pervasive
+    ``.trim`` (P10).
+
+    Works unchanged on batch and streaming inputs.
+    """
+    parts = F.split(F.col(value_col), ",")
+    cols = [
+        F.trim(F.element_at(parts, i + 1)).cast(field.dataType).alias(field.name)
+        for i, field in enumerate(schema.fields)
+    ]
+    return lines.filter(F.trim(F.element_at(parts, 1)) == tag).select(*cols)
+
+
+def lines_stream(
+    spark: SparkSession,
+    source: str = "files",
+    path: str | None = None,
+    kafka_bootstrap: str | None = None,
+    topics: str = "fitbit,new-user-notification,sales",
+) -> DataFrame:
+    """Raw multiplexed line stream (column: ``value`` string).
+
+    * ``files``: ``readStream.text(path)`` — the dev/CI edge.
+    * ``kafka``: Structured Streaming Kafka source subscribing the
+      reference's three topics (IOTSparkStreaming.scala:36,43-44);
+      offsets tracked in the checkpoint — the exactly-once source
+      bookkeeping the reference's direct stream did by hand.
+    """
+    if source == "kafka":
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", topics)
+            .load()
+            .selectExpr("CAST(value AS STRING) AS value")
+        )
+    if source == "files":
+        if path is None:
+            raise ValueError("files source requires path")
+        return spark.readStream.format("text").load(path).withColumnRenamed(
+            "value", "value"
+        )
+    raise ValueError(f"unknown source: {source}")

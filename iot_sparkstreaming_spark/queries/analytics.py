@@ -397,3 +397,45 @@ def range_join_views_before_error(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(col("e_id").alias("event_id"), col("e_user").alias("user_id"))
         .agg(F.count(col("v_id")).alias("n_views_prev_hour"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (batch twin of streaming windowed aggs)
+# ---------------------------------------------------------------------------
+
+TUMBLING_ORACLE = """
+SELECT
+  strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+"""
+
+
+@register("tumbling_window_hourly", oracle=TUMBLING_ORACLE)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation via ``F.window`` — the exact
+    expression the streaming pipelines use with a watermark
+    (streaming/pipelines.py:windowed_pulse_stats); running it as batch
+    proves the batch/stream-unified semantics against a SQL oracle
+    (DuckDB time_bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

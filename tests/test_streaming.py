@@ -1,0 +1,270 @@
+"""Streaming-layer tests: CSV record parsing, pipeline golden
+outputs (byte-format payloads, threshold boundaries), end-to-end
+Structured Streaming runs (file source → memory sink), and the
+Cassandra-semantics sinks (out-of-order, replay idempotence, PK
+dedup) — the test layers SURVEY.md §5 planned."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sparkstreaming_spark.io.sources import parse_csv_records
+from iot_sparkstreaming_spark.schemas import (
+    FITBIT_SCHEMA,
+    NEW_USER_SCHEMA,
+    SALES_SCHEMA,
+)
+from iot_sparkstreaming_spark.streaming.pipelines import (
+    activity_pipeline,
+    latest_location_rows,
+    session_activity,
+    userhistory_rows,
+    warning_pipeline,
+    windowed_pulse_stats,
+)
+from iot_sparkstreaming_spark.streaming.sinks import AppendDedupSink, KeyedUpsertSink
+
+# fitbit CSV: tag, datetime, user, lat, long, pulse, temp, age, bp_cat, machine_ts
+FITBIT_LINES = [
+    # age 30 → maxHR 190, θ·maxHR = 180.5
+    "fitbit,2016-11-07 10:00:00,u1, 12.97 ,77.59,180.5,98.6,30,HYP_1,1478512345000",  # critical (>= boundary)
+    "fitbit,2016-11-07 10:00:05,u2,12.00,77.00,180.5,98.6,30,NORMAL,1478512346000",  # simple
+    "fitbit,2016-11-07 10:00:10,u3,12.00,77.00,180.4,98.6,30,HYP_CR,1478512347000",  # no-use (below)
+    # age 40 → maxHR 178 (second branch), θ·maxHR = 169.1
+    "fitbit,2016-11-07 10:00:15,u4,12.00,77.00,169.1,99.1,40,HYP_2,1478512348000",  # critical
+    # age 39 → maxHR 181 (first branch), θ·maxHR = 171.95
+    "fitbit,2016-11-07 10:00:20,u5,12.00,77.00,171.0,99.1,39,HYP_2,1478512349000",  # no-use
+    "sales,2016-11-07,12",  # other-topic noise must be filtered out
+]
+
+NEW_USER_LINES = [
+    "new-user-notification,34,M,active,82.5,180.0,25.4,18.2,NORMAL,120.0,80.0,u1,d1",
+    "new-user-notification, 45 ,F,sedentary,60.0,165.0,22.0,25.0,HYP_1,140.0,90.0,u2,d2",
+]
+
+SALES_LINES = ["sales,2016-11-07,12", "sales,2016-11-08,90", "fitbit,x,y"]
+
+
+@pytest.fixture()
+def fitbit_df(spark):
+    lines = spark.createDataFrame([(l,) for l in FITBIT_LINES], ["value"])
+    return parse_csv_records(lines, FITBIT_SCHEMA, "fitbit")
+
+
+def test_parse_fitbit_trims_and_casts(fitbit_df):
+    rows = {r.user_id: r for r in fitbit_df.collect()}
+    assert set(rows) == {"u1", "u2", "u3", "u4", "u5"}
+    assert rows["u1"].lat == "12.97"  # trimmed, kept as text (DDL fidelity)
+    assert rows["u1"].pulse == 180.5 and isinstance(rows["u1"].pulse, float)
+    assert rows["u1"].age == 30
+
+
+def test_parse_new_user(spark):
+    lines = spark.createDataFrame([(l,) for l in NEW_USER_LINES], ["value"])
+    df = parse_csv_records(lines, NEW_USER_SCHEMA, "new-user-notification")
+    rows = {r.user_id: r for r in df.collect()}
+    assert rows["u2"].age == 45 and rows["u2"].category == "sedentary"
+    assert rows["u1"].weight == 82.5
+
+
+def test_parse_sales(spark):
+    lines = spark.createDataFrame([(l,) for l in SALES_LINES], ["value"])
+    df = parse_csv_records(lines, SALES_SCHEMA, "sales")
+    assert {(r.date, r["count"]) for r in df.collect()} == {
+        ("2016-11-07", 12),
+        ("2016-11-08", 90),
+    }
+
+
+def test_warning_pipeline_golden(fitbit_df):
+    """Boundary semantics: >= at θ·maxHR, age<40 breakpoint, HYP_*
+    membership, and the Scala-tuple payload byte format."""
+    out = {r.user_id: r for r in warning_pipeline(fitbit_df).collect()}
+    assert set(out) == {"u1", "u2", "u4"}  # u3/u5 below threshold
+    assert out["u1"].warning == "critical"
+    assert out["u2"].warning == "simple"  # hot but NORMAL bp
+    assert out["u4"].warning == "critical"  # age-40 second branch
+    assert out["u1"].payload == "(u1,critical,1478512345000)"
+
+
+def test_warning_pipeline_threshold_param(fitbit_df):
+    """test.scala:130 shipped θ=0.85 — the parameter reproduces it:
+    u5 (pulse 171, θ·maxHR = 153.85) becomes critical."""
+    out = {r.user_id: r for r in warning_pipeline(fitbit_df, threshold=0.85).collect()}
+    assert "u5" in out and out["u5"].warning == "critical"
+
+
+def test_activity_pipeline_inner_join_drops_unknown(spark, fitbit_df):
+    user_details = spark.createDataFrame(
+        [("u1", "active"), ("u4", "sedentary")], ["user_id", "category"]
+    )
+    out = {r.user_id: r for r in activity_pipeline(fitbit_df, user_details).collect()}
+    assert set(out) == {"u1", "u4"}  # u2 has no dimension row → dropped
+    assert out["u1"].payload == "(u1,1478512345000,active)"
+
+
+def test_streaming_end_to_end_file_to_memory(spark, tmp_path):
+    """File source → parse → warning pipeline → memory sink: the same
+    transform that passed batch golden tests, run as a stream."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch0.txt").write_text("\n".join(FITBIT_LINES) + "\n")
+    lines = spark.readStream.format("text").load(str(src))
+    out = warning_pipeline(parse_csv_records(lines, FITBIT_SCHEMA, "fitbit"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("warnings_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: r.payload for r in spark.sql("SELECT * FROM warnings_e2e").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        "u1": "(u1,critical,1478512345000)",
+        "u2": "(u2,simple,1478512346000)",
+        "u4": "(u4,critical,1478512348000)",
+    }
+
+
+def test_keyed_upsert_out_of_order_and_replay(spark, tmp_path, fitbit_df):
+    """K2 fix: state keyed by event time, not arrival order — a LATE
+    row arriving in a later batch must NOT overwrite newer state; and
+    replaying a batch must be a no-op (idempotence)."""
+    sink = KeyedUpsertSink(
+        str(tmp_path / "latest_location"),
+        keys=["user_id"],
+        order_by=["event_ts"],
+    )
+    rows = latest_location_rows(fitbit_df)
+    newer = rows.filter(F.col("user_id") == "u1")  # ts 10:00:00
+    late = newer.withColumn(
+        "event_ts", F.col("event_ts") - F.expr("INTERVAL 1 HOUR")
+    ).withColumn("lat", F.lit("0.0"))
+
+    sink(newer, 0)
+    sink(late, 1)  # late arrival in a later batch
+    state = {r.user_id: r for r in sink.read_state(spark).collect()}
+    assert state["u1"].lat == "12.97"  # newer event time won
+
+    sink(newer, 0)  # replay
+    state2 = sink.read_state(spark).collect()
+    assert len(state2) == 1 and state2[0].lat == "12.97"
+
+
+def test_append_dedup_pk(spark, tmp_path, fitbit_df):
+    """K3: identical (user_id, date, time) collapses to one row —
+    within a batch and across batches."""
+    sink = AppendDedupSink(
+        str(tmp_path / "userhistory"), keys=["user_id", "date", "time"]
+    )
+    hist = userhistory_rows(fitbit_df)
+    doubled = hist.unionByName(hist)
+    sink(doubled, 0)
+    assert sink.read_state(spark).count() == hist.count()
+    sink(hist, 1)  # replay entire content
+    assert sink.read_state(spark).count() == hist.count()
+
+
+def test_windowed_pulse_stats_stream(spark, tmp_path):
+    """Tumbling window + watermark as a real stream (update mode)."""
+    src = tmp_path / "win_in"
+    src.mkdir()
+    (src / "b0.txt").write_text("\n".join(FITBIT_LINES) + "\n")
+    lines = spark.readStream.format("text").load(str(src))
+    stats = windowed_pulse_stats(parse_csv_records(lines, FITBIT_SCHEMA, "fitbit"))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_stats").collect()
+    finally:
+        q.stop()
+    # all 5 fitbit rows fall in the 10:00 minute, one row per user
+    assert len(rows) == 5
+    assert all(r.n_readings == 1 for r in rows)
+    assert {str(r.window_start) for r in rows} == {"2016-11-07 10:00:00"}
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Native session_window aggregation as a stream (append mode —
+    the only mode session windows support). A session only emits once
+    the watermark passes its close, so a second batch far in the
+    future flushes the first five."""
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    (src / "b0.txt").write_text("\n".join(FITBIT_LINES) + "\n")
+    lines = spark.readStream.format("text").load(str(src))
+    sessions = session_activity(parse_csv_records(lines, FITBIT_SCHEMA, "fitbit"))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sessions").count() == 0  # watermark at epoch
+        (src / "b1.txt").write_text(
+            "fitbit,2016-11-07 20:00:00,u9,1,1,100.0,98.0,30,NORMAL,t\n"
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions").collect()
+    finally:
+        q.stop()
+    # the 5 original sessions finalized; u9's session still open
+    assert len(rows) == 5
+    assert all(r.n_readings == 1 for r in rows)
+    assert "u9" not in {r.user_id for r in rows}
+
+
+def test_checkpoint_restart_resumes(spark, tmp_path):
+    """Stop a stream, add data, restart with the same checkpoint —
+    the new run must pick up only the new file (offset recovery)."""
+    src = tmp_path / "restart_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+    (src / "b0.txt").write_text(FITBIT_LINES[0] + "\n")
+
+    seen: list[tuple[int, str]] = []
+
+    def start():
+        lines = spark.readStream.format("text").load(str(src))
+        out = warning_pipeline(parse_csv_records(lines, FITBIT_SCHEMA, "fitbit"))
+        return (
+            out.writeStream.foreachBatch(
+                lambda b, bid: seen.extend((bid, r.user_id) for r in b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [u for _, u in seen] == ["u1"]
+    (src / "b1.txt").write_text(FITBIT_LINES[1] + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # post-restart run processed ONLY the new file: offset recovery
+    assert [u for _, u in seen] == ["u1", "u2"]
