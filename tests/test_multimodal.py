@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: Arrow batch shapes, stub behavior,
+payload pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sparkstreaming_spark.operators.multimodal import (
+    assets_from_documents,
+    decode_asset,
+    extract_features,
+    thumbnail_stub,
+)
+from iot_sparkstreaming_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def assets(spark):
+    return assets_from_documents(load_table(spark, SF, "documents"))
+
+
+def test_asset_schema(assets):
+    assert [f.name for f in assets.schema.fields] == [
+        "asset_id",
+        "modality",
+        "payload",
+        "meta",
+    ]
+    assert assets.schema["payload"].dataType.typeName() == "binary"
+    meta = assets.schema["meta"].dataType
+    assert [f.name for f in meta.fields] == ["mime", "width", "height", "duration_ms"]
+
+
+def test_extract_features_multibatch(spark, assets):
+    """mapInPandas must produce identical results regardless of Arrow
+    batch slicing — force tiny batches and many partitions."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        multi = extract_features(assets.repartition(8)).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    single = extract_features(assets.coalesce(1)).collect()
+    assert sorted(map(tuple, multi)) == sorted(map(tuple, single))
+    byid = {r.asset_id: r for r in multi}
+    assert all(r.n_bytes > 0 and len(r.sha256) == 64 for r in multi)
+    # spot-check against JVM-side sha2 (independent of the pandas path)
+    jvm = {
+        r.asset_id: r.h
+        for r in assets.select(
+            "asset_id", F.lower(F.sha2(F.col("payload"), 256)).alias("h")
+        ).collect()
+    }
+    assert all(jvm[i] == byid[i].sha256 for i in jvm)
+
+
+def test_thumbnail_stub_bounds(assets):
+    rows = thumbnail_stub(assets, max_px=64).collect()
+    assert rows and all(1 <= r.thumb_w <= 64 and 1 <= r.thumb_h <= 64 for r in rows)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_asset(b"\x00\x01", "audio")
