@@ -1,0 +1,331 @@
+"""Scalar-function-family queries: JSON, regex, datetime, string,
+grouping sets, distinct aggregation, and array math.
+
+The reference's scalar surface is split/trim/equality only
+(SURVEY.md §2.8 — "no array/map/JSON functions, no regex, no
+null-handling functions"). These queries put every absent family on
+the engine's public surface, each as a JVM-side built-in (no Python
+UDFs anywhere) with an exact DuckDB oracle.
+
+Determinism: integer aggregates are exact; double aggregates go
+through the decimal trick (queries/tpch.py ``_dsum``); per-row double
+math (array norms) folds left-to-right identically on both engines
+(validated in tests/test_functions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.queries.tpch import _dsum
+from iot_sparkstreaming_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props
+# ---------------------------------------------------------------------------
+
+JSON_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_extract_events", oracle=JSON_ORACLE)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events payload column
+    (``get_json_object`` — JVM-side, codegen-friendly), aggregated
+    per event type. At scale this is scan → partial agg; the JSON
+    parse never leaves the executors' generated code.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint").alias("n_k_over_50"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction over part names
+# ---------------------------------------------------------------------------
+
+REGEX_ORACLE = """
+SELECT
+  regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2) AS noun,
+  COUNT(*) AS n_parts,
+  COUNT(DISTINCT regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1)) AS n_adjectives,
+  CAST(MAX(p_size) AS BIGINT) AS max_size
+FROM part
+WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+GROUP BY noun
+"""
+
+
+@register("regex_part_taxonomy", oracle=REGEX_ORACLE)
+def regex_part_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex match + group extraction (``rlike`` /
+    ``regexp_extract``) splitting part names into an
+    adjective–noun taxonomy, with a per-noun distinct-adjective
+    count. The pattern is anchored ASCII so Java and RE2 regex
+    semantics agree.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pat = "^([a-z]+) ([a-z]+)$"
+    return (
+        part.filter(col("p_name").rlike("^[a-z]+ [a-z]+$"))
+        .groupBy(F.regexp_extract(col("p_name"), pat, 2).alias("noun"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct(F.regexp_extract(col("p_name"), pat, 1)).alias(
+                "n_adjectives"
+            ),
+            F.max("p_size").cast("bigint").alias("max_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datetime functions: ship-delay statistics per order month
+# ---------------------------------------------------------------------------
+
+DATETIME_ORACLE = """
+SELECT
+  EXTRACT(year FROM o_orderdate) AS o_year,
+  EXTRACT(month FROM o_orderdate) AS o_month,
+  COUNT(*) AS n_items,
+  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*)
+    AS avg_ship_delay_days,
+  CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_ship_delay_days,
+  CAST(SUM(CASE WHEN date_part('dow', o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_weekend_ordered
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year, o_month
+"""
+
+
+@register("datetime_ship_delay", oracle=DATETIME_ORACLE)
+def datetime_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family: year/month extraction, day-difference
+    arithmetic, day-of-week classification. All-delay sums are exact
+    integers, so the average is one deterministic double divide.
+    (Spark ``dayofweek`` is 1=Sunday; DuckDB ``dow`` is 0=Sunday —
+    the weekend predicate accounts for the offset.)
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff(col("l_shipdate"), col("o_orderdate"))
+    return (
+        orders.join(li, col("o_orderkey") == col("l_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(delay).cast("double") / F.count("*")).alias("avg_ship_delay_days"),
+            F.max(delay).cast("bigint").alias("max_ship_delay_days"),
+            F.sum(F.when(F.dayofweek("o_orderdate").isin(1, 7), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_weekend_ordered"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function family over customer names
+# ---------------------------------------------------------------------------
+
+STRING_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(MIN(CAST(substr(c_name, 10, 20) AS BIGINT)) AS BIGINT) AS min_custno,
+  CAST(MAX(CAST(substr(c_name, 10, 20) AS BIGINT)) AS BIGINT) AS max_custno,
+  MAX(upper(substr(c_mktsegment, 1, 2)) || '-' ||
+      lpad(CAST(c_custkey % 100 AS VARCHAR), 3, '0') || '-' ||
+      reverse(substr(c_name, 1, 8))) AS max_code
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("string_functions_customer", oracle=STRING_ORACLE)
+def string_functions_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: substr, numeric cast of digit substrings,
+    upper, lpad, reverse, concat — all JVM built-ins. The max_code
+    column composes five string functions to force byte-for-byte
+    cross-engine agreement.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    custno = F.substring(col("c_name"), 10, 20).cast("bigint")
+    code = F.concat_ws(
+        "-",
+        F.upper(F.substring(col("c_mktsegment"), 1, 2)),
+        F.lpad((col("c_custkey") % 100).cast("string"), 3, "0"),
+        F.reverse(F.substring(col("c_name"), 1, 8)),
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.min(custno).alias("min_custno"),
+        F.max(custno).alias("max_custno"),
+        F.max(code).alias("max_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond the existing rollup/cube queries)
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_ORACLE = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_revenue", oracle=GROUPING_SETS_ORACLE)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (an arbitrary set list, not the
+    rollup/cube lattice): detail, per-flag subtotal, and grand total
+    in one pass. Spark expands the sets after partial aggregation, so
+    the scan is still read once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dsum(col("l_extendedprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation across a 3-way join
+# ---------------------------------------------------------------------------
+
+DISTINCT_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT c_custkey) AS n_customers,
+  COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("distinct_suppliers_per_segment", oracle=DISTINCT_ORACLE)
+def distinct_suppliers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — two distinct columns plus a plain count in
+    one aggregation (Spark plans an expand + two-phase distinct
+    aggregate). The customer side broadcasts; only the fact join
+    shuffles.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, col("o_orderkey") == col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") == col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array math: embedding norm statistics per label
+# ---------------------------------------------------------------------------
+
+ARRAY_ORACLE = """
+WITH e AS (
+  SELECT
+    label,
+    len(embedding) AS dim,
+    ROUND(sqrt(list_dot_product(
+      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS norm
+  FROM embeddings
+)
+SELECT
+  label,
+  COUNT(*) AS n_vecs,
+  CAST(MIN(dim) AS BIGINT) AS min_dim,
+  MIN(norm) AS min_norm,
+  MAX(norm) AS max_norm,
+  CAST(SUM(CAST(norm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM e
+GROUP BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=ARRAY_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, element-wise transform, left-fold
+    aggregate (L2 norm). Per-row norms round to 6 dp (the fold is
+    bitwise-identical cross-engine; rounding removes any doubt), and
+    the cross-row average goes through decimal.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(col("embedding"), lambda x: x.cast("double"))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    return (
+        emb.select(
+            "label", F.size("embedding").alias("dim"), norm.alias("norm")
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("dim").cast("bigint").alias("min_dim"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            (F.sum(col("norm").cast("decimal(38,6)")).cast("double") / F.count("*")).alias(
+                "avg_norm"
+            ),
+        )
+    )

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
     from iot_sparkstreaming_spark.queries import (  # noqa: F401
         analytics,
         dedup,
+        functions,
         multimodal,
         reference,
         similarity,

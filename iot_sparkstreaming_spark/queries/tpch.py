@@ -555,3 +555,422 @@ def nation_census_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(col("c_cnt"), F.lit(0)).alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between a nation pair (self-joined dimension roles)
+# ---------------------------------------------------------------------------
+# The harness schema is a reduced TPC-H (no partsupp, no l_shipmode /
+# commitdate / receiptdate, synthetic NATION_* names), so Q7/Q8/Q9/Q13/
+# Q15/Q17/Q22 below are adapted to the available columns while keeping
+# each query's defining operator shape intact.
+
+Q7_ORACLE = """
+SELECT
+  supp_nation,
+  cust_nation,
+  l_year,
+  CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    EXTRACT(year FROM l_shipdate) AS l_year,
+    l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (adapted pair): the nation dimension joined in TWO
+    roles (supplier side, customer side) — the self-join-with-aliases
+    shape. Both role tables pre-filter to the two nations of
+    interest, so the broadcasts carry 2 rows each and the pair
+    disjunction prunes most of the fact scan via the supplier join.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.filter(col("n_name").isin(pair)).select(
+        col("n_nationkey").alias("s_nkey"), col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(col("n_name").isin(pair)).select(
+        col("n_nationkey").alias("c_nkey"), col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    sup = broadcast(
+        supplier.join(broadcast(n1), col("s_nationkey") == col("s_nkey")).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    cust = broadcast(
+        customer.join(broadcast(n2), col("c_nationkey") == col("c_nkey")).select(
+            "c_custkey", "cust_nation"
+        )
+    )
+    return (
+        li.join(sup, col("l_suppkey") == col("s_suppkey"))
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(cust, col("o_custkey") == col("c_custkey"))
+        .filter(
+            ((col("supp_nation") == pair[0]) & (col("cust_nation") == pair[1]))
+            | ((col("supp_nation") == pair[1]) & (col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            _dsum(col("l_extendedprice") * (1 - col("l_discount")), 6).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region (conditional share ratio)
+# ---------------------------------------------------------------------------
+
+Q8_ORACLE = """
+SELECT
+  o_year,
+  CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT
+    EXTRACT(year FROM o_orderdate) AS o_year,
+    l_extendedprice * (1 - l_discount) AS volume,
+    n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted): share-of-total ratio per year — two
+    conditional decimal sums in one aggregation (no second pass over
+    the data). Customer-side region chain and supplier-side nation
+    are independent broadcast dimensions; only lineitem ⋈ orders
+    shuffles.
+    """
+    part = load_table(spark, sf_dir, "part").filter(col("p_type") == "ECONOMY")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(col("r_name") == "EUROPE")
+    cust_dim = broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            broadcast(
+                nation.join(
+                    broadcast(region), col("n_regionkey") == col("r_regionkey")
+                ).select(col("n_nationkey").alias("c_nkey"))
+            ),
+            col("c_nationkey") == col("c_nkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_dim = broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                nation.select(
+                    col("n_nationkey").alias("s_nkey"), col("n_name").alias("nation")
+                )
+            ),
+            col("s_nationkey") == col("s_nkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        .join(supp_dim, col("s_suppkey") == col("l_suppkey"))
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(cust_dim, col("o_custkey") == col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                _dsum(F.when(col("nation") == "NATION_5", vol).otherwise(F.lit(0.0)), 6)
+                / _dsum(vol, 6)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by supplier nation and year (LIKE filter)
+# ---------------------------------------------------------------------------
+
+Q9_ORACLE = """
+SELECT
+  nation,
+  o_year,
+  CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS profit
+FROM (
+  SELECT
+    n_name AS nation,
+    EXTRACT(year FROM o_orderdate) AS o_year,
+    l_extendedprice * (1 - l_discount) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", oracle=Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp/supplycost in the harness
+    schema, so profit = discounted revenue): substring LIKE filter on
+    the part dimension, profit rolled up by supplier nation × order
+    year. The LIKE-filtered part set broadcasts; nation rides the
+    supplier broadcast.
+    """
+    part = load_table(spark, sf_dir, "part").filter(col("p_name").contains("widget"))
+    supp_dim = broadcast(
+        load_table(spark, sf_dir, "supplier").join(
+            broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    col("n_nationkey").alias("s_nkey"), col("n_name").alias("nation")
+                )
+            ),
+            col("s_nationkey") == col("s_nkey"),
+        ).select("s_suppkey", "nation")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        .join(supp_dim, col("s_suppkey") == col("l_suppkey"))
+        .join(orders, col("o_orderkey") == col("l_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            _dsum(col("l_extendedprice") * (1 - col("l_discount")), 6).alias("profit")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join → double group-by)
+# ---------------------------------------------------------------------------
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", oracle=Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left-outer join preserving order-less customers
+    (COUNT of a null column skips nulls → their count is 0), then a
+    second aggregation over the first's output — the histogram-of-
+    groups shape. Stage 1 shuffles by customer key; stage 2's input
+    is one row per customer, so the second shuffle is tiny.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, col("c_custkey") == col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue (agg → global-max semi filter)
+# ---------------------------------------------------------------------------
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: scalar-subquery max over an aggregated view. The
+    max is computed as a 1-row DataFrame and broadcast-cross-joined
+    back — no global sort, no driver collect. Revenue equality is
+    exact because both sides aggregate in decimal.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(col("l_extendedprice") * (1 - col("l_discount")), 6).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(broadcast(max_rev), col("total_revenue") == col("max_revenue"))
+        .join(broadcast(supplier), col("s_suppkey") == col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-group average)
+# ---------------------------------------------------------------------------
+
+Q17_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT
+    l_partkey AS agg_partkey,
+    COUNT(*) AS cnt,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY l_partkey
+) part_agg ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND p_size < 20
+  AND l_quantity < 0.2 * (sum_qty / cnt)
+"""
+
+
+@register("q17_small_quantity", oracle=Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted filter: brand+size, no p_container in
+    schema): the correlated scalar subquery (avg quantity per part)
+    de-correlated into a pre-aggregation joined back to the fact —
+    the scalable rewrite of a per-row subquery. The threshold
+    expression ``0.2 * (sum/cnt)`` is written identically on both
+    engines (decimal-exact sum, then one double divide and multiply),
+    so boundary rows agree bitwise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (col("p_brand") == "Brand#13") & (col("p_size") < 20)
+    )
+    part_agg = li.groupBy(col("l_partkey").alias("agg_partkey")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(col("l_quantity").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+    return (
+        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        .join(part_agg, col("agg_partkey") == col("l_partkey"))
+        .filter(col("l_quantity") < F.lit(0.2) * (col("sum_qty") / col("cnt")))
+        .agg(
+            (_dsum(col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — idle wealthy customers (scalar-average threshold + anti join)
+# ---------------------------------------------------------------------------
+
+Q22_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+    FROM customer
+    WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_idle_customers", oracle=Q22_ORACLE)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: no c_phone country codes in schema —
+    segmented by market segment): scalar-subquery threshold (average
+    positive balance) broadcast as a 1-row cross join, then an anti
+    join against recent orders. Threshold arithmetic is decimal-exact
+    then a single double divide, mirrored on both engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    threshold = customer.filter(col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(col("c_acctbal").cast("decimal(38,4)")).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(col("o_orderdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        customer.join(broadcast(threshold))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") == col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(col("c_acctbal")).alias("totacctbal"),
+        )
+    )
