@@ -385,3 +385,70 @@ def history_by_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("c_mktsegment").alias("category"),
         col("event_date").alias("date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Warning streaks: batch (gaps-and-islands) twin of the stateful operator
+# ---------------------------------------------------------------------------
+
+STREAK_ORACLE = (
+    TELEMETRY_CTE
+    + """,
+seq AS (
+  SELECT user_id, event_ms, warning,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    ROW_NUMBER() OVER (PARTITION BY user_id, (warning <> 'no-use')
+                       ORDER BY ts, event_id) AS rn_by_kind
+  FROM classified
+)
+SELECT user_id, event_ms, warning, CAST(streak_len AS BIGINT) AS streak_len
+FROM (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id, rn - rn_by_kind
+                       ORDER BY rn) AS streak_len
+  FROM seq
+  WHERE warning <> 'no-use'
+)
+WHERE streak_len >= 3
+"""
+)
+
+
+@register("warning_streak_alerts", oracle=STREAK_ORACLE)
+def warning_streak_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-warning streaks >= 3 per user — the batch
+    (gaps-and-islands window) twin of the streaming state-store
+    operator :func:`iot_sparkstreaming_spark.streaming.stateful.
+    warning_streaks`; same semantics, oracle-exact here, state-store
+    incremental there.
+
+    Scale: both window passes partition by ``user_id`` — one shuffle,
+    reused across the three ROW_NUMBERs (same partitioning key).
+    """
+    from pyspark.sql.window import Window
+
+    c = classified(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_ms", "warning"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    by_kind = Window.partitionBy(
+        "user_id", col("warning") != "no-use"
+    ).orderBy("ts", "event_id")
+    seq = c.select(
+        "user_id",
+        "event_ms",
+        "warning",
+        F.row_number().over(by_user).alias("rn"),
+        F.row_number().over(by_kind).alias("rn_by_kind"),
+    )
+    island = Window.partitionBy("user_id", col("rn") - col("rn_by_kind")).orderBy("rn")
+    return (
+        seq.filter(col("warning") != "no-use")
+        .select(
+            "user_id",
+            "event_ms",
+            "warning",
+            F.row_number().over(island).cast("bigint").alias("streak_len"),
+        )
+        .filter(col("streak_len") >= 3)
+    )

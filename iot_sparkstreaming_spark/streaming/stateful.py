@@ -1,0 +1,188 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only state lived in Cassandra primary keys (SURVEY.md
+§2.6); cross-row SEQUENCE state (streaks, per-key running latest) has
+no home there and no SQL/window equivalent in a stream. These
+operators hold that state in Spark's streaming state store —
+checkpointed, partitioned by key, recovered on restart.
+
+Scale posture: state is per-key and O(1) per key (a few scalars), so
+the store scales with distinct keys, not events; partitioning is the
+group-by key hash — the same shuffle the aggregation would need
+anyway. Event-order within a key is enforced by sorting each
+micro-batch by event time inside the group function (Arrow batch,
+vectorized), making results deterministic given batch boundaries.
+
+GroupStateTimeout.NoTimeout keeps streak state forever — a real
+deployment with unbounded key cardinality would use event-time
+timeout to expire idle keys; surfaced as a parameter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+WARN_NONE = "no-use"
+
+STREAK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("streak_len", T.IntegerType()),
+        T.StructField("machine_timestamp", T.StringType()),
+        T.StructField("warning", T.StringType()),
+    ]
+)
+
+#: state = (current consecutive-warning count,)
+STREAK_STATE_SCHEMA = T.StructType([T.StructField("streak", T.IntegerType())])
+
+
+def warning_streaks(
+    warnings: DataFrame,
+    min_streak: int = 3,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Per-user consecutive-warning streak detector.
+
+    Input: the warning pipeline's output stream
+    ``(user_id, warning, machine_timestamp, ...)`` — including
+    ``no-use`` rows, which RESET the streak (so feed it the
+    pre-filter stream, not the alert stream).
+
+    Emits one row per event that extends a streak to
+    ``>= min_streak``. The streak counter survives micro-batch
+    boundaries and restarts via the state store — the operator the
+    reference could not express at all (its per-batch lambdas saw
+    one second of data; SURVEY.md §2.8 "no stateful ops").
+    """
+
+    def fn(
+        key: tuple[str],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        (streak,) = state.get if state.exists else (0,)
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            # event order within the batch = machine timestamp order
+            pdf = pdf.sort_values("machine_timestamp", kind="mergesort")
+            for w, ts in zip(pdf["warning"], pdf["machine_timestamp"]):
+                streak = 0 if w == WARN_NONE else streak + 1
+                if streak >= min_streak:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "streak_len": streak,
+                            "machine_timestamp": ts,
+                            "warning": w,
+                        }
+                    )
+        state.update((streak,))
+        yield pd.DataFrame(out, columns=[f.name for f in STREAK_OUTPUT_SCHEMA.fields])
+
+    return (
+        warnings.select("user_id", "warning", "machine_timestamp")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STREAK_OUTPUT_SCHEMA,
+            stateStructType=STREAK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+LATEST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_millis", T.LongType()),
+        T.StructField("lat", T.StringType()),
+        T.StructField("long", T.StringType()),
+    ]
+)
+
+#: state mirrors the output row (minus the key)
+LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_millis", T.LongType()),
+        T.StructField("lat", T.StringType()),
+        T.StructField("long", T.StringType()),
+    ]
+)
+
+
+def stateful_latest_location(
+    located: DataFrame,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Event-time last-value-per-key as a STATE-STORE operator.
+
+    The `latest_location` Cassandra table kept arrival-order last
+    write per user (workingTest.scala:235-244 — a bug for late
+    data). This operator keeps the max-EVENT-time row per user in
+    streaming state and emits the new latest whenever it changes, so
+    late rows never regress state — the stateful twin of the
+    ``KeyedUpsertSink`` foreachBatch path (streaming/sinks.py), for
+    consumers that want a change stream instead of a table.
+
+    Input columns: ``user_id``, ``event_millis`` (bigint), ``lat``,
+    ``long`` (strings, per reference fidelity — SURVEY.md §1.2).
+    """
+
+    def fn(
+        key: tuple[str],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        best_ms, best_lat, best_long = (
+            state.get if state.exists else (-1, None, None)
+        )
+        changed = False
+        for pdf in pdfs:
+            for ms, la, lo in zip(pdf["event_millis"], pdf["lat"], pdf["long"]):
+                if ms > best_ms:
+                    best_ms, best_lat, best_long = int(ms), la, lo
+                    changed = True
+        state.update((best_ms, best_lat, best_long))
+        if changed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "event_millis": best_ms,
+                        "lat": best_lat,
+                        "long": best_long,
+                    }
+                ]
+            )
+        else:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in LATEST_OUTPUT_SCHEMA.fields]
+            )
+
+    return (
+        located.select("user_id", "event_millis", "lat", "long")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=LATEST_OUTPUT_SCHEMA,
+            stateStructType=LATEST_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

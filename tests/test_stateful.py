@@ -1,0 +1,118 @@
+"""applyInPandasWithState operators: cross-micro-batch state.
+
+Each test writes the second input file only after the first batch is
+fully processed, so state carry-over across micro-batches (the whole
+point of the state store) is what's being proven — not within-batch
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_sparkstreaming_spark.streaming.stateful import (
+    stateful_latest_location,
+    warning_streaks,
+)
+
+
+def _lines_stream(spark, src_dir):
+    return spark.readStream.format("text").load(str(src_dir))
+
+
+def _parse_warnings(lines):
+    p = F.split(F.col("value"), ",")
+    return lines.select(
+        F.element_at(p, 1).alias("user_id"),
+        F.element_at(p, 2).alias("warning"),
+        F.element_at(p, 3).alias("machine_timestamp"),
+    )
+
+
+def test_warning_streak_survives_batch_boundary(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.txt").write_text(
+        "u1,critical,1000\nu1,simple,1001\nu2,critical,1000\nu2,no-use,1001\n"
+    )
+    out = warning_streaks(_parse_warnings(_lines_stream(spark, src)), min_streak=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streaks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM streaks").count() == 0  # streaks at 2 and 0
+        # batch 2: u1's third consecutive warning → fires; u2 restarts at 1 → silent
+        (src / "b1.txt").write_text("u1,critical,1002\nu2,simple,1002\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM streaks").collect()
+    finally:
+        q.stop()
+    assert [(r.user_id, r.streak_len, r.machine_timestamp) for r in rows] == [
+        ("u1", 3, "1002")
+    ]
+
+
+def test_streak_resets_on_no_use_and_counts_within_batch(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    # out-of-order lines in the file; operator sorts by timestamp
+    (src / "b0.txt").write_text(
+        "u1,critical,1003\nu1,simple,1001\nu1,no-use,1002\nu1,critical,1004\n"
+    )
+    out = warning_streaks(_parse_warnings(_lines_stream(spark, src)), min_streak=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streaks2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM streaks2 ORDER BY machine_timestamp").collect()
+    finally:
+        q.stop()
+    # sorted order: simple@1001 (1), no-use@1002 (reset), critical@1003 (1),
+    # critical@1004 (2 → fires)
+    assert [(r.streak_len, r.machine_timestamp) for r in rows] == [(2, "1004")]
+
+
+def _parse_locations(lines):
+    p = F.split(F.col("value"), ",")
+    return lines.select(
+        F.element_at(p, 1).alias("user_id"),
+        F.element_at(p, 2).cast("bigint").alias("event_millis"),
+        F.element_at(p, 3).alias("lat"),
+        F.element_at(p, 4).alias("long"),
+    )
+
+
+def test_stateful_latest_location_ignores_late_rows(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.txt").write_text("u1,200,12.97,77.59\n")
+    out = stateful_latest_location(_parse_locations(_lines_stream(spark, src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row (event time 100 < state's 200) then a newer one
+        (src / "b1.txt").write_text("u1,100,0.0,0.0\n")
+        q.processAllAvailable()
+        (src / "b2.txt").write_text("u1,300,13.00,77.60\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM latest_state ORDER BY event_millis").collect()
+    finally:
+        q.stop()
+    # late row emitted nothing; the two genuine advances did
+    assert [(r.event_millis, r.lat) for r in rows] == [(200, "12.97"), (300, "13.00")]
