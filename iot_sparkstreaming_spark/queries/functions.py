@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, col
+from pyspark.sql.functions import col
 
 from iot_sparkstreaming_spark.queries.registry import register
 from iot_sparkstreaming_spark.queries.tpch import _dsum
@@ -251,15 +251,16 @@ GROUP BY c_mktsegment
 def distinct_suppliers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) — two distinct columns plus a plain count in
     one aggregation (Spark plans an expand + two-phase distinct
-    aggregate). The customer side broadcasts; only the fact join
-    shuffles.
+    aggregate). No broadcast hint on customer — it scales with SF, so
+    size-based planning/AQE picks broadcast at small SF and shuffle
+    join at cluster scale.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, col("o_orderkey") == col("l_orderkey"))
-        .join(broadcast(cust), col("c_custkey") == col("o_custkey"))
+        .join(cust, col("c_custkey") == col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),

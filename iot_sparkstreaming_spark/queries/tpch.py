@@ -13,8 +13,12 @@ DuckDB compute the identical value regardless of parallelism.
 
 Scale notes (100 TB posture):
 * fact-fact joins (lineitem ⋈ orders) are shuffle hash/sort-merge on
-  the join key — AQE handles skew; dimension joins (region, nation,
-  customer at dimension scale) get explicit ``broadcast()`` hints.
+  the join key — AQE handles skew. ``broadcast()`` hints go ONLY on
+  constant-cardinality inputs (region=5, nation=25 rows, 1-row scalar
+  aggregates): anything that grows with SF (customer, supplier, part,
+  orders) is left unhinted so size-based planning + AQE pick broadcast
+  at small SF and shuffle join at cluster scale — a hard hint on an
+  SF-scaled table would OOM the build side at 100 TB.
 * every query filters and projects before joining, so Catalyst pushes
   predicates/pruning into the parquet scan (verified via
   ``explain``: PushedFilters / ReadSchema).
@@ -114,8 +118,10 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: selective dimension filter broadcast into fact joins,
-    then top-10 by revenue (TakeOrderedAndProject — no global sort).
+    """TPC-H Q3: selective dimension filter into fact joins, then
+    top-10 by revenue (TakeOrderedAndProject — no global sort). No
+    hint on customer (SF-scaled): AQE broadcasts it at small SF and
+    shuffles at cluster scale.
 
     Tie-break on ``l_orderkey`` makes the LIMIT deterministic.
     """
@@ -130,7 +136,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            orders.join(broadcast(cust), col("o_custkey") == col("c_custkey")),
+            orders.join(cust, col("o_custkey") == col("c_custkey")),
             col("l_orderkey") == col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -211,9 +217,10 @@ GROUP BY n_name
 
 @register("q5_local_supplier", oracle=Q5_ORACLE)
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: the dimension chain region→nation→supplier broadcasts
-    (all tiny at any SF); only lineitem⋈orders shuffles. The
-    ``c_nationkey = s_nationkey`` condition rides the supplier join.
+    """TPC-H Q5: region→nation broadcast (constant 5/25 rows);
+    supplier and customer are SF-scaled so they carry no hint — AQE
+    decides. The ``c_nationkey = s_nationkey`` condition rides the
+    supplier join.
     """
     region = load_table(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -225,15 +232,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
 
-    dim = broadcast(
-        supplier.join(
-            broadcast(nation.join(broadcast(region), col("n_regionkey") == col("r_regionkey"))),
-            col("s_nationkey") == col("n_nationkey"),
-        )
+    dim = supplier.join(
+        broadcast(nation.join(broadcast(region), col("n_regionkey") == col("r_regionkey"))),
+        col("s_nationkey") == col("n_nationkey"),
     )
     return (
         li.join(orders, col("l_orderkey") == col("o_orderkey"))
-        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(customer, col("o_custkey") == col("c_custkey"))
         .join(
             dim,
             (col("l_suppkey") == col("s_suppkey"))
@@ -321,7 +326,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(col("l_returnflag") == "R")
     return (
         li.join(orders, col("l_orderkey") == col("o_orderkey"))
-        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(customer, col("o_custkey") == col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
         .agg(
@@ -352,8 +357,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
 
 @register("q14_promo_effect", oracle=Q14_ORACLE)
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: conditional agg (CASE inside SUM) over a broadcast
-    part join; single-row output."""
+    """TPC-H Q14: conditional agg (CASE inside SUM) over the part
+    join (unhinted — part is SF-scaled); single-row output."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
@@ -361,7 +366,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = col("l_extendedprice") * (1 - col("l_discount"))
     return (
-        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        li.join(part, col("l_partkey") == col("p_partkey"))
         .agg(
             (
                 100.0
@@ -415,7 +420,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, col("l_orderkey") == col("big_orderkey"), "left_semi")
         .join(orders, col("l_orderkey") == col("o_orderkey"))
-        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(customer, col("o_custkey") == col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_dsum(col("l_quantity")).alias("sum_qty"))
         .select(
@@ -450,10 +455,11 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: OR-of-ANDs predicate spanning both join sides —
     Catalyst extracts the common equi-key (partkey) for the join and
-    evaluates the disjunction post-join; part side broadcasts."""
+    evaluates the disjunction post-join; the part side carries no
+    hint (SF-scaled — AQE decides)."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+    j = li.join(part, col("p_partkey") == col("l_partkey"))
     cond = (
         (
             (col("p_brand") == "Brand#11")
@@ -595,7 +601,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (adapted pair): the nation dimension joined in TWO
     roles (supplier side, customer side) — the self-join-with-aliases
     shape. Both role tables pre-filter to the two nations of
-    interest, so the broadcasts carry 2 rows each and the pair
+    interest, so each nation broadcast carries 2 rows and the pair
     disjunction prunes most of the fact scan via the supplier join.
     """
     nation = load_table(spark, sf_dir, "nation")
@@ -611,15 +617,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    sup = broadcast(
-        supplier.join(broadcast(n1), col("s_nationkey") == col("s_nkey")).select(
-            "s_suppkey", "supp_nation"
-        )
+    sup = supplier.join(broadcast(n1), col("s_nationkey") == col("s_nkey")).select(
+        "s_suppkey", "supp_nation"
     )
-    cust = broadcast(
-        customer.join(broadcast(n2), col("c_nationkey") == col("c_nkey")).select(
-            "c_custkey", "cust_nation"
-        )
+    cust = customer.join(broadcast(n2), col("c_nationkey") == col("c_nkey")).select(
+        "c_custkey", "cust_nation"
     )
     return (
         li.join(sup, col("l_suppkey") == col("s_suppkey"))
@@ -675,14 +677,13 @@ GROUP BY o_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (adapted): share-of-total ratio per year — two
     conditional decimal sums in one aggregation (no second pass over
-    the data). Customer-side region chain and supplier-side nation
-    are independent broadcast dimensions; only lineitem ⋈ orders
-    shuffles.
+    the data). Only the constant-size nation/region legs are hinted;
+    the customer/supplier sides resolve by size at runtime.
     """
     part = load_table(spark, sf_dir, "part").filter(col("p_type") == "ECONOMY")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(col("r_name") == "EUROPE")
-    cust_dim = broadcast(
+    cust_dim = (
         load_table(spark, sf_dir, "customer")
         .join(
             broadcast(
@@ -694,7 +695,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey")
     )
-    supp_dim = broadcast(
+    supp_dim = (
         load_table(spark, sf_dir, "supplier")
         .join(
             broadcast(
@@ -713,7 +714,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vol = col("l_extendedprice") * (1 - col("l_discount"))
     return (
-        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        li.join(part, col("p_partkey") == col("l_partkey"))
         .join(supp_dim, col("s_suppkey") == col("l_suppkey"))
         .join(orders, col("l_orderkey") == col("o_orderkey"))
         .join(cust_dim, col("o_custkey") == col("c_custkey"))
@@ -757,11 +758,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted: no partsupp/supplycost in the harness
     schema, so profit = discounted revenue): substring LIKE filter on
     the part dimension, profit rolled up by supplier nation × order
-    year. The LIKE-filtered part set broadcasts; nation rides the
-    supplier broadcast.
+    year. Nation (constant 25 rows) rides the supplier join as the
+    only hinted broadcast.
     """
     part = load_table(spark, sf_dir, "part").filter(col("p_name").contains("widget"))
-    supp_dim = broadcast(
+    supp_dim = (
         load_table(spark, sf_dir, "supplier").join(
             broadcast(
                 load_table(spark, sf_dir, "nation").select(
@@ -774,7 +775,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        li.join(part, col("p_partkey") == col("l_partkey"))
         .join(supp_dim, col("s_suppkey") == col("l_suppkey"))
         .join(orders, col("o_orderkey") == col("l_orderkey"))
         .groupBy(
@@ -861,7 +862,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     return (
         revenue.join(broadcast(max_rev), col("total_revenue") == col("max_revenue"))
-        .join(broadcast(supplier), col("s_suppkey") == col("supplier_no"))
+        .join(supplier, col("s_suppkey") == col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -911,7 +912,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_qty"),
     )
     return (
-        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        li.join(part, col("p_partkey") == col("l_partkey"))
         .join(part_agg, col("agg_partkey") == col("l_partkey"))
         .filter(col("l_quantity") < F.lit(0.2) * (col("sum_qty") / col("cnt")))
         .agg(
