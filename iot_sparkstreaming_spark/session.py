@@ -8,10 +8,11 @@ settings that matter on a real cluster reading 100 TB:
 * Shuffle partition count is a knob (`SPARK_GRAFT_CPUS` locally; on a
   cluster you'd size it to ~2-3x total cores and let AQE coalesce).
 * Arrow enabled so any Pandas-UDF path is batch-vectorized.
-* Broadcast threshold left at default (10 MB) — dimension tables
-  (region/nation/customer at dimension scale) broadcast automatically;
-  queries additionally hint `broadcast()` where the dimension is known
-  small so the plan survives stale statistics.
+* Broadcast threshold left at default (10 MB) — small tables broadcast
+  automatically and AQE re-plans by runtime size; queries hint
+  `broadcast()` ONLY on constant-cardinality inputs (region, nation,
+  1-row aggregates), never on SF-scaled tables, so the same plans
+  degrade to shuffle joins instead of OOM at cluster scale.
 """
 
 from __future__ import annotations
