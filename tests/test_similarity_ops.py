@@ -1,0 +1,56 @@
+"""ANN quality: the approximate variants must recover a reasonable
+fraction of the exact top-k (recall vs knn_bruteforce_cosine) — the
+property the oracle hash cannot see (it only proves each plan computes
+what it claims)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_sparkstreaming_spark.queries.registry import load_all
+
+from tests.conftest import SF_DIR_ORACLE
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def exact_neighbors(spark):
+    rows = REGISTRY["knn_bruteforce_cosine"].spark(spark, SF_DIR_ORACLE).collect()
+    by_query: dict[int, set[int]] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return by_query
+
+
+def _recall(spark, name, exact):
+    rows = REGISTRY[name].spark(spark, SF_DIR_ORACLE).collect()
+    approx: dict[int, set[int]] = {}
+    for r in rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.items() and exact.values())
+    return hits / total
+
+
+def test_lsh_recall(spark, exact_neighbors):
+    # 8-plane sign-LSH on 64-dim data: buckets are coarse; require
+    # meaningfully-better-than-random overlap with the exact top-5.
+    assert _recall(spark, "ann_lsh_cosine", exact_neighbors) >= 0.2
+
+
+def test_ivf_recall(spark, exact_neighbors):
+    # probing 4 of ~17 inverted lists should still find most of the
+    # true top-5 (nearby vectors cluster to nearby centroids).
+    assert _recall(spark, "ann_ivf_cosine", exact_neighbors) >= 0.4
+
+
+def test_ivf_prunes_candidates(spark):
+    """The IVF result must be a genuine subset of the work: every
+    query returns at most TOP_K rows and never scores itself."""
+    rows = REGISTRY["ann_ivf_cosine"].spark(spark, SF_DIR_ORACLE).collect()
+    per_query: dict[int, int] = {}
+    for r in rows:
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+        assert r.neighbor_id != r.query_id
+    assert per_query and all(n <= 5 for n in per_query.values())
