@@ -330,3 +330,78 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order-priority counts per status (wide reshaping)
+# ---------------------------------------------------------------------------
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+PIVOT_ORACLE = """
+SELECT
+  o_orderstatus,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("pivot_priority_by_status", oracle=PIVOT_ORACLE)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide reshaping): order counts per status ×
+    priority. The pivot value list is EXPLICIT — with it, Spark skips
+    the extra distinct-values job and plans a single pass (each pivot
+    cell is a conditional aggregate, exactly what the oracle spells
+    out). Unlisted values at scale would be dropped, which is the
+    deterministic contract a fixed report schema wants.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aliases = dict(
+        zip(PRIORITIES, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .count()
+    )
+    out = wide.select(
+        "o_orderstatus",
+        *[F.coalesce(col(f"`{p}`"), F.lit(0)).alias(aliases[p]) for p in PRIORITIES],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL sketch) — the 100 TB path for COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_sketch", oracle=None)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_count_distinct`` (HyperLogLog++) per market segment.
+
+    At 100 TB an exact COUNT(DISTINCT) shuffles every distinct value;
+    the sketch shuffles fixed-size registers per group instead —
+    constant memory, one pass, mergeable across partitions. Sketches
+    are implementation-specific, so there is no cross-engine oracle
+    (driver records the rows-only check); the accuracy contract
+    (relative error vs exact ≤ 5% at the default rsd=0.05) is
+    enforced in tests/test_functions.py instead.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, col("o_orderkey") == col("l_orderkey"))
+        .join(cust, col("c_custkey") == col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+            F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        )
+    )

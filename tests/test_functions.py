@@ -154,3 +154,14 @@ def test_dot_product_parity_with_duckdb(spark):
             "SELECT list_dot_product(?::DOUBLE[], ?::DOUBLE[])", [vecs[0], vecs[i]]
         ).fetchone()[0]
         assert dv == got[i]
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ sketch accuracy: within 5% of exact per group."""
+    from iot_sparkstreaming_spark.queries.registry import load_all
+
+    q = load_all()["approx_distinct_sketch"]
+    for r in q.spark(spark, "/root/testdata/sf0.01").collect():
+        assert abs(r.approx_suppliers - r.exact_suppliers) <= max(
+            0.05 * r.exact_suppliers, 2
+        ), r
