@@ -405,3 +405,61 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("exact_suppliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles as order statistics (deterministic at any scale)
+# ---------------------------------------------------------------------------
+
+PERCENTILE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value, 
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT
+  event_type,
+  CAST(MAX(n) AS BIGINT) AS n_events,
+  MAX(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN value END) AS median_lower,
+  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_lower
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("percentile_event_values", oracle=PERCENTILE_ORACLE)
+def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 as ORDER STATISTICS (the value at row
+    ceil(q·n)) rather than interpolated quantiles: an order statistic
+    is an actual data value picked by rank, so it is deterministic
+    under any partitioning and identical across engines — interpolated
+    ``percentile``/``quantile_cont`` arithmetic is not guaranteed to
+    match bitwise cross-engine. Tie-break on event_id makes the rank
+    itself unambiguous.
+
+    Scale: one shuffle on the group key for the ranking window, then
+    a trivial conditional aggregate. For quantiles over 100 TB where
+    a full sort per group is too hot, the sketch path is
+    ``percentile_approx`` (same trade as approx_distinct_sketch).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max(
+            F.when(col("rn") == F.ceil(col("n") / 2.0), col("value"))
+        ).alias("median_lower"),
+        F.max(
+            F.when(col("rn") == F.ceil(col("n") * 0.9), col("value"))
+        ).alias("p90_lower"),
+    )

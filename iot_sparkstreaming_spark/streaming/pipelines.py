@@ -194,3 +194,42 @@ def session_activity(
             "n_readings",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (absent category: the reference only had
+# stream-static J1)
+# ---------------------------------------------------------------------------
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matches the
+    clicks of the SAME user in the preceding ``within`` interval.
+
+    Both sides carry event-time watermarks plus the time-range join
+    condition, which is what lets Spark BOUND the join state: click
+    rows older than (watermark + within) are evicted, so state size
+    is input-rate × window, not unbounded history. Without the range
+    condition the state would grow forever — the difference between
+    a demo and an operator that survives a month of uptime.
+
+    Columns in: (user_id, ts) on both sides. Out: one row per
+    qualifying (click, purchase) pair.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        (col("c.user_id") == col("p.user_id"))
+        & (col("p.ts") >= col("c.ts"))
+        & (col("p.ts") <= col("c.ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        col("c.user_id").alias("user_id"),
+        col("c.ts").alias("click_ts"),
+        col("p.ts").alias("purchase_ts"),
+    )

@@ -268,3 +268,47 @@ def test_checkpoint_restart_resumes(spark, tmp_path):
         q.stop()
     # post-restart run processed ONLY the new file: offset recovery
     assert [u for _, u in seen] == ["u1", "u2"]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases match same-user
+    clicks within the interval; outside-window and cross-user pairs
+    don't."""
+    from iot_sparkstreaming_spark.streaming.pipelines import (
+        click_purchase_stream_join,
+    )
+
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purchases"
+    clicks_dir.mkdir(), purch_dir.mkdir()
+    (clicks_dir / "b0.txt").write_text(
+        "u1,2024-01-01 10:00:00\nu1,2024-01-01 07:00:00\nu2,2024-01-01 10:05:00\n"
+    )
+    (purch_dir / "b0.txt").write_text("u1,2024-01-01 10:30:00\n")
+
+    def parse(lines):
+        p = F.split(F.col("value"), ",")
+        return lines.select(
+            F.element_at(p, 1).alias("user_id"),
+            F.element_at(p, 2).cast("timestamp").alias("ts"),
+        )
+
+    clicks = parse(spark.readStream.format("text").load(str(clicks_dir)))
+    purchases = parse(spark.readStream.format("text").load(str(purch_dir)))
+    out = click_purchase_stream_join(clicks, purchases, within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cp_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cp_join").collect()
+    finally:
+        q.stop()
+    # only u1's 10:00 click is within 1h of the 10:30 purchase;
+    # the 07:00 click is outside the window, u2 never purchased
+    assert [(r.user_id, str(r.click_ts), str(r.purchase_ts)) for r in rows] == [
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 10:30:00")
+    ]
