@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): each Spark operator is compared
+against an independent pure-Python reference on randomized inputs —
+the oracle suite checks fixed datasets; these check the input space.
+
+One Spark job evaluates a whole hypothesis example (a generated
+dataset), keeping example counts low enough for JVM round-trip cost.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iot_sparkstreaming_spark.functions.health import (
+    DEFAULT_THRESHOLD,
+    HYPERTENSIVE_CATS,
+    classify_warning,
+    max_heart_rate,
+    tuple_string,
+)
+from iot_sparkstreaming_spark.operators.joins import asof_join
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+BP_CATS = ["NORMAL", "PRE_HYP", "HYP_1", "HYP_2", "HYP_CR"]
+
+
+def _py_classify(pulse: float, age: int, bp: str, theta: float) -> str:
+    max_hr = (220 - age) if age < 40 else (208 - 0.75 * age)
+    if pulse >= theta * max_hr:
+        return "critical" if bp in HYPERTENSIVE_CATS else "simple"
+    return "no-use"
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=30, max_value=300, allow_nan=False),
+            st.integers(min_value=15, max_value=90),
+            st.sampled_from(BP_CATS),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    theta=st.sampled_from([0.85, 0.95]),
+)
+def test_classifier_matches_python_reference(spark, rows, theta):
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)], ["i", "pulse", "age", "bp_cat"]
+    )
+    got = {
+        r.i: r.w
+        for r in df.select(
+            "i",
+            classify_warning(
+                F.col("pulse"), F.col("age"), F.col("bp_cat"), theta
+            ).alias("w"),
+        ).collect()
+    }
+    for i, (pulse, age, bp) in enumerate(rows):
+        assert got[i] == _py_classify(pulse, age, bp, theta), (i, rows[i], theta)
+
+
+@settings(**SETTINGS)
+@given(age=st.integers(min_value=15, max_value=90))
+def test_max_hr_continuity_and_bounds(spark, age):
+    (got,) = (
+        spark.range(1)
+        .select(max_heart_rate(F.lit(age)).alias("m"))
+        .collect()[0]
+    )
+    expected = (220 - age) if age < 40 else (208 - 0.75 * age)
+    assert got == expected
+    assert 140 <= got <= 205
+
+
+@settings(**SETTINGS)
+@given(
+    parts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters=",()"),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_tuple_string_format(spark, parts):
+    (got,) = (
+        spark.range(1)
+        .select(tuple_string(*[F.lit(p) for p in parts]).alias("s"))
+        .collect()[0]
+    )
+    assert got == "(" + ",".join(parts) + ")"
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, time)
+        min_size=1,
+        max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),  # unique per (key, right_time)
+    ),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    """The single-shuffle union-carry as-of join must agree with the
+    obvious quadratic reference on every randomized input, including
+    ties (right_time == left_time matches) and keys with no match."""
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "k", "lt"]
+    )
+    rdf = spark.createDataFrame(right, ["k", "rt", "val"])
+    got = {
+        r.lid: (r.rt, r.val)
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="lt", right_time="rt",
+            right_cols=["rt", "val"], how="inner",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cand = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        expected = max(cand) if cand else None
+        assert got.get(i) == expected, (i, k, t, cand)
