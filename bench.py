@@ -50,8 +50,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warm-up on the smallest SF so per-query numbers
-    # measure steady-state execution, not first-query JIT.
-    registry["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001").count()
+    # measure steady-state execution, not first-run whole-stage-codegen
+    # compilation (worth ~0.5-1 s per distinct plan shape).
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is not None:
+            q.spark(spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -19,6 +19,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Cache the DataFrame HANDLE (logical plan + resolved file listing)
+    # per session: repeated queries over the same table skip the
+    # ~100 ms directory-listing/footer pass per spark.read call. This
+    # caches no data — scans stay pruned per-query — and the cache
+    # dies with the session object, so it can't leak across sessions.
+    cache: dict[tuple[str, str], DataFrame] = spark.__dict__.setdefault(
+        "_graft_table_cache", {}
+    )
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — unsupported by the
@@ -32,6 +43,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    cache[key] = df
     return df
 
 
