@@ -439,3 +439,55 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: per-event trailing-hour average
+# ---------------------------------------------------------------------------
+
+SLIDING_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  epoch_ms(ts) AS ts_ms,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / COUNT(*) OVER w
+    AS avg_value_1h,
+  COUNT(*) OVER w AS n_in_window
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_ms(ts)
+  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("sliding_avg_1h", oracle=SLIDING_ORACLE)
+def sliding_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame keyed on event TIME, not row position: each
+    event's average over the same user's trailing hour. A rows-based
+    frame cannot express this (gaps and bursts change how many rows
+    an hour holds); the range frame bounds the frame by the order-key
+    VALUE. Frame sums accumulate in decimal so in-frame order (which
+    can tie on the millisecond) cannot perturb the double result.
+
+    Scale: one shuffle on user_id; the frame scan is a single ordered
+    pass per partition — no self-join materialization of
+    (event × events-in-hour) pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-3600000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ms.alias("ts_ms"),
+        (
+            F.sum(col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("avg_value_1h"),
+        F.count("*").over(w).alias("n_in_window"),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+from pyspark.sql.window import Window
 
 from iot_sparkstreaming_spark.functions.text import (
     bpe_ish_tokens,
@@ -216,4 +217,56 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint(tokens(col("text"))).alias("fingerprint"),
         F.size(tokens(col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token vocabulary: explode → count → top-k (the vocab-building pass)
+# ---------------------------------------------------------------------------
+
+VOCAB_ORACLE = """
+SELECT token, n_docs, n_occurrences, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT token,
+    COUNT(DISTINCT doc_id) AS n_docs,
+    COUNT(*) AS n_occurrences,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+  )
+  GROUP BY token
+)
+WHERE rk <= 50
+"""
+
+
+@register("token_vocabulary", oracle=VOCAB_ORACLE)
+def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode every document into tokens, count
+    global and per-document frequencies, keep the top 50 — the first
+    pass of any tokenizer-training / TF-IDF pipeline.
+
+    Scale shape: explode is a narrow op (no shuffle); the count
+    aggregates partially before the one shuffle on token; the final
+    top-k is a rank over the aggregated (small) vocabulary. At 100 TB
+    the aggregated vocab is bounded by distinct tokens, not corpus
+    size — the only global ordering happens after aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).alias("token"),
+    )
+    counts = tokens.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    w = Window.orderBy(col("n_occurrences").desc(), col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 50)
+        .select("token", "n_docs", "n_occurrences", "rk")
     )

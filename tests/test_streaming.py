@@ -312,3 +312,48 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert [(r.user_id, str(r.click_ts), str(r.purchase_ts)) for r in rows] == [
         ("u1", "2024-01-01 10:00:00", "2024-01-01 10:30:00")
     ]
+
+
+def test_streaming_throughput_headroom(spark, tmp_path):
+    """BASELINE.md's one hard number: per-trigger processing must stay
+    under the 1 s trigger at fixture rates (~hundreds of rows/s). We
+    push a 10,000-row micro-batch — ≥10× a second of fixture traffic —
+    through the full parse→classify→format pipeline and read Spark's
+    own triggerExecution measurement, requiring comfortable headroom
+    rather than a knife-edge bound (shared CI hardware)."""
+    import time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = "\n".join(
+        f"fitbit,2016-11-07 10:00:{i % 60:02d},u{i % 500},12.9,77.5,"
+        f"{100 + (i % 90)}.4,98.6,{20 + i % 60},HYP_1,{1478512345000 + i}"
+        for i in range(10_000)
+    )
+    (src / "b0.txt").write_text(lines + "\n")
+    stream = warning_pipeline(
+        parse_csv_records(
+            spark.readStream.format("text").load(str(src)), FITBIT_SCHEMA, "fitbit"
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("throughput_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        deadline = time.time() + 10
+        while q.lastProgress is None and time.time() < deadline:
+            time.sleep(0.2)
+        progress = q.lastProgress
+        n_out = spark.sql("SELECT count(*) c FROM throughput_smoke").collect()[0].c
+    finally:
+        q.stop()
+    assert n_out > 0
+    assert progress is not None
+    # 10x one second of fixture traffic must clear in < 5 s of
+    # processing — an order of magnitude of headroom on the 1 s target.
+    assert progress["durationMs"]["triggerExecution"] < 5_000, progress
