@@ -463,3 +463,68 @@ def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(col("rn") == F.ceil(col("n") * 0.9), col("value"))
         ).alias("p90_lower"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UDAF: Pandas grouped-agg IQR (order statistics, oracle-exact)
+# ---------------------------------------------------------------------------
+
+IQR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT
+  event_type,
+  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS q1_lower,
+  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS q3_lower,
+  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END)
+    - MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS iqr
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("udaf_iqr_pandas", oracle=IQR_ORACLE)
+def udaf_iqr_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via ``applyInPandas``: per-group interquartile range
+    as ORDER STATISTICS (value at rank ceil(q·n), ties broken by
+    event_id — the same definition as percentile_event_values, so the
+    Python aggregate is oracle-exact; numpy quantile interpolation
+    would not be).
+
+    This is the UDAF category the reference had none of (SURVEY.md
+    §2.8): group-map Pandas with Arrow transfer — the sanctioned shape
+    for aggregation logic built-ins can't express. Scale: one shuffle
+    on the group key; each group materializes in one Arrow batch, so
+    this pattern fits bounded groups (use the window/order-stat SQL
+    form for giant groups).
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def iqr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = pdf.sort_values(["value", "event_id"], kind="mergesort")["value"].values
+        n = len(s)
+        import math
+
+        q1 = s[math.ceil(n * 0.25) - 1]
+        q3 = s[math.ceil(n * 0.75) - 1]
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "q1_lower": q1,
+                    "q3_lower": q3,
+                    "iqr": q3 - q1,
+                }
+            ]
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        iqr,
+        schema="event_type string, q1_lower double, q3_lower double, iqr double",
+    )
