@@ -116,3 +116,48 @@ def test_stateful_latest_location_ignores_late_rows(spark, tmp_path):
         q.stop()
     # late row emitted nothing; the two genuine advances did
     assert [(r.event_millis, r.lat) for r in rows] == [(200, "12.97"), (300, "13.00")]
+
+
+def test_streak_state_survives_restart(spark, tmp_path):
+    """Kill the streaming query between micro-batches and restart it
+    from the same checkpoint: the state store must restore the streak
+    counter, so a warning in the new incarnation completes a streak
+    begun before the restart."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery, and recovery is the property under test
+        out = warning_streaks(
+            _parse_warnings(_lines_stream(spark, src)), min_streak=3
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    (src / "b0.txt").write_text("u1,critical,1000\nu1,critical,1001\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out_dir).count() == 0  # streak at 2
+    finally:
+        q.stop()
+
+    # new incarnation, same checkpoint: one more warning fires the streak
+    (src / "b1.txt").write_text("u1,critical,1002\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows = spark.read.parquet(out_dir).collect()
+    finally:
+        q.stop()
+    assert [(r.user_id, r.streak_len, r.machine_timestamp) for r in rows] == [
+        ("u1", 3, "1002")
+    ]
