@@ -338,22 +338,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the LSH-bucketed variant in queries/similarity.py which bounds
     candidates per vector."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.transform(col("embedding"), lambda x: x.cast("double")).alias("v")
-    )
-    a = e.select(col("vec_id").alias("vec_a"), col("v").alias("va"))
-    b = e.select(col("vec_id").alias("vec_b"), col("v").alias("vb"))
     dot = lambda u, w: F.aggregate(  # noqa: E731
         F.zip_with(u, w, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cosine = F.round(
-        dot(col("va"), col("vb"))
-        / F.sqrt(dot(col("va"), col("va")))
-        / F.sqrt(dot(col("vb"), col("vb"))),
-        6,
+    # self-norms are per-VECTOR quantities: compute them once per row
+    # before the pair join, not once per pair (3 array folds per pair
+    # → 1 fold per pair + 1 per row; ~3x on the n² hot loop). Same
+    # expression tree per pair, so cosines stay bitwise identical.
+    e = emb.select(
+        "vec_id", F.transform(col("embedding"), lambda x: x.cast("double")).alias("v")
+    ).select("vec_id", "v", F.sqrt(dot(col("v"), col("v"))).alias("norm"))
+    a = e.select(
+        col("vec_id").alias("vec_a"), col("v").alias("va"), col("norm").alias("na")
     )
+    b = e.select(
+        col("vec_id").alias("vec_b"), col("v").alias("vb"), col("norm").alias("nb")
+    )
+    cosine = F.round(dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
     return (
         a.join(b, col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
