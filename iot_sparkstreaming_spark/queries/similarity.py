@@ -54,6 +54,19 @@ def _cosine(u: Column, w: Column) -> Column:
     return F.round(_dot(u, w) / F.sqrt(_dot(u, u)) / F.sqrt(_dot(w, w)), 6)
 
 
+def _norm(v: Column) -> Column:
+    return F.sqrt(_dot(v, v))
+
+
+def _cosine_pre(u: Column, w: Column, nu: Column, nw: Column) -> Column:
+    """Cosine with per-side norms precomputed BEFORE the pair join:
+    self-norms are per-vector quantities, so folding them per pair
+    would triple the hot-loop array work. Division operands are the
+    identical values, so results are bitwise equal to :func:`_cosine`
+    (parity-proven against the same oracles)."""
+    return F.round(_dot(u, w) / nu / nw, 6)
+
+
 _COS_SQL = (
     "ROUND(list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}))"
     " / sqrt(list_dot_product({b}, {b})), 6)"
@@ -98,14 +111,15 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nv", _norm(col("v")))
     q = e.filter(col("vec_id") < N_QUERIES).select(
-        col("vec_id").alias("query_id"), col("v").alias("qv")
+        col("vec_id").alias("query_id"), col("v").alias("qv"), col("nv").alias("qn")
     )
     c = e.select(
         col("vec_id").alias("neighbor_id"),
         col("label").alias("neighbor_label"),
         col("v").alias("cv"),
+        col("nv").alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -115,7 +129,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            _cosine(col("qv"), col("cv")).alias("cosine"),
+            _cosine_pre(col("qv"), col("cv"), col("qn"), col("cn")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(col("cosine").desc(), col("neighbor_id"))
@@ -216,16 +230,18 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "band_buckets",
         F.array(*[_band_bucket_col(col("v"), b) for b in range(N_BANDS)]),
-    )
+    ).withColumn("nv", _norm(col("v")))
     bands = e.select(
         "vec_id",
         "label",
         "v",
+        "nv",
         F.posexplode("band_buckets").alias("band", "bucket"),
     )
     q = bands.filter(col("vec_id") < N_QUERIES).select(
         col("vec_id").alias("query_id"),
         col("v").alias("qv"),
+        col("nv").alias("qn"),
         "band",
         "bucket",
     )
@@ -233,6 +249,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("vec_id").alias("neighbor_id"),
         col("label").alias("neighbor_label"),
         col("v").alias("cv"),
+        col("nv").alias("cn"),
         "band",
         "bucket",
     )
@@ -243,7 +260,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            _cosine(col("qv"), col("cv")).alias("cosine"),
+            _cosine_pre(col("qv"), col("cv"), col("qn"), col("cn")).alias("cosine"),
         )
         .distinct()
     )
@@ -335,23 +352,36 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nv", _norm(col("v")))
     cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
-        col("vec_id").alias("cid"), col("v").alias("cvec")
+        col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
     )
 
-    # inverted-list assignment: one broadcast + argmax window
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        col("ccos").desc(), col("cid")
-    )
+    # inverted-list assignment: one broadcast + hash-aggregated argmax
+    # (max of (ccos, -cid) structs == highest cosine, lowest cid on
+    # ties — identical pick to the oracle's ROW_NUMBER, but a partial-
+    # aggregating hash agg instead of a sort window: no per-partition
+    # sort of the corpus×C pair stream at scale)
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .select(
-            "vec_id", "label", "v", "cid", _cosine(col("v"), col("cvec")).alias("ccos")
+            "vec_id",
+            "label",
+            "v",
+            "nv",
+            _cosine_pre(col("v"), col("cvec"), col("nv"), col("cn")).alias("ccos"),
+            "cid",
         )
-        .withColumn("crk", F.row_number().over(assign_w))
-        .filter(col("crk") == 1)
-        .select("vec_id", "label", "v", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(col("label")).alias("label"),
+            F.any_value(col("v")).alias("v"),
+            F.any_value(col("nv")).alias("nv"),
+            F.max(
+                F.struct(col("ccos").alias("c"), (-col("cid")).alias("nc"))
+            ).alias("m"),
+        )
+        .select("vec_id", "label", "v", "nv", (-col("m.nc")).alias("cid"))
     )
 
     probes = (
@@ -360,14 +390,15 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             col("vec_id").alias("query_id"),
             col("v").alias("qv"),
+            col("nv").alias("qn"),
             "cid",
-            _cosine(col("v"), col("cvec")).alias("ccos"),
+            _cosine_pre(col("v"), col("cvec"), col("nv"), col("cn")).alias("ccos"),
         )
         .withColumn("prk", F.row_number().over(
             Window.partitionBy("query_id").orderBy(col("ccos").desc(), col("cid"))
         ))
         .filter(col("prk") <= N_PROBE)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
 
     scored = (
@@ -378,7 +409,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             col("vec_id").alias("neighbor_id"),
             col("label").alias("neighbor_label"),
-            _cosine(col("qv"), col("v")).alias("cosine"),
+            _cosine_pre(col("qv"), col("v"), col("qn"), col("nv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(col("cosine").desc(), col("neighbor_id"))
