@@ -77,3 +77,60 @@ def lines_stream(
             "value", "value"
         )
     raise ValueError(f"unknown source: {source}")
+
+
+def parse_csv_records_with_rejects(
+    lines: DataFrame,
+    schema: T.StructType,
+    tag: str,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Permissive variant of :func:`parse_csv_records`: returns
+    ``(good, rejects)``.
+
+    The reference had NO bad-record path — a malformed CSV line threw
+    inside the map lambda and killed the task (SURVEY.md §1.2); one
+    poison message could wedge the whole stream. Here a record of the
+    right tag is rejected when it has the wrong field count or when
+    any non-string field fails its cast (cast returns null where the
+    TRIMMED source field was non-null and non-empty); rejects carry
+    the raw line plus a reason so a dead-letter sink can keep the
+    pipeline flowing while preserving the evidence.
+
+    Both outputs are pure column expressions — streaming-safe, no
+    Python boundary.
+    """
+    parts = F.split(F.col(value_col), ",")
+    tagged = lines.filter(F.trim(F.element_at(parts, 1)) == tag)
+    n_fields = F.size(parts)
+
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+    # cast THROWS on malformed input — the exact task-killing behavior
+    # this parser exists to prevent.
+    cast_fail = F.lit(False)
+    for i, field in enumerate(schema.fields):
+        if isinstance(field.dataType, T.StringType):
+            continue
+        raw = F.trim(F.element_at(parts, i + 1))
+        cast_fail = cast_fail | (
+            (raw.isNotNull() & (raw != ""))
+            & raw.try_cast(field.dataType).isNull()
+        )
+    bad_count = n_fields != len(schema.fields)
+    reason = (
+        F.when(bad_count, F.concat(F.lit("field_count:"), n_fields.cast("string")))
+        .when(cast_fail, F.lit("cast_failure"))
+        .otherwise(F.lit(None))
+    )
+    with_reason = tagged.withColumn("_reject_reason", reason)
+    good = parse_csv_records(
+        with_reason.filter(F.col("_reject_reason").isNull()).drop("_reject_reason"),
+        schema,
+        tag,
+        value_col,
+    )
+    rejects = with_reason.filter(F.col("_reject_reason").isNotNull()).select(
+        F.col(value_col).alias("raw_line"),
+        F.col("_reject_reason").alias("reason"),
+    )
+    return good, rejects

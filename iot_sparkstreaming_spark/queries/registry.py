@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         reference,
         similarity,
+        sql_surface,
         text,
         tpch,
     )

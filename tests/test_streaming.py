@@ -357,3 +357,31 @@ def test_streaming_throughput_headroom(spark, tmp_path):
     # 10x one second of fixture traffic must clear in < 5 s of
     # processing — an order of magnitude of headroom on the 1 s target.
     assert progress["durationMs"]["triggerExecution"] < 5_000, progress
+
+
+def test_bad_record_path_quarantines_malformed_lines(spark):
+    """The reference died on a malformed line (no bad-record path,
+    SURVEY §1.2); the permissive parser must route wrong-arity and
+    uncastable records to the reject side with a reason, and parse the
+    good ones identically to the strict parser."""
+    from iot_sparkstreaming_spark.io.sources import parse_csv_records_with_rejects
+
+    lines = spark.createDataFrame(
+        [
+            (FITBIT_LINES[0],),                       # good
+            ("fitbit,only,three",),                   # wrong arity
+            (FITBIT_LINES[1].replace("77.59", "notanumber").replace(
+                "98.2", "98.2") ,),                   # still 10 fields, lat is str → fine
+            ("fitbit,2016-11-07 10:00:03,u9,12.9,77.5,NOTAPULSE,98.6,30,NORMAL,1478512348000",),
+            ("sales,2016-11-07,5",),                  # other tag: ignored entirely
+        ],
+        ["value"],
+    )
+    good, rejects = parse_csv_records_with_rejects(lines, FITBIT_SCHEMA, "fitbit")
+    got_good = {r.user_id for r in good.collect()}
+    got_rejects = {(r.raw_line.split(",")[1], r.reason) for r in rejects.collect()}
+    assert "u9" not in got_good and len(got_good) == 2
+    assert got_rejects == {
+        ("only", "field_count:3"),
+        ("2016-11-07 10:00:03", "cast_failure"),
+    }
