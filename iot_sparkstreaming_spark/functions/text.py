@@ -85,24 +85,61 @@ def fingerprint(toks: Column) -> Column:
     )
 
 
+#: affine MinHash family h_i(x) = (a_i*x + b_i) mod P over 32-bit
+#: base hashes: P prime > 2^32; a_i < 2^29 keeps a_i*x < 2^61 — no
+#: int64 overflow on either engine (ANSI Spark would throw on wrap).
+MINHASH_PRIME = 4294967311
+
+
+def _mh_coeff(tag: str, i: int, mod: int) -> int:
+    import hashlib as _hl
+
+    return int(_hl.md5(f"{tag},{i}".encode()).hexdigest()[:12], 16) % mod
+
+
+MINHASH_A = [1 + _mh_coeff("a", i, 2**29 - 1) for i in range(16)]
+MINHASH_B = [_mh_coeff("b", i, MINHASH_PRIME) for i in range(16)]
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One 32-bit base hash per shingle — the SINGLE md5 pass the
+    affine family permutes. Keep this in its OWN select before
+    :func:`minhash_from_hashes`: referenced k times by the signature,
+    CollapseProject will not inline a non-cheap expression used more
+    than once, so the md5 pass stays evaluated once per row (lambda
+    expressions get no codegen subexpression elimination — inlining
+    would multiply the md5 work k-fold, measured ~8 s → ~1 s on the
+    sf0.1 corpus)."""
+    return F.transform(shingles, hash64)
+
+
+def minhash_from_hashes(hs: Column, k: int = 16) -> Column:
+    """k-element signature from pre-hashed shingles: slot i is
+    ``min over h of (a_i*h + b_i) mod P`` — k cheap integer affine
+    maps instead of k salted md5 passes (Broder 1997's permutation
+    family). Empty set → nulls."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hs,
+                    lambda h: (h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+                    % F.lit(MINHASH_PRIME),
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-element minhash signature: for each salt i,
-    ``min over shingles of salted_hash64(i, s)``; empty shingle set →
-    nulls. Computed per-row over the shingle array (transform ×
-    array_min) — NO explode/shuffle; the signature costs O(k·|set|)
-    inside codegen.
+    """k-element minhash signature over a shingle array (convenience
+    composition — for the hot path keep the two steps in separate
+    selects, see :func:`shingle_hashes`).
 
     A document pair agreeing on j of k signature slots estimates
     Jaccard ≈ j/k (MinHash, Broder 1997)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: hash64(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
+    return minhash_from_hashes(shingle_hashes(shingles), k)
 
 
 def simhash32(toks: Column) -> Column:

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from iot_sparkstreaming_spark.functions.text import (
-    minhash_signature,
+    minhash_from_hashes,
+    shingle_hashes,
     simhash32,
     tokens,
     word_shingles,
@@ -144,16 +145,22 @@ LSH_BANDS = 4
 BAND_WIDTH = MINHASH_K // LSH_BANDS
 EST_THRESHOLD = 0.5
 
+#: one md5 per shingle, then 16 affine permutations (a*h+b) mod P —
+#: identical constants to functions/text.py MINHASH_A/B.
 _SIG_SQL = (
-    "list_transform(generate_series(0, 15), i -> "
-    "list_min(list_transform(sh, s -> "
-    "('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 8))::BIGINT)))"
+    "list_transform(generate_series(1, 16), i -> "
+    "list_min(list_transform(hs, h -> "
+    f"(h * ([95900256, 113555501, 490375228, 201677602, 337243379, 164995416, 95165896, 75395702, 219579532, 238587558, 249111059, 222920699, 357621430, 393847725, 170597786, 67601518])[i] + ([3984196601, 2028436687, 1672353898, 1859329920, 1956206434, 2089531152, 2923946632, 91947036, 1561014585, 475176358, 860609337, 2182530232, 3122862482, 3553197308, 2425279228, 431940825])[i]) % 4294967311)))"
 )
 
 MINHASH_ORACLE = (
     SHINGLES_CTE
     + f"""
-, sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM sh),
+, hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sh),
+sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM hashed),
 bands AS (
   SELECT doc_id, sig, b.band_id,
          array_to_string(sig[b.band_id*{BAND_WIDTH}+1 : b.band_id*{BAND_WIDTH}+{BAND_WIDTH}], ',') AS band_key
@@ -190,7 +197,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle runs the *identical* LSH construction in DuckDB, so
     this checks signature math, banding, and the estimate bit-for-bit."""
     sh = _shingled(spark, sf_dir)
-    sigs = sh.select("doc_id", minhash_signature(col("sh"), MINHASH_K).alias("sig"))
+    # two selects on purpose: the md5 base-hash pass must not be
+    # inlined k-fold into the signature (see shingle_hashes docstring)
+    hashed = sh.select("doc_id", shingle_hashes(col("sh")).alias("hs"))
+    sigs = hashed.select(
+        "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
+    )
 
     band_id = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_id")
     bands = sigs.select(
@@ -205,37 +217,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(col("sig"), col("band_id") * BAND_WIDTH + 1, BAND_WIDTH)
         ).alias("band_key"),
     )
+    # signatures RIDE the band join (sig is functionally dependent on
+    # doc_id, so distinct-on-pair+sigs == distinct-on-pair): scoring
+    # needs no join back to sigs, which would recompute the k-hash
+    # signature pass twice more over the corpus.
     a = bands.select(
-        col("doc_id").alias("doc_a"), col("band_id").alias("ba"), col("band_key").alias("ka")
+        col("doc_id").alias("doc_a"),
+        col("band_id").alias("ba"),
+        col("band_key").alias("ka"),
+        col("sig").alias("sig_a"),
     )
     b = bands.select(
-        col("doc_id").alias("doc_b"), col("band_id").alias("bb"), col("band_key").alias("kb")
+        col("doc_id").alias("doc_b"),
+        col("band_id").alias("bb"),
+        col("band_key").alias("kb"),
+        col("sig").alias("sig_b"),
     )
     cand = (
         a.join(b, (col("ba") == col("bb")) & (col("ka") == col("kb")))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()
     )
-    sa = sigs.select(col("doc_id").alias("doc_a"), col("sig").alias("sig_a"))
-    sb = sigs.select(col("doc_id").alias("doc_b"), col("sig").alias("sig_b"))
     n_match = F.size(
         F.filter(
             F.zip_with(col("sig_a"), col("sig_b"), lambda x, y: x == y),
             lambda m: m,
         )
     )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_match.cast("bigint").alias("n_matching"),
-            (n_match.cast("double") / MINHASH_K).alias("est_jaccard"),
-        )
-        .filter(col("est_jaccard") >= EST_THRESHOLD)
-    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        n_match.cast("bigint").alias("n_matching"),
+        (n_match.cast("double") / MINHASH_K).alias("est_jaccard"),
+    ).filter(col("est_jaccard") >= EST_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
