@@ -142,14 +142,21 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     return minhash_from_hashes(shingle_hashes(shingles), k)
 
 
-def simhash32(toks: Column) -> Column:
-    """32-bit SimHash (Charikar 2002): per bit j, count tokens whose
-    hash has bit j set; the output bit is 1 when set-count exceeds
-    half the tokens (strict majority — ties → 0). Per-row array ops,
-    no shuffle; the 32 bit-terms are unrolled statically (shift
-    amounts must be literals) so the whole thing is one codegen'd
-    expression."""
-    hashed = F.transform(toks, hash64)
+def token_hashes(toks: Column) -> Column:
+    """One 32-bit base hash per token. Keep in its OWN select before
+    :func:`simhash32_from_hashes` — the 32 bit-terms reference the
+    hashed array 33 times, and lambda expressions get no codegen
+    subexpression elimination, so inlining would run the md5 pass
+    33-fold per document (same trap as MinHash, same fix)."""
+    return F.transform(toks, hash64)
+
+
+def simhash32_from_hashes(hashed: Column) -> Column:
+    """32-bit SimHash (Charikar 2002) over pre-hashed tokens: per bit
+    j, count hashes with bit j set; the output bit is 1 when
+    set-count exceeds half the tokens (strict majority — ties → 0).
+    Per-row array ops, no shuffle; the 32 bit-terms are unrolled
+    statically (shift amounts must be literals)."""
     n = F.size(hashed)
     def _bit_test(j: int):
         # single-param lambda required: PySpark maps a 2-param lambda
@@ -163,3 +170,9 @@ def simhash32(toks: Column) -> Column:
             set_count * 2 > n, F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return out
+
+
+def simhash32(toks: Column) -> Column:
+    """SimHash over a token array (convenience composition — for the
+    hot path keep :func:`token_hashes` in its own select)."""
+    return simhash32_from_hashes(token_hashes(toks))

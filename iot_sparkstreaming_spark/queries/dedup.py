@@ -22,7 +22,8 @@ from pyspark.sql.functions import col
 from iot_sparkstreaming_spark.functions.text import (
     minhash_from_hashes,
     shingle_hashes,
-    simhash32,
+    simhash32_from_hashes,
+    token_hashes,
     tokens,
     word_shingles,
 )
@@ -288,7 +289,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's brute-force all-pairs scan — which is exactly what this
     oracle proves. Band join shuffles 4 byte-sized keys per doc."""
     docs = load_table(spark, sf_dir, "documents")
-    sims = docs.select("doc_id", simhash32(tokens(col("text"))).alias("sim"))
+    # two selects on purpose: one md5 pass per doc, then 32 cheap
+    # bit-terms over the hashed array (see token_hashes docstring)
+    hashed = docs.select("doc_id", token_hashes(tokens(col("text"))).alias("th"))
+    sims = hashed.select("doc_id", simhash32_from_hashes(col("th")).alias("sim"))
 
     band_structs = F.array(
         *[
