@@ -111,30 +111,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (At 100 TB you'd additionally drop ultra-frequent shingles — a
     stop-shingle cutoff — to bound the hottest posting lists.)"""
     sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    posts = sh.select("doc_id", F.explode("sh").alias("s"))
-    a = posts.select(col("doc_id").alias("doc_a"), "s")
-    b = posts.select(col("doc_id").alias("doc_b"), "s")
+    # set size RIDES the posting list (functionally dependent on
+    # doc_id): no separate sizes join, which would re-evaluate the
+    # tokenize+shingle pass two more times over the corpus.
+    posts = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
+    b = posts.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"), "s")
     inter = (
         a.join(b, ["s"])
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"))
-    sb = sizes.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"))
     jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            col("n_common").cast("bigint").alias("n_common"),
-            jac.alias("jaccard"),
-        )
-        .filter(col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        col("n_common").cast("bigint").alias("n_common"),
+        jac.alias("jaccard"),
+    ).filter(col("jaccard") >= JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
