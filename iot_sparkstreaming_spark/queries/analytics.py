@@ -491,3 +491,55 @@ def sliding_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_value_1h"),
         F.count("*").over(w).alias("n_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function family (rank / dense_rank / percent_rank / cume_dist /
+# ntile / first_value / lag) in one windowed pass
+# ---------------------------------------------------------------------------
+
+RANK_FAMILY_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  RANK() OVER tie_w AS rnk,
+  DENSE_RANK() OVER tie_w AS drnk,
+  CUME_DIST() OVER tie_w AS cdist,
+  PERCENT_RANK() OVER uniq_w AS prank,
+  NTILE(4) OVER uniq_w AS quartile,
+  FIRST_VALUE(event_id) OVER uniq_w AS first_event,
+  LAG(event_id, 1, -1) OVER uniq_w AS prev_event
+FROM events
+WHERE user_id < 20
+WINDOW
+  tie_w AS (PARTITION BY user_id ORDER BY event_type),
+  uniq_w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("window_rank_family", oracle=RANK_FAMILY_ORACLE)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ranking/analytic window function in one pass, over two
+    frames: a TIED ordering (event_type — exercises rank vs
+    dense_rank gaps and cume_dist plateaus, all of which are
+    well-defined under ties) and a UNIQUE ordering (ts, event_id —
+    required for ntile/first_value/lag, whose outputs depend on row
+    order within ties and would otherwise be nondeterministic).
+
+    Both windows partition by user_id, so Spark computes them after
+    ONE shuffle — same exchange, two sort specs.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(col("user_id") < 20)
+    tie_w = Window.partitionBy("user_id").orderBy("event_type")
+    uniq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(tie_w).alias("rnk"),
+        F.dense_rank().over(tie_w).alias("drnk"),
+        F.cume_dist().over(tie_w).alias("cdist"),
+        F.percent_rank().over(uniq_w).alias("prank"),
+        F.ntile(4).over(uniq_w).alias("quartile"),
+        F.first("event_id").over(uniq_w).alias("first_event"),
+        F.lag("event_id", 1, -1).over(uniq_w).alias("prev_event"),
+    )

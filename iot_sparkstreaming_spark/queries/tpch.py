@@ -979,3 +979,94 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part attribute (NOT IN + count distinct)
+# ---------------------------------------------------------------------------
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_diversity", oracle=Q16_ORACLE)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: lineitem is the part–supplier bridge — the
+    harness has no partsupp; complaint-comment filter becomes a
+    negative-balance filter). Defining shapes kept: NOT IN subquery
+    (anti join on the excluded supplier set — none of the excluded
+    keys are null, so NOT IN == anti join), IN value list, inequality
+    predicate, multi-attribute COUNT(DISTINCT).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (col("p_brand") != "Brand#11")
+        & col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, col("p_partkey") == col("l_partkey"))
+        .join(excluded, col("l_suppkey") == col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers shipping excess volume (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+Q20_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 100
+)
+"""
+
+
+@register("q20_excess_suppliers", oracle=Q20_ORACLE)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: shipment volume stands in for partsupp
+    stock): the nested-subquery chain — parts by name prefix → their
+    year's lineitems → per-supplier volume HAVING → semi join back to
+    supplier. The inner aggregate's output is one row per qualifying
+    supplier, so the final semi join shuffles keys only.
+    """
+    part = load_table(spark, sf_dir, "part").filter(col("p_name").startswith("small"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(part, col("p_partkey") == col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(col("l_quantity").cast("decimal(38,4)")).alias("q"))
+        .filter(col("q") > 100)
+        .select("l_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.join(
+        heavy, col("s_suppkey") == col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
