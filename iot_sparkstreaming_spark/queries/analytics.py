@@ -543,3 +543,39 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(uniq_w).alias("first_event"),
         F.lag("event_id", 1, -1).over(uniq_w).alias("prev_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+SETOPS_ALL_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'view' AND value > 200
+  INTERSECT ALL
+  SELECT user_id FROM events WHERE event_type = 'click' AND value > 200
+) GROUP BY user_id
+"""
+
+
+@register("setops_multiset_intersect", oracle=SETOPS_ALL_ORACLE)
+def setops_multiset_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a user appearing m times in
+    the view cohort and n times in the click cohort appears min(m, n)
+    times in the result (the DISTINCT variants in setops_user_cohorts
+    collapse to 0/1). Implemented with Spark's intersectAll, which
+    plans as a count-matching aggregate, not a join explosion; the
+    output is re-aggregated per user so the check is order-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter((col("event_type") == "view") & (col("value") > 200)).select(
+        "user_id"
+    )
+    clicks = ev.filter((col("event_type") == "click") & (col("value") > 200)).select(
+        "user_id"
+    )
+    return (
+        views.intersectAll(clicks)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
