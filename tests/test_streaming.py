@@ -385,3 +385,30 @@ def test_bad_record_path_quarantines_malformed_lines(spark):
         ("only", "field_count:3"),
         ("2016-11-07 10:00:03", "cast_failure"),
     }
+
+
+def test_observe_metrics_ride_the_pipeline(spark, tmp_path):
+    """df.observe(): pipeline health metrics (rows seen, warnings
+    emitted, max pulse) computed DURING the normal pass — no second
+    scan, no collect of the data itself. The production shape for
+    monitoring a 100 TB job without re-reading it."""
+    from pyspark.sql import Observation
+
+    obs = Observation("warning_metrics")
+    parsed = parse_csv_records(
+        spark.createDataFrame([(l,) for l in FITBIT_LINES], ["value"]),
+        FITBIT_SCHEMA,
+        "fitbit",
+    )
+    out = warning_pipeline(
+        parsed.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.max("pulse").alias("max_pulse"),
+        )
+    )
+    n_out = out.count()
+    got = obs.get
+    assert got["rows_in"] == sum(1 for l in FITBIT_LINES if l.startswith("fitbit"))
+    assert got["max_pulse"] >= 180.5
+    assert 0 < n_out <= got["rows_in"]
