@@ -412,3 +412,44 @@ def test_observe_metrics_ride_the_pipeline(spark, tmp_path):
     assert got["rows_in"] == sum(1 for l in FITBIT_LINES if l.startswith("fitbit"))
     assert got["max_pulse"] >= 180.5
     assert 0 < n_out <= got["rows_in"]
+
+
+def test_partitioned_streaming_sink(spark, tmp_path):
+    """K3 (userhistory time-series append): the streaming parquet sink
+    writes hive-partitioned by user — the layout whose directory
+    pruning makes per-user history reads skip every other user's data
+    (SURVEY §1.1: PK ((user_id), date, time))."""
+    import glob
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.txt").write_text("\n".join(FITBIT_LINES) + "\n")
+    rows = userhistory_rows(
+        parse_csv_records(
+            spark.readStream.format("text").load(str(src)), FITBIT_SCHEMA, "fitbit"
+        )
+    )
+    out_dir = str(tmp_path / "userhistory")
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out_dir)
+        .partitionBy("user_id")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    part_dirs = sorted(
+        d.split("user_id=")[1] for d in glob.glob(f"{out_dir}/user_id=*")
+    )
+    assert part_dirs == ["u1", "u2", "u3", "u4", "u5"]
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 5
+    # partition pruning: a single-user read lists only that directory
+    from iot_sparkstreaming_spark.io.bucketing import explain_str
+
+    plan = explain_str(back.filter(F.col("user_id") == "u3"))
+    assert "PartitionFilters" in plan
