@@ -110,12 +110,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index shuffles |doc|·|shingles| rows on the shingle key.
     (At 100 TB you'd additionally drop ultra-frequent shingles — a
     stop-shingle cutoff — to bound the hottest posting lists.)"""
-    sh = _shingled(spark, sf_dir)
-    # set size RIDES the posting list (functionally dependent on
-    # doc_id): no separate sizes join, which would re-evaluate the
-    # tokenize+shingle pass two more times over the corpus.
-    posts = sh.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    # EXPLODE-FIRST posting construction: tokenize once inside the
+    # Generate, then build 3-gram shingles from the token stream with
+    # lead() windows. The per-row array formulation (_shingled, kept
+    # for MinHash whose signature math wants the array) gets its
+    # tokenize expression re-inlined by optimizer rules across the
+    # filter/size/explode branches — 16 copies of regexp_extract_all
+    # in the final plan, ~6x slower measured. Here the regex runs
+    # exactly once per document; the doc_id window shuffle it costs
+    # is one the posting join needs anyway.
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tk = docs.select("doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tk.select(
+        "doc_id",
+        F.concat_ws(
+            " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("s"),
+        F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
+    )
+    # distinct == the oracle's list_distinct; docs with <3 tokens
+    # yield no full-width shingles, matching the len(tk)>=3 guard
+    posts = (
+        tri.filter(col("full_width"))
+        .select("doc_id", "s")
+        .distinct()
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     )
     a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
     b = posts.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"), "s")
