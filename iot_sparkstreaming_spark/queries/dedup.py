@@ -400,3 +400,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(col("cosine") >= COSINE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup graph (iterative algorithm)
+# ---------------------------------------------------------------------------
+
+# RECURSIVE applies to the whole WITH list, so it must be injected at
+# the front of the shared shingles CTE
+COMPONENTS_ORACLE = (
+    SHINGLES_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f"""
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+"""
+)
+
+
+@register("dedup_components", oracle=COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup pair graph — the
+    clustering step that turns pairwise matches into groups so one
+    canonical document per group survives. Component id = min doc_id
+    in the component.
+
+    This is the engine's ITERATIVE-algorithm shape: min-label
+    propagation as a driver-controlled loop of joins/aggregations
+    (control flow on the driver, every data operation distributed),
+    converging in O(component diameter) rounds — near-dup clusters
+    are shallow, so a handful. The oracle reaches the same fixpoint
+    via a recursive CTE, making an iterative distributed algorithm
+    exactly checkable.
+
+    Scale: each round shuffles |edges| on the join key and |nodes|
+    for the min-aggregate; for planet-scale graphs you'd switch to
+    the large-star/small-star variant — same loop skeleton.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(col("doc_b").alias("doc_a"), col("doc_a").alias("doc_b"))
+    ).toDF("a", "b")
+    labels = (
+        edges.select(col("a").alias("node")).distinct().withColumn("comp", col("node"))
+    )
+    while True:
+        # neighbor's current label, pulled across each edge
+        candidate = (
+            edges.join(labels, edges.b == labels.node)
+            .select(col("a").alias("node"), col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(candidate)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # convergence: no label decreased this round.
+        # localCheckpoint truncates the per-round lineage growth that
+        # would otherwise make iteration i replan/re-execute rounds
+        # 1..i-1 (the classic iterative-DataFrame trap).
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(col("comp") != col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        col("node").alias("doc_id"), col("comp").alias("component_id")
+    )
