@@ -1,0 +1,67 @@
+"""Engine-wide physical-plan invariants, asserted over EVERY
+registered query (plans only — nothing executes):
+
+* no row-at-a-time Python (`BatchEvalPython`) anywhere — the hot path
+  stays in whole-stage codegen;
+* Arrow-batched Python only in the two operators that are allowed to
+  cross the boundary (multimodal feature extraction, the Pandas UDAF);
+* no unbroadcast CartesianProduct — the all-pairs verifiers must ride
+  a broadcast nested-loop, never a full shuffle cartesian;
+* predicate pushdown reaches the parquet scans of the selective
+  TPC-H queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_sparkstreaming_spark.io.bucketing import explain_str
+from iot_sparkstreaming_spark.queries.registry import load_all
+
+from tests.conftest import SF_DIR_ORACLE
+
+REGISTRY = load_all()
+ALL = sorted(REGISTRY)
+
+#: operators sanctioned to cross into (Arrow-batched) Python
+ARROW_ALLOWED = {"multimodal_features", "udaf_iqr_pandas"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {n: explain_str(REGISTRY[n].spark(spark, SF_DIR_ORACLE)) for n in ALL}
+
+
+def test_no_row_python_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_arrow_python_only_where_sanctioned(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("ArrowEvalPython" in p or "MapInPandas" in p or "FlatMapGroupsInPandas" in p)
+        and n not in ARROW_ALLOWED
+    ]
+    assert offenders == []
+
+
+def test_no_unbroadcast_cartesian(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+@pytest.mark.parametrize("name,pushed", [
+    ("q1_pricing_summary", "l_shipdate"),
+    ("q6_forecast_revenue", "l_discount"),
+    ("q3_shipping_priority", "c_mktsegment"),
+    ("q19_discounted_revenue", "p_partkey"),
+])
+def test_pushdown_reaches_scan(plans, name, pushed):
+    plan = plans[name]
+    assert "PushedFilters" in plan
+    pushed_sections = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(pushed in seg for seg in pushed_sections), pushed_sections
