@@ -579,3 +579,30 @@ def setops_multiset_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
+
+
+EXCEPT_ALL_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'view' AND value > 200
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'error'
+) GROUP BY user_id
+"""
+
+
+@register("setops_multiset_except", oracle=EXCEPT_ALL_ORACLE)
+def setops_multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: a user with m view rows and
+    n error rows keeps max(m - n, 0) rows, each error occurrence
+    cancelling one view occurrence (DISTINCT EXCEPT would drop the
+    user entirely on a single error)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter((col("event_type") == "view") & (col("value") > 200)).select(
+        "user_id"
+    )
+    errors = ev.filter(col("event_type") == "error").select("user_id")
+    return (
+        views.exceptAll(errors)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )

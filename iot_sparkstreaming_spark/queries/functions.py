@@ -528,3 +528,45 @@ def udaf_iqr_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         iqr,
         schema="event_type string, q1_lower double, q3_lower double, iqr double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature binning: equi-width histogram via width_bucket
+# ---------------------------------------------------------------------------
+
+BINNING_ORACLE = """
+SELECT
+  event_type,
+  CAST(CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 500.0 THEN 21
+            ELSE floor(value / 25.0) + 1 END AS BIGINT) AS bin,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, bin
+"""
+
+
+@register("feature_binning_histogram", oracle=BINNING_ORACLE)
+def feature_binning_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width feature binning: 20 bins over [0, 500), underflow to
+    bin 0 and overflow to bin 21 (width_bucket semantics, written as
+    explicit arithmetic — DuckDB has no width_bucket, and the one
+    float divide + floor is bitwise-identical on both engines). The
+    discretization pass of feature engineering; bin edges are
+    closed-form so no quantile pass is needed — scan → partial agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = (
+        F.when(col("value") < 0.0, 0)
+        .when(col("value") >= 500.0, 21)
+        .otherwise(F.floor(col("value") / 25.0) + 1)
+        .cast("bigint")
+    )
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )

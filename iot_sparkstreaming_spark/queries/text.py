@@ -270,3 +270,58 @@ def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rk") <= 50)
         .select("token", "n_docs", "n_occurrences", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (content-hash bucketing)
+# ---------------------------------------------------------------------------
+
+SPLIT_ORACLE = """
+SELECT
+  CASE
+    WHEN bucket < 8 THEN 'train'
+    WHEN bucket < 9 THEN 'val'
+    ELSE 'test'
+  END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_doc_id
+FROM (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
+@register("train_test_split", oracle=SPLIT_ORACLE)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by ID-hash bucket — the
+    reproducible split a training pipeline needs: a document's split
+    is a pure function of its id, so reruns, backfills, and late
+    arrivals land in the same split with no stored assignment table
+    and no RNG (``sample()``'s seed is partitioning-dependent, and
+    cross-engine RNGs never match — hash bucketing is exact on both).
+
+    Scale: map-only classification; the only shuffle is the 3-group
+    count aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
