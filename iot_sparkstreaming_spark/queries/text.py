@@ -325,3 +325,74 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style term salience (ratio form, log-free for exactness)
+# ---------------------------------------------------------------------------
+
+SALIENCE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df AS salience
+  FROM tf JOIN df ON tf.token = df.token
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       salience, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY salience DESC, token) AS rk
+  FROM scored
+)
+WHERE doc_id < 30 AND rk <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=SALIENCE_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: tf × N/df (the tf-idf shape with a
+    ratio instead of a log — log() is not guaranteed bitwise-equal
+    across engines' libm; the ranking it induces is identical since
+    log is monotone), top-3 per document.
+
+    Scale: tokenize once in the explode; tf and df are two aggregates
+    over the SAME exploded stream (tf by (doc, token), df by token);
+    the scalar corpus count broadcasts; the final rank partitions by
+    document. The df join is the only token-keyed shuffle — the same
+    posting-list key the dedup family already shuffles on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; embedded as a literal like the oracle's subquery
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (col("tf").cast("double") * F.lit(n_docs) / col("df")).alias("salience"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(col("salience").desc(), col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter((col("doc_id") < 30) & (col("rk") <= 3))
+        .select("doc_id", "token", col("tf").cast("bigint").alias("tf"),
+                col("df").cast("bigint").alias("df"), "salience", "rk")
+    )

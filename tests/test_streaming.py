@@ -453,3 +453,43 @@ def test_partitioned_streaming_sink(spark, tmp_path):
 
     plan = explain_str(back.filter(F.col("user_id") == "u3"))
     assert "PartitionFilters" in plan
+
+
+def test_rate_source_drives_pipeline(spark, tmp_path):
+    """The rate source (broker-free load generator): synthesize
+    fitbit-shaped CSV lines from the rolling counter and run them
+    through the real parse + warning pipeline — the load-testing edge
+    for environments without Kafka."""
+    lines = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .selectExpr(
+            "concat('fitbit,2016-11-07 10:00:00,u', CAST(value % 50 AS STRING),"
+            "',12.9,77.5,', CAST(150 + value % 100 AS STRING),"
+            "',98.6,30,HYP_1,', CAST(1478512345000 + value AS STRING)) AS value"
+        )
+    )
+    out = warning_pipeline(parse_csv_records(lines, FITBIT_SCHEMA, "fitbit"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) c FROM rate_smoke").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # pulse >= 180.5 fires at age 30; counter values 150..249 → some fire
+    assert n > 0
