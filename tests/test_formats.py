@@ -48,3 +48,18 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     # pruned read returns exactly the 1997 slice
     expected = orders.filter(F.col("o_year") == 1997).count()
     assert scan.count() == expected > 0
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Lake reality: files written before a column existed live next
+    to files written after. mergeSchema unifies them — old rows read
+    null for the new column, and per-file pruning is unaffected."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], ["id", "name"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"])
+    v1.write.parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
