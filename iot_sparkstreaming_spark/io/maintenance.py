@@ -50,3 +50,34 @@ def compact(
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    keys_df: DataFrame,
+    key_col: str,
+) -> tuple[int, int]:
+    """Propagate deletion requests (takedown / right-to-erasure) into
+    an immutable parquet dataset: rewrite ``path`` minus every row
+    whose ``key_col`` appears in ``keys_df``; returns (rows_before,
+    rows_after).
+
+    The delete is an anti join — keys shuffle, data rows stream —
+    and, like :func:`compact`, writes to a NEW directory so a partial
+    failure never corrupts the source; callers swap pointers after
+    success. At lake scale you'd partition-prune first (only rewrite
+    partitions containing hits) — compose with hive partitioning from
+    ``formats.write_table``.
+    """
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.join(
+        keys_df.select(key_col).distinct(),
+        on=key_col,
+        how="left_anti",
+    )
+    kept.write.mode("overwrite").parquet(out_path)
+    after = spark.read.parquet(out_path).count()
+    return before, after

@@ -493,3 +493,36 @@ def test_rate_source_drives_pipeline(spark, tmp_path):
         q.stop()
     # pulse >= 180.5 fires at age 30; counter values 150..249 → some fire
     assert n > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: at-least-once upstreams redeliver
+    — the stream-side dedup keeps the first (user_id, machine_ts)
+    occurrence and drops redeliveries arriving within the watermark,
+    with state evicted after it passes (bounded, unlike a global
+    dropDuplicates whose state grows forever)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.txt").write_text(FITBIT_LINES[0] + "\n" + FITBIT_LINES[1] + "\n")
+    parsed = parse_csv_records(
+        spark.readStream.format("text").load(str(src)), FITBIT_SCHEMA, "fitbit"
+    ).withColumn("event_ts", F.to_timestamp("event_datetime"))
+    deduped = parsed.withWatermark("event_ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "machine_timestamp"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 redelivers row 0 (same user + machine ts) — must drop
+        (src / "b1.txt").write_text(FITBIT_LINES[0] + "\n")
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) c FROM dedup_stream").collect()[0].c
+    finally:
+        q.stop()
+    assert n == 2  # u1 once, u2 once; the redelivery vanished

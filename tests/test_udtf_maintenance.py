@@ -43,3 +43,16 @@ def test_compact_reduces_file_count_losslessly(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, orders.collect()))
     assert a == b
+
+
+def test_delete_keys_propagates_takedowns(spark, tmp_path):
+    src, out = str(tmp_path / "docs"), str(tmp_path / "docs_clean")
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.write.parquet(src)
+    doomed = spark.createDataFrame([(1,), (2,), (3,), (999999,)], ["doc_id"])
+    from iot_sparkstreaming_spark.io.maintenance import delete_keys
+
+    before, after = delete_keys(spark, src, out, doomed, "doc_id")
+    assert before - after == 3  # 999999 doesn't exist; 3 real rows removed
+    remaining = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert remaining.isdisjoint({1, 2, 3})
