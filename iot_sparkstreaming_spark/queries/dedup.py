@@ -451,37 +451,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the min-aggregate; for planet-scale graphs you'd switch to
     the large-star/small-star variant — same loop skeleton.
     """
+    from iot_sparkstreaming_spark.operators.graph import connected_components
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(col("doc_b").alias("doc_a"), col("doc_a").alias("doc_b"))
-    ).toDF("a", "b")
-    labels = (
-        edges.select(col("a").alias("node")).distinct().withColumn("comp", col("node"))
-    )
-    while True:
-        # neighbor's current label, pulled across each edge
-        candidate = (
-            edges.join(labels, edges.b == labels.node)
-            .select(col("a").alias("node"), col("comp"))
-        )
-        new_labels = (
-            labels.unionByName(candidate)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # convergence: no label decreased this round.
-        # localCheckpoint truncates the per-round lineage growth that
-        # would otherwise make iteration i replan/re-execute rounds
-        # 1..i-1 (the classic iterative-DataFrame trap).
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(col("comp") != col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        col("node").alias("doc_id"), col("comp").alias("component_id")
+    return connected_components(pairs).select(
+        col("node").alias("doc_id"), col("component").alias("component_id")
     )

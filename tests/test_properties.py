@@ -134,3 +134,41 @@ def test_asof_join_matches_naive(spark, left, right):
         cand = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
         expected = max(cand) if cand else None
         assert got.get(i) == expected, (i, k, t, cand)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with pure-Python union-find on
+    random graphs (self-loops included — they're harmless edges)."""
+    from iot_sparkstreaming_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for node in sorted(parent):
+        r = find(node)
+        roots.setdefault(r, node)  # min node of the component (sorted order)
+        expected[node] = roots[r]
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == expected
