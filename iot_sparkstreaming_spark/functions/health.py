@@ -71,5 +71,10 @@ def tuple_string(*cols: Column) -> Column:
     """Scala ``Tuple.toString`` byte format — ``"(a,b,c)"`` — which the
     reference published verbatim to its output Kafka topics
     (workingTest.scala:131,140; FIXTURES.md §3).
+
+    Null fields render as the literal ``null`` exactly like Scala's
+    ``toString`` — ``concat_ws`` alone would silently DROP null columns
+    ("(a,c)"), shifting every later field for positional consumers.
     """
-    return F.concat(F.lit("("), F.concat_ws(",", *cols), F.lit(")"))
+    safe = [F.coalesce(c.cast("string"), F.lit("null")) for c in cols]
+    return F.concat(F.lit("("), F.concat_ws(",", *safe), F.lit(")"))

@@ -47,18 +47,23 @@ def asof_join(
             .drop("__rn")
         )
 
+    # __r_matched: explicit non-null match marker carried alongside the
+    # data columns. Inner-mode filtering on a DATA column would drop a
+    # legitimately-matched left row whose matched right value is NULL.
     carried = [f"__r_{c}" for c in right_cols]
     r = right.select(
         F.col(on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+        F.lit(True).alias("__r_matched"),
     )
     l = left.select(
         F.col(on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(r.schema[a].dataType).alias(a) for a in carried],
+        F.lit(None).cast("boolean").alias("__r_matched"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
     )
     r = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType))
@@ -74,15 +79,17 @@ def asof_join(
         "__left",
         "__side",
         *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        F.last("__r_matched", ignorenulls=True).over(w).alias("__r_matched"),
     ).filter(F.col("__side") == 1)
 
     out = filled.select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
         *[F.col(a).alias(c) for a, c in zip(carried, right_cols)],
+        "__r_matched",
     )
     if how == "inner":
-        out = out.filter(F.col(right_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__r_matched"))
+    return out.drop("__r_matched")
 
 
 def range_join(

@@ -381,29 +381,52 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("approx_distinct_sketch", oracle=None)
+SKETCH_ORACLE = """
+SELECT
+  c_mktsegment,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+  TRUE AS approx_within_rsd
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("approx_distinct_sketch", oracle=SKETCH_ORACLE)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_count_distinct`` (HyperLogLog++) per market segment.
 
     At 100 TB an exact COUNT(DISTINCT) shuffles every distinct value;
     the sketch shuffles fixed-size registers per group instead —
-    constant memory, one pass, mergeable across partitions. Sketches
-    are implementation-specific, so there is no cross-engine oracle
-    (driver records the rows-only check); the accuracy contract
-    (relative error vs exact ≤ 5% at the default rsd=0.05) is
-    enforced in tests/test_functions.py instead.
+    constant memory, one pass, mergeable across partitions. The sketch
+    VALUE is implementation-specific (DuckDB cannot reproduce it), so
+    the oracle-matched output carries the exact count plus a boolean
+    asserting the HLL estimate sits within ~3× the rsd=0.05 standard
+    error (HLL++ is hash-based and deterministic for fixed data, so
+    the boolean is stable). A hash mismatch on this row therefore
+    means the accuracy contract itself broke. The raw estimate value
+    is additionally bounds-checked in tests/test_functions.py.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    agg = (
         li.join(orders, col("o_orderkey") == col("l_orderkey"))
         .join(cust, col("c_custkey") == col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-            F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+            F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_suppliers"),
             F.countDistinct("l_suppkey").alias("exact_suppliers"),
         )
+    )
+    return agg.select(
+        "c_mktsegment",
+        "exact_suppliers",
+        (
+            F.abs(col("approx_suppliers") - col("exact_suppliers"))
+            <= 0.15 * col("exact_suppliers")
+        ).alias("approx_within_rsd"),
     )
 
 

@@ -67,15 +67,23 @@ class KeyedUpsertSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         merged = self._merge(batch_df)
-        # write-new-then-swap so a mid-write failure never clobbers
-        # current state (the parquet-rewrite analog of an atomic MERGE)
+        # Write-new-then-rename-swap. A delete-then-rename swap has a
+        # window (between rmtree and replace) where a crash loses ALL
+        # state and a concurrent reader sees no table; renaming the
+        # current state aside first means a valid state dir exists at
+        # every instant except the single atomic os.replace.
         tmp = tempfile.mkdtemp(
             prefix=".upsert_", dir=os.path.dirname(self.state_dir) or "."
         )
         merged.write.mode("overwrite").parquet(tmp)
+        old = self.state_dir + ".old"
+        if os.path.isdir(old):  # leftover from a crash after a swap
+            shutil.rmtree(old)
         if os.path.isdir(self.state_dir):
-            shutil.rmtree(self.state_dir)
+            os.rename(self.state_dir, old)
         os.replace(tmp, self.state_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     def read_state(self, spark) -> DataFrame:
         return spark.read.parquet(self.state_dir)

@@ -30,14 +30,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name)
     if key in cache:
         return cache[key]
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — unsupported by the
-        # Spark reader, so spark.sql.legacy.parquet.nanosAsLong
-        # surfaces it as nanos-since-epoch bigint. Convert via exact
-        # integer division (NOT float division: ~1.7e18 ns exceeds the
-        # double mantissa) to microseconds, matching DuckDB's own
-        # nanos→micros truncation so oracles agree.
+        # Spark reader unless spark.sql.legacy.parquet.nanosAsLong
+        # surfaces it as nanos-since-epoch bigint. Set the conf HERE,
+        # at runtime, not only at session-build time: callers (the
+        # external harness among them) hand us vanilla SparkSessions,
+        # and a runtime conf.set before the read is sufficient for the
+        # parquet schema converter. Safe to set repeatedly; read-time
+        # conf, no session restart needed.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # Convert nanos bigint via exact integer division (NOT float
+        # division: ~1.7e18 ns exceeds the double mantissa) to
+        # microseconds, matching DuckDB's own nanos→micros truncation
+        # so oracles agree.
         from pyspark.sql import functions as F
 
         df = df.withColumn(

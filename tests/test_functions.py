@@ -157,11 +157,22 @@ def test_dot_product_parity_with_duckdb(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
-    """HLL++ sketch accuracy: within 5% of exact per group."""
+    """HLL++ sketch accuracy: the registered query's boolean verdict
+    holds for every group, and the raw estimate (re-derived here, since
+    the oracle-matched output deliberately omits the engine-specific
+    value) is within 5% of exact."""
+    from pyspark.sql import functions as F
+
     from iot_sparkstreaming_spark.queries.registry import load_all
+    from iot_sparkstreaming_spark.tables import load_table
 
     q = load_all()["approx_distinct_sketch"]
     for r in q.spark(spark, "/root/testdata/sf0.01").collect():
-        assert abs(r.approx_suppliers - r.exact_suppliers) <= max(
-            0.05 * r.exact_suppliers, 2
-        ), r
+        assert r.approx_within_rsd, r
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("a"),
+        F.countDistinct("l_suppkey").alias("e"),
+    ).first()
+    assert abs(row.a - row.e) <= max(0.05 * row.e, 2), row

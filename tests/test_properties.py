@@ -136,6 +136,41 @@ def test_asof_join_matches_naive(spark, left, right):
         assert got.get(i) == expected, (i, k, t, cand)
 
 
+def test_asof_join_inner_keeps_null_right_values(spark):
+    """ADVICE r1: a matched right row whose carried value is NULL must
+    still count as a match in inner mode (the match marker, not a data
+    column, decides)."""
+    ldf = spark.createDataFrame([(1, 1, 10), (2, 2, 10)], ["lid", "k", "lt"])
+    rdf = spark.createDataFrame(
+        [(1, 5, None), (2, 5, "x")],
+        schema="k int, rt int, val string",
+    )
+    got = {
+        r.lid: (r.rt, r.val)
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="lt", right_time="rt",
+            right_cols=["val", "rt"], how="inner",
+        ).collect()
+    }
+    # first right_col is the NULL-valued one — the old isNotNull test dropped lid=1
+    assert got == {1: (5, None), 2: (5, "x")}
+
+
+def test_tuple_string_renders_null_fields(spark):
+    """Scala Tuple.toString renders null fields as the literal 'null';
+    concat_ws alone would drop them and shift later fields."""
+    (got,) = (
+        spark.range(1)
+        .select(
+            tuple_string(
+                F.lit("a"), F.lit(None).cast("string"), F.lit("c")
+            ).alias("s")
+        )
+        .collect()[0]
+    )
+    assert got == "(a,null,c)"
+
+
 @settings(**SETTINGS)
 @given(
     edges=st.lists(

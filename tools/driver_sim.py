@@ -1,10 +1,19 @@
-"""Simulate the driver's verify: entry() smoke + queries vs oracle_sql via DuckDB."""
+"""Simulate the driver's verify: entry() smoke + queries vs oracle_sql via DuckDB.
+
+``--vanilla`` builds a bare SparkSession with ZERO engine configs — the
+external driver's exact posture (this caught the round-1 nanosAsLong bug).
+"""
 import hashlib, importlib.util, sys
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
-from iot_sparkstreaming_spark.session import get_spark
 import duckdb
-spark = get_spark("driver-sim"); spark.sparkContext.setLogLevel("ERROR")
+if "--vanilla" in sys.argv:
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+else:
+    from iot_sparkstreaming_spark.session import get_spark
+    spark = get_spark("driver-sim")
+spark.sparkContext.setLogLevel("ERROR")
 
 df = mod.entry(spark)
 rows = df.collect()
