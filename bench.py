@@ -23,7 +23,9 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 #: headline set: one per capability family (scan-agg, multi-join,
-#: semi, top-k, window/argmax, stream-pipeline analog, join-heavy)
+#: semi, top-k, window/argmax, stream-pipeline analog, join-heavy),
+#: plus the LLM-pipeline operator families (dedup, ANN) so the scale
+#: operators get TIMED per round, not just oracle-checked.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -35,6 +37,16 @@ HEADLINE = [
     "user_activity_category",
     "latest_location",
     "history_by_user_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "doc_token_stats",
+    "tfidf_top_terms",
 ]
 
 

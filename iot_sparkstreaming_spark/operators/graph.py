@@ -59,3 +59,94 @@ def connected_components(
         if changed == 0:
             return labels.select("node", col("comp").alias("component"))
     raise RuntimeError(f"did not converge in {max_iterations} iterations")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Same contract as
+    :func:`connected_components`: returns ``(node, component)`` with
+    component = min node id; property-tested equal to min-label
+    propagation on random graphs.
+
+    Why it exists: min-label propagation converges in O(diameter)
+    rounds and each round re-shuffles the FULL edge set — fine for
+    shallow near-dup clusters, quadratic pain on planet-scale graphs
+    with long chains. Star operations instead rewire edges toward
+    each neighborhood's minimum, provably converging in O(log² n)
+    rounds while the edge set monotonically flattens into stars —
+    the variant you switch to when components may be deep.
+
+    Round shape (all distributed, loop on the driver):
+    * large-star: group by node over BOTH edge directions, m =
+      min(neighborhood ∪ self); rewire strictly-larger neighbors to m.
+    * small-star: orient edges large→small, group by the larger
+      endpoint, m = min(neighborhood); rewire the smaller neighbors
+      (and self) to m.
+    Each op is one groupBy-min + one join — the same shuffle
+    primitives as a round of label propagation, but on a shrinking
+    edge set. localCheckpoint truncates per-round lineage.
+    """
+    all_nodes = (
+        pairs.select(col(src).alias("node"))
+        .union(pairs.select(col(dst).alias("node")))
+        .distinct()
+    )
+    # star ops assume no self-loops; isolated/self-loop-only nodes are
+    # re-attached as their own singleton component at the end
+    edges = (
+        pairs.select(col(src).alias("u"), col(dst).alias("v"))
+        .filter(col("u") != col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(e.select(col("v").alias("u"), col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            nbrs.join(mins, "u")
+            .filter(col("v") > col("u"))
+            .select(col("v").alias("u"), col("m").alias("v"))
+            .filter(col("u") != col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            d.join(mins, "u")
+            .select(col("v").alias("u"), col("m").alias("v"))
+            .union(mins.select(col("u"), col("m").alias("v")))
+            .filter(col("u") != col("v"))
+            .distinct()
+        )
+        return rewired
+
+    for _ in range(max_iterations):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.subtract(edges).union(edges.subtract(new_edges)).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"did not converge in {max_iterations} iterations")
+
+    # converged edge set is a star forest: every edge is (node, root)
+    mapping = edges.select(
+        col("u").alias("node"), col("v").alias("component")
+    ).union(edges.select(col("v").alias("node"), col("v").alias("component")))
+    mapping = mapping.groupBy("node").agg(F.min("component").alias("component"))
+    return all_nodes.join(mapping, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )

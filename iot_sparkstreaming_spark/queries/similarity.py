@@ -72,6 +72,24 @@ _COS_SQL = (
     " / sqrt(list_dot_product({b}, {b})), 6)"
 )
 
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v double[], nv norm), MATERIALIZED: every query
+    here references the corpus from 2-4 plan branches, and Spark does
+    not reuse exchanges across self-join branches — without the
+    checkpoint each branch re-scans parquet and re-folds the norms.
+    Production shape: the vectors+norms table you write once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nv", _norm(col("v")))
+        .localCheckpoint(eager=True)
+    )
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact baseline)
 # ---------------------------------------------------------------------------
@@ -106,12 +124,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of only |queries|·|corpus-partition winners| via the rank
     — the canonical exact-kNN baseline the ANN variant is judged
     against. Ties broken by neighbor_id on the 6-dp-rounded cosine."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nv", _norm(col("v")))
+    e = _vectors(spark, sf_dir)
     q = e.filter(col("vec_id") < N_QUERIES).select(
         col("vec_id").alias("query_id"), col("v").alias("qv"), col("nv").alias("qn")
     )
@@ -222,47 +235,43 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical construction with the same literal
     hyperplanes, so the hash check proves the pruned plan computes
     exactly what it claims."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
+    e = _vectors(spark, sf_dir)
+    # band join + candidate DISTINCT move only (id, band, bucket);
+    # vectors join back per UNIQUE candidate so each pair pays one dot
+    # product and the dedup shuffle carries ids, not 512-byte arrays
+    bands = e.withColumn(
         "band_buckets",
         F.array(*[_band_bucket_col(col("v"), b) for b in range(N_BANDS)]),
-    ).withColumn("nv", _norm(col("v")))
-    bands = e.select(
-        "vec_id",
-        "label",
-        "v",
-        "nv",
-        F.posexplode("band_buckets").alias("band", "bucket"),
+    ).select("vec_id", F.posexplode("band_buckets").alias("band", "bucket"))
+    cand = (
+        bands.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").alias("query_id"), "band", "bucket")
+        .join(
+            bands.select(col("vec_id").alias("neighbor_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(col("query_id") != col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    q = bands.filter(col("vec_id") < N_QUERIES).select(
-        col("vec_id").alias("query_id"),
-        col("v").alias("qv"),
-        col("nv").alias("qn"),
-        "band",
-        "bucket",
+    qe = e.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("query_id"), col("v").alias("qv"), col("nv").alias("qn")
     )
-    c = bands.select(
+    ce = e.select(
         col("vec_id").alias("neighbor_id"),
         col("label").alias("neighbor_label"),
         col("v").alias("cv"),
         col("nv").alias("cn"),
-        "band",
-        "bucket",
     )
     scored = (
-        q.join(c, ["band", "bucket"])
-        .filter(col("query_id") != col("neighbor_id"))
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             "neighbor_label",
             _cosine_pre(col("qv"), col("cv"), col("qn"), col("cn")).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(col("cosine").desc(), col("neighbor_id"))
     return (
@@ -347,12 +356,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on cid with bounded fan-in. Recall vs the exact
     baseline is checked in tests/test_similarity_ops.py; THIS oracle
     proves the pruned plan computes exactly what it claims."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nv", _norm(col("v")))
+    e = _vectors(spark, sf_dir)
     cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
         col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
     )

@@ -1070,3 +1070,234 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.join(
         heavy, col("s_suppkey") == col("l_suppkey"), "left_semi"
     ).select("s_name", "s_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated-min subquery)
+# ---------------------------------------------------------------------------
+
+Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT *, MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM supply
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM best
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_size = 15 AND supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: lineitem MIN(extendedprice) per
+    (part, supplier) stands in for partsupp supply cost — the harness
+    has no partsupp). Defining shape kept: the correlated scalar
+    subquery "cost = (SELECT MIN(cost) ... WHERE same part)"
+    decorrelated into ONE window-min over the supply aggregate — the
+    per-part min rides the same shuffle as the aggregate itself
+    instead of a second scan + self-join (the classic Q2 rewrite).
+
+    Scale: region→nation→supplier prune BEFORE the fact aggregate
+    (constant dims broadcast); the window partitions by l_partkey,
+    the same key the groupBy just shuffled on, so AQE plans no extra
+    exchange. MIN needs no decimal trick (order-independent as-is).
+    """
+    region = load_table(spark, sf_dir, "region").filter(col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    euro_supp = (
+        supplier.join(
+            broadcast(nation.join(broadcast(region), col("n_regionkey") == col("r_regionkey"))),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = (
+        li.join(euro_supp, col("l_suppkey") == col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min("l_extendedprice").alias("supply_cost"),
+            F.first("s_name").alias("s_name"),
+            F.first("s_acctbal").alias("s_acctbal"),
+            F.first("n_name").alias("n_name"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey")
+    best = supply.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        col("supply_cost") == col("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(col("p_size") == 15)
+    return (
+        best.join(part, col("p_partkey") == col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts (global-scalar HAVING subquery)
+# ---------------------------------------------------------------------------
+
+Q11_FRACTION = 0.001
+
+Q11_ORACLE = f"""
+WITH nation_value AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_9'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM nation_value
+WHERE CAST(value_dec AS DOUBLE) >
+      {Q11_FRACTION} * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM nation_value)
+"""
+
+
+@register("q11_important_parts", oracle=Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: shipped value per part from one nation's
+    suppliers stands in for partsupp stock value). Defining shape
+    kept: the HAVING threshold against a GLOBAL scalar subquery —
+    computed as a 1-row aggregate of the SAME grouped frame,
+    broadcast into the filter (no second fact scan; the grouped frame
+    is materialized once and reused for both the rows and the total).
+
+    Determinism: the per-part sums accumulate in decimal; both the
+    part value and the global total cast to double only at the
+    comparison/output boundary, so the filter is bitwise-stable at
+    any parallelism.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(col("n_name") == "NATION_9")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat_supp = supplier.join(
+        broadcast(nation), col("s_nationkey") == col("n_nationkey")
+    ).select("s_suppkey")
+    value = (
+        li.join(nat_supp, col("l_suppkey") == col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(col("l_extendedprice").cast("decimal(38,4)")).alias("value_dec"))
+        .localCheckpoint(eager=True)  # reused by rows AND the scalar total
+    )
+    total = value.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        value.crossJoin(broadcast(total))
+        .filter(
+            col("value_dec").cast("double") > Q11_FRACTION * col("total_value")
+        )
+        .select("l_partkey", col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+Q21_ORACLE = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+),
+participants AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM returned r1
+JOIN orders ON o_orderkey = r1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = r1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_9'
+  AND EXISTS (
+    SELECT 1 FROM participants p
+    WHERE p.l_orderkey = r1.l_orderkey AND p.l_suppkey <> r1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM returned r2
+    WHERE r2.l_orderkey = r1.l_orderkey AND r2.l_suppkey <> r1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_suppliers", oracle=Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: a RETURNED lineitem stands in for a late
+    delivery — the harness carries no commit/receipt dates). Defining
+    shape kept exactly: the double-correlated EXISTS (another supplier
+    participated in the order) + NOT EXISTS (no OTHER supplier had a
+    return) over the same fact table, i.e. the sole at-fault supplier
+    of a finished multi-supplier order.
+
+    Plan: both correlations become key-local joins on l_orderkey — a
+    semi-join-shaped inner join against the distinct participant set
+    (guarded to a different supplier) and a left-anti against the
+    returned set under the same guard. Everything shuffles once on
+    l_orderkey; the count aggregates per supplier at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = (
+        li.filter(col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    )
+    participants = li.select("l_orderkey", "l_suppkey").distinct()
+
+    r1 = returned.select(
+        col("l_orderkey").alias("o_key"), col("l_suppkey").alias("supp")
+    )
+    # EXISTS: some other supplier participated in the order
+    other_part = participants.select(
+        col("l_orderkey").alias("o_key"), col("l_suppkey").alias("other_supp")
+    )
+    with_other = (
+        r1.join(other_part, "o_key")
+        .filter(col("other_supp") != col("supp"))
+        .select("o_key", "supp")
+        .distinct()
+    )
+    # NOT EXISTS: no other supplier had a return in the same order
+    other_ret = returned.select(
+        col("l_orderkey").alias("o_key"), col("l_suppkey").alias("ret_supp")
+    )
+    sole_fault = with_other.join(
+        other_ret,
+        (with_other.o_key == other_ret.o_key) & (col("ret_supp") != col("supp")),
+        "left_anti",
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(col("o_orderstatus") == "F")
+    nation = load_table(spark, sf_dir, "nation").filter(col("n_name") == "NATION_9")
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        broadcast(nation), col("s_nationkey") == col("n_nationkey")
+    )
+    return (
+        sole_fault.join(orders, col("o_key") == col("o_orderkey"))
+        .join(supplier, col("supp") == col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -207,3 +207,38 @@ def test_connected_components_matches_union_find(spark, edges):
         r.node: r.component for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_star_matches_min_label(spark, edges):
+    """Large-star/small-star must produce the IDENTICAL (node,
+    component) mapping as min-label propagation — same contract, the
+    O(log² n)-round swap for deep graphs."""
+    from iot_sparkstreaming_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    base = {r.node: r.component for r in connected_components(df).collect()}
+    star = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert star == base
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 40-node path graph (diameter 39) — the worst case for
+    min-label propagation — must converge for the star variant well
+    under the iteration cap and map every node to component 0."""
+    from iot_sparkstreaming_spark.operators.graph import connected_components_star
+
+    edges = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.component for r in connected_components_star(df, max_iterations=12).collect()}
+    assert got == {i: 0 for i in range(40)}

@@ -45,6 +45,30 @@ def test_ivf_recall(spark, exact_neighbors):
     assert _recall(spark, "ann_ivf_cosine", exact_neighbors) >= 0.4
 
 
+def test_embedding_neardup_banded_vs_exact(spark):
+    """The registered banded near-dup operator must be a strict
+    precision-1 subset of the brute-force ground truth (rescoring is
+    exact, so every emitted pair is a true pair), with recall above
+    the measured floor. Fixture qualifying cosines hug the 0.4
+    threshold (random-ish vectors — the LSH worst case), so the floor
+    is deliberately modest; the point is the subset relationship and
+    that banding finds a non-trivial share."""
+    from iot_sparkstreaming_spark.queries.dedup import dedup_embedding_cosine_exact
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine_exact(spark, SF_DIR_ORACLE).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in REGISTRY["dedup_embedding_cosine"].spark(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(banded) <= set(exact)  # precision 1.0
+    for pair, c in banded.items():
+        assert c == exact[pair]  # bitwise-identical cosines
+    assert len(banded) / len(exact) >= 0.5  # measured: 36/59 ≈ 0.61
+
+
 def test_ivf_prunes_candidates(spark):
     """The IVF result must be a genuine subset of the work: every
     query returns at most TOP_K rows and never scores itself."""

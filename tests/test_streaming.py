@@ -135,6 +135,61 @@ def test_streaming_end_to_end_file_to_memory(spark, tmp_path):
     }
 
 
+def test_payload_writer_file_edge_end_to_end(spark, tmp_path):
+    """K5 producer edge through the sink BUILDER (io/sinks.py): file
+    source → warning pipeline → payload_writer(files) — the same
+    builder whose kafka branch is the production path. The published
+    lines must be the exact Scala-tuple byte format."""
+    from iot_sparkstreaming_spark.io.sinks import payload_writer
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch0.txt").write_text("\n".join(FITBIT_LINES) + "\n")
+    out_dir = tmp_path / "out"
+    lines = spark.readStream.format("text").load(str(src))
+    out = warning_pipeline(parse_csv_records(lines, FITBIT_SCHEMA, "fitbit"))
+    q = (
+        payload_writer(
+            out,
+            sink="files",
+            path=str(out_dir),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.value for r in spark.read.text(str(out_dir)).collect()}
+    assert got == {
+        "(u1,critical,1478512345000)",
+        "(u2,simple,1478512346000)",
+        "(u4,critical,1478512348000)",
+    }
+
+
+def test_payload_writer_kafka_branch_builds(spark):
+    """The kafka branch must BUILD (format/options wired) — no broker
+    exists in the container, so .start() is not attempted; config
+    validation errors would surface at build time."""
+    from iot_sparkstreaming_spark.io.sinks import payload_writer
+
+    stream = spark.readStream.format("rate").load().select(
+        F.col("value").cast("string").alias("payload"),
+        F.col("value").cast("string").alias("user_id"),
+    )
+    w = payload_writer(
+        stream,
+        sink="kafka",
+        key_col="user_id",
+        topic="warningNotification",
+        kafka_bootstrap="localhost:9092",
+    )
+    assert w is not None
+
+
 def test_keyed_upsert_out_of_order_and_replay(spark, tmp_path, fitbit_df):
     """K2 fix: state keyed by event time, not arrival order — a LATE
     row arriving in a later batch must NOT overwrite newer state; and
