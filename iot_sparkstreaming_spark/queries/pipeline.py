@@ -1,0 +1,259 @@
+"""Training-data pipeline operators over ``documents``: benchmark
+contamination check, stratified deterministic sampling, and
+context-window chunking.
+
+These extend the LLM-pipeline families (dedup / similarity / text)
+with the remaining ops a corpus-preparation pipeline runs between
+"raw documents" and "training batches". All plan shapes are the ones
+that survive 100 TB: inverted-index joins on n-gram keys (never
+all-pairs), hash-derived pure-function assignments (never RNG), and
+explode-based chunking (never per-row Python).
+
+Everything is oracle-checked bitwise against DuckDB; split/sample
+membership is a pure function of ids via md5, so both engines agree
+exactly (same construction as queries/text.py train_test_split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: test-split n-grams appearing in train docs
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 5  # word n-gram width
+
+#: doc_id-hash bucket, identical to text.py train_test_split
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+
+CONTAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_BUCKET_SQL} AS bucket,
+    list_distinct(list_transform(generate_series(1, len(tk)-{CONTAM_N - 1}),
+                  i -> array_to_string(tk[i:i+{CONTAM_N - 1}], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents)
+  WHERE len(tk) >= {CONTAM_N}
+),
+test_grams AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh WHERE bucket >= 9
+),
+train_grams AS (
+  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE bucket < 8
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS contamination_rate
+FROM test_grams t LEFT JOIN train_grams tr ON t.g = tr.g
+GROUP BY t.doc_id
+"""
+
+
+@register("contamination_ngram_overlap", oracle=CONTAM_ORACLE)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: for every TEST-split document,
+    the fraction of its distinct 5-gram shingles that occur
+    anywhere in the TRAIN split — the canonical pre-release eval-leak
+    check (the split is the same doc_id-hash bucketing as
+    ``train_test_split``, so membership needs no stored table).
+
+    Plan shape: one tokenize+shingle pass over the corpus, split into
+    the two sides BY FILTER on the hash bucket (no second scan); the
+    overlap is an inverted-index LEFT join on the gram key — test-side
+    grams against the distinct train-gram set — never a doc×doc
+    comparison. Shuffles: gram-keyed join + doc-keyed final count.
+    At 100 TB the train-gram set is the big side; it arrives
+    pre-distinct (one hash agg) so the join carries each gram once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("tok", i).over(w) for i in range(1, CONTAM_N)]
+    grams = (
+        tk.select(
+            "doc_id",
+            F.concat_ws(" ", col("tok"), *lead_cols).alias("g"),
+            lead_cols[-1].isNotNull().alias("full_width"),
+        )
+        .filter(col("full_width"))
+        .select("doc_id", "g")
+        .distinct()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    grams = grams.withColumn("bucket", bucket).localCheckpoint(eager=True)
+    test_grams = grams.filter(col("bucket") >= 9).select("doc_id", "g")
+    train_grams = grams.filter(col("bucket") < 8).select("g").distinct()
+    hit = train_grams.withColumn("__hit", F.lit(1))
+    return (
+        test_grams.join(hit, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+            (
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double") / F.count("*")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling (per-stratum rates, no RNG)
+# ---------------------------------------------------------------------------
+
+#: per-source sampling percentage: heavier draw from even-numbered
+#: sources — demonstrates per-stratum rates as data, not code
+SAMPLE_PCT_EVEN = 50
+SAMPLE_PCT_ODD = 10
+
+SAMPLE_ORACLE = f"""
+WITH tagged AS (
+  SELECT source,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))::BIGINT
+      % 100 AS ticket,
+    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+         THEN {SAMPLE_PCT_EVEN} ELSE {SAMPLE_PCT_ODD} END AS pct,
+    doc_id
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN ticket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  MIN(CASE WHEN ticket < pct THEN doc_id END) AS min_sampled_doc_id
+FROM tagged
+GROUP BY source
+"""
+
+
+@register("stratified_sample_by_source", oracle=SAMPLE_ORACLE)
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with PER-STRATUM rates (50% from even
+    sources, 10% from odd), membership decided by a hash of
+    (doc_id, stratum) — reproducible across reruns, engines, and
+    partitionings, unlike ``df.sample`` whose draw depends on
+    partition layout and seed plumbing. The (id, stratum) salt means
+    a document appearing under two sources draws independent tickets.
+
+    Plan: map-only ticket assignment; the only shuffle is the
+    per-stratum count aggregate. At 100 TB the sampled SUBSET (filter
+    ``ticket < pct``) feeds downstream stages scan-pruned; this query
+    reports the per-stratum accounting that validates the draw.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ticket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", col("doc_id").cast("string"), col("source"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    pct = (
+        F.when(
+            F.substring(col("source"), 4, 10).cast("bigint") % 2 == 0,
+            F.lit(SAMPLE_PCT_EVEN),
+        ).otherwise(F.lit(SAMPLE_PCT_ODD))
+    )
+    return (
+        docs.select("source", ticket.alias("ticket"), pct.alias("pct"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(col("ticket") < col("pct"), 1)).alias("n_sampled"),
+            F.min(F.when(col("ticket") < col("pct"), col("doc_id"))).alias(
+                "min_sampled_doc_id"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+CHUNK_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+    CAST(c AS BIGINT) AS chunk_id,
+    toks[c*{CHUNK_STRIDE}+1 : c*{CHUNK_STRIDE}+{CHUNK_TOKENS}] AS win
+  FROM tk,
+    (SELECT unnest(generate_series(0, 1000)) AS c)
+  WHERE c*{CHUNK_STRIDE} < len(toks)
+)
+SELECT doc_id, chunk_id,
+  CAST(len(win) AS BIGINT) AS n_tokens,
+  win[1] AS first_token,
+  win[len(win)] AS last_token
+FROM chunks
+"""
+
+
+@register("chunk_documents", oracle=CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document becomes overlapping
+    50-token windows advancing by 40 (10-token
+    overlap carries context across boundaries) — the step that turns
+    cleaned documents into model-sized training sequences.
+
+    Plan: tokenize once per doc, then ``explode(sequence(...))`` over
+    the chunk indices and ``slice`` the token array per chunk — all
+    inside codegen, no Python, no shuffle at all until whatever
+    aggregation consumes the chunks (this query emits the chunk
+    manifest; the text payload would ride along in production).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1).alias(
+                "toks"
+            ),
+        )
+        .withColumn("n_doc_tokens", F.size("toks"))
+        # token-less docs yield no chunks; also guards sequence(), whose
+        # (0, n-1) form would infer a NEGATIVE step when n_chunks == 0
+        .filter(col("n_doc_tokens") > 0)
+    )
+    n_chunks = F.ceil(col("n_doc_tokens").cast("double") / CHUNK_STRIDE).cast("bigint")
+    chunks = tk.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).filter(col("chunk_id") * CHUNK_STRIDE < F.size("toks"))
+    win = F.slice(col("toks"), col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(win).cast("bigint").alias("n_tokens"),
+        F.element_at(win, 1).alias("first_token"),
+        F.element_at(win, F.size(win)).alias("last_token"),
+    )

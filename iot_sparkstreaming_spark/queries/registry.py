@@ -60,6 +60,7 @@ _MODULE_ORDER = [
     "similarity",
     "multimodal",
     "sql_surface",
+    "pipeline",
     "dedup",
     "analytics",
     "functions",
@@ -75,6 +76,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         functions,
         multimodal,
+        pipeline,
         reference,
         similarity,
         sql_surface,

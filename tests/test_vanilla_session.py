@@ -45,6 +45,7 @@ names = [
     "knn_bruteforce_cosine",     # similarity
     "multimodal_manifest",       # multimodal
     "sql_revenue_by_region",     # sql_surface
+    "chunk_documents",           # pipeline
     "dedup_exact",               # dedup
     "rollup_customer_census",    # analytics
     "json_extract_events",       # functions (events-backed)
