@@ -102,6 +102,47 @@ def range_join(
     Catalyst plans the equi-part as a hash/sort-merge join and applies
     the range predicate as a post-join filter — the right plan when
     the equi-key is selective (per-user ranges). For band joins with
-    no equi-key, bucketize the range into an equi-key first.
+    no equi-key, see :func:`band_join`.
     """
     return left.join(right, (left[on] == right[on]) & condition)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    band: int,
+) -> DataFrame:
+    """|left_on − right_on| ≤ band join with NO equi-key — the case a
+    naive formulation turns into a broadcast-nested-loop (cross
+    product × filter: dead beyond toy sizes, Spark has no native
+    batch interval join).
+
+    Construction: MANUFACTURE the equi-key by bucketing the band
+    column to the band width. A qualifying pair's buckets differ by
+    at most 1, so the left side explodes to its bucket ±1 (3 rows)
+    and joins the right's single bucket on equality; the exact band
+    predicate then prunes the bucket-collision false positives.
+    Cost: 3×|left|+|right| rows shuffled on bucket keys and only
+    intra-bucket pairs materialized — the standard interval-bucketing
+    rewrite (same trick Flink's interval join and KDB's window join
+    use), linear in input + true-output size for bounded density.
+
+    ``left_on`` / ``right_on`` must be integral (epoch ms/us);
+    ``band`` is inclusive, in the same unit. Column names must be
+    disjoint across the two inputs.
+    """
+    lb = F.floor(F.col(left_on) / F.lit(band))
+    rb = F.floor(F.col(right_on) / F.lit(band))
+    l3 = left.withColumn(
+        "__bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r1 = right.withColumn("__bucket", rb)
+    return (
+        l3.join(r1, "__bucket")
+        .filter(
+            F.abs(F.col(left_on) - F.col(right_on)) <= band
+        )
+        .drop("__bucket")
+    )

@@ -400,6 +400,57 @@ def range_join_views_before_error(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Keyless band join (bucketized interval join)
+# ---------------------------------------------------------------------------
+
+BAND_MS = 60_000  # ±60 s
+
+BAND_ORACLE = f"""
+WITH e AS (
+  SELECT event_id AS error_id, epoch_ms(ts) AS e_ms
+  FROM events WHERE event_type = 'error'
+),
+s AS (
+  SELECT event_id AS signup_id, epoch_ms(ts) AS s_ms
+  FROM events WHERE event_type = 'signup'
+)
+SELECT error_id, signup_id, CAST(e_ms - s_ms AS BIGINT) AS delta_ms
+FROM e JOIN s ON abs(e_ms - s_ms) <= {BAND_MS}
+"""
+
+
+@register("band_join_error_near_signup", oracle=BAND_ORACLE)
+def band_join_error_near_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join: every (error, signup) event pair within
+    ±60 s of each other, across ALL users — no equi-key exists, so a
+    declarative inequality join would plan as broadcast-nested-loop
+    (cross product × filter). Routed through
+    ``operators/joins.py band_join``: time bucketed to the band width
+    manufactures the equi-key (left explodes to bucket ±1), the exact
+    predicate prunes bucket false-positives — linear in inputs + true
+    output instead of |errors|×|signups|. The oracle states the pure
+    inequality-join semantics, proving the bucketed plan loses and
+    invents nothing."""
+    from iot_sparkstreaming_spark.operators.joins import band_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(col("event_type") == "error").select(
+        col("event_id").alias("error_id"), F.unix_millis(col("ts")).alias("e_ms")
+    )
+    signups = ev.filter(col("event_type") == "signup").select(
+        col("event_id").alias("signup_id"), F.unix_millis(col("ts")).alias("s_ms")
+    )
+    return (
+        band_join(errors, signups, "e_ms", "s_ms", BAND_MS)
+        .select(
+            "error_id",
+            "signup_id",
+            (col("e_ms") - col("s_ms")).cast("bigint").alias("delta_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tumbling event-time window (batch twin of streaming windowed aggs)
 # ---------------------------------------------------------------------------
 

@@ -1127,8 +1127,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # one explicit partitioning on l_partkey serves BOTH the (partkey,
+    # suppkey) aggregate (hash partitioning on a subset satisfies the
+    # clustering requirement) and the per-part window min — without it
+    # the plan pays two full-data exchanges back to back
     supply = (
         li.join(euro_supp, col("l_suppkey") == col("s_suppkey"))
+        .repartition(col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.min("l_extendedprice").alias("supply_cost"),
@@ -1260,8 +1265,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey; the count aggregates per supplier at the end.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # materialized: `returned` feeds both the driving side (r1) and the
+    # NOT-EXISTS probe (other_ret); without it lineitem is scanned and
+    # distinct-ed twice for the same set
     returned = (
-        li.filter(col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+        li.filter(col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     participants = li.select("l_orderkey", "l_suppkey").distinct()
 

@@ -136,6 +136,37 @@ def test_asof_join_matches_naive(spark, left, right):
         assert got.get(i) == expected, (i, k, t, cand)
 
 
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.integers(-100, 100), min_size=1, max_size=25),
+    right=st.lists(st.integers(-100, 100), min_size=1, max_size=25),
+    band=st.integers(1, 40),
+)
+def test_band_join_matches_naive(spark, left, right, band):
+    """The bucketized keyless band join must return exactly the pairs
+    |l − r| ≤ band, including negative values (floor-div bucketing)
+    and band-boundary ties, with no duplicates."""
+    from iot_sparkstreaming_spark.operators.joins import band_join
+
+    ldf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(left)], ["lid", "lv"]
+    )
+    rdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(right)], ["rid", "rv"]
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in band_join(ldf, rdf, "lv", "rv", band).collect()
+    )
+    expected = sorted(
+        (li, ri)
+        for li, lv in enumerate(left)
+        for ri, rv in enumerate(right)
+        if abs(lv - rv) <= band
+    )
+    assert got == expected
+
+
 def test_asof_join_inner_keeps_null_right_values(spark):
     """ADVICE r1: a matched right row whose carried value is NULL must
     still count as a match in inner mode (the match marker, not a data
