@@ -536,15 +536,28 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # RECURSIVE applies to the whole WITH list, so it must be injected at
-# the front of the shared shingles CTE
+# the front of the shared shingles CTE. The pair derivation mirrors
+# JACCARD_ORACLE exactly (inverted index + stop-shingle cutoff) so the
+# component graph is built over the SAME edge semantics the Spark side
+# computes via dedup_ngram_jaccard.
 COMPONENTS_ORACLE = (
     SHINGLES_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
     + f"""
-, pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+, posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+kept AS (
+  SELECT doc_id, s FROM posts
+  WHERE s IN (SELECT s FROM posts GROUP BY s HAVING COUNT(*) <= {STOP_SHINGLE_MAX_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
 ),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
