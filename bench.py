@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_ivf_cosine",
     "doc_token_stats",
     "tfidf_top_terms",
+    "pack_token_sequences",
 ]
 
 

@@ -599,3 +599,73 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         col("node").alias("doc_id"), col("component").alias("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection (the dedup family's final output)
+# ---------------------------------------------------------------------------
+
+#: extends COMPONENTS_ORACLE: turn its final SELECT into a CTE, then
+#: join every document (singletons keep their own doc_id as component)
+#: and flag the canonical survivor per component — longest doc wins,
+#: ties to the smallest doc_id.
+CANONICAL_ORACLE = COMPONENTS_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node",
+    f""", comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+),
+tok AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+    AS n_tokens
+  FROM documents
+),
+joined AS (
+  SELECT t.doc_id, COALESCE(c.component_id, t.doc_id) AS component_id,
+         t.n_tokens
+  FROM tok t LEFT JOIN comp c ON c.doc_id = t.doc_id
+)
+SELECT doc_id, component_id, n_tokens,
+  ROW_NUMBER() OVER (PARTITION BY component_id
+                     ORDER BY n_tokens DESC, doc_id) = 1 AS is_canonical
+FROM joined""",
+)
+
+
+@register("dedup_canonical_docs", oracle=CANONICAL_ORACLE)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the dedup family's terminal
+    step: pairs → components → ONE surviving document per near-dup
+    cluster. Every document gets a row; singletons form their own
+    component (component_id = doc_id) and survive trivially; within a
+    cluster the longest document wins (ties to smallest doc_id).
+    ``filter(is_canonical)`` is the post-dedup training corpus.
+
+    Plan shape: the component table is tiny relative to the corpus
+    (only near-dup members appear in it), so the corpus-side LEFT
+    join is effectively map-side at scale (AQE broadcasts the small
+    side; no hint — its size is data-dependent); the survivor pick is
+    one window over a shuffle keyed by component_id carrying only
+    (doc_id, n_tokens). The text column never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    comp = dedup_components(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.size(tokens(col("text"))).cast("bigint").alias("n_tokens")
+    )
+    joined = (
+        tok.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(col("component_id"), col("doc_id")).alias("component_id"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(col("n_tokens").desc(), "doc_id")
+    return joined.select(
+        "doc_id",
+        "component_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

@@ -257,3 +257,94 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(win, 1).alias("first_token"),
         F.element_at(win, F.size(win)).alias("last_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (concat-and-chunk across documents)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training pack
+PACK_WORKERS = 8  # independent packing streams (hash-sharded)
+
+PACK_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {PACK_WORKERS}
+      AS shard,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM tk WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+  CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS first_pack,
+  CAST((cum_before + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS last_pack,
+  CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS offset_in_pack
+FROM cum
+"""
+
+
+@register("pack_token_sequences", oracle=PACK_ORACLE)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each shard's token stream and cut
+    it into fixed 256-token packs — the step that turns
+    variable-length documents into dense training sequences (documents
+    straddling a boundary span ``first_pack..last_pack``; the trainer
+    splits them at the boundary, GPT-style concat-and-chunk).
+
+    Packing is sequential by nature, so the distributed form shards
+    the corpus into 8 independent streams by doc_id hash
+    — exactly how a multi-worker packer runs — and packs each stream
+    by a running token total. Determinism: shard assignment is an md5
+    hash of doc_id (engine-portable) and in-shard order is doc_id, so
+    the layout is a pure function of the corpus, reproducible across
+    reruns and engines (the oracle replays it bitwise).
+
+    Plan: one tokenize+count pass (map-only), one shuffle on the
+    shard key, one running-sum window per shard. At 100 TB, shard
+    count scales with the cluster (it is the parallelism knob), and
+    the window carries only (doc_id, n_tokens) — the text itself never
+    shuffles; production would join the layout back to payloads by
+    doc_id at write time.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % PACK_WORKERS
+    )
+    tk = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(
+            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - col("n_tokens")).alias("cum_before")
+    # zero-token docs are dropped AFTER the window, not before: they
+    # add 0 to the running sum so the layout is identical, and a
+    # pre-window filter would be pushed below the projection,
+    # re-inlining the tokenize regex to run twice per row (the
+    # expression-inlining trap — see dedup.py's explode-first note).
+    cum = tk.select("doc_id", "shard", "n_tokens", cum_before).filter(
+        col("n_tokens") > 0
+    )
+    return cum.select(
+        "doc_id",
+        col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        F.floor(col("cum_before") / PACK_BUDGET).cast("bigint").alias("first_pack"),
+        F.floor((col("cum_before") + col("n_tokens") - 1) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("last_pack"),
+        (col("cum_before") % PACK_BUDGET).cast("bigint").alias("offset_in_pack"),
+    )

@@ -288,6 +288,79 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Int8 symmetric quantization (vector-index compression)
+# ---------------------------------------------------------------------------
+
+QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
+),
+q AS (
+  SELECT vec_id, amax,
+    CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS BIGINT))
+    END AS qv
+  FROM s
+)
+SELECT vec_id,
+  CAST(len(qv) AS BIGINT) AS n_dims,
+  amax / 127.0 AS scale,
+  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+  CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_abs_q
+FROM q
+"""
+
+
+@register("quantize_embeddings_int8", oracle=QUANT_ORACLE)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the index-compression
+    pass of a vector-search pipeline (4x smaller than float32, 8x
+    smaller than the double working form; dequantize is q*scale).
+    Codes are ``floor(x*127/amax + 0.5)`` (round-half-up toward +inf,
+    identical in both engines via FLOOR — never engine ``round()``,
+    whose half-tie rule differs); all-zero vectors quantize to zeros
+    with scale 0.
+
+    Emits the per-vector audit row (dims, scale, integer checksums) —
+    integer outputs make the quantizer bitwise-checkable; the
+    reconstruction-error bound is asserted in
+    tests/test_similarity_ops.py. Plan: pure map-only pass, one scan,
+    zero shuffles; each HOF stage lives in its own select so the amax
+    reduction isn't re-inlined per element (expression-inlining trap).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    s = e.select(
+        "vec_id",
+        "v",
+        F.array_max(F.transform(col("v"), F.abs)).alias("amax"),
+    )
+    qv = F.when(
+        col("amax") == 0,
+        F.transform(col("v"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(col("v"), lambda x: F.floor(x * 127.0 / col("amax") + 0.5))
+    )
+    q = s.select("vec_id", "amax", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.size("qv").cast("bigint").alias("n_dims"),
+        (col("amax") / 127.0).alias("scale"),
+        F.aggregate(
+            col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+        F.array_max(F.transform(col("qv"), F.abs)).cast("bigint").alias("max_abs_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style partitioned ANN (the clustered scale path)
 # ---------------------------------------------------------------------------
 

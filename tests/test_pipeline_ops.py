@@ -80,3 +80,60 @@ def test_contamination_rates_bounded(spark):
     for r in rows:
         assert 0 <= r.n_contaminated <= r.n_grams
         assert abs(r.contamination_rate - r.n_contaminated / r.n_grams) < 1e-12
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing layout must be a gap-free tiling of each shard's token
+    stream: offsets stay inside the budget, pack spans are consistent
+    with token counts, and consecutive docs in a shard abut exactly
+    (next offset == previous end mod budget, with the pack index
+    advancing by the carry) — i.e. no token is lost or duplicated."""
+    from iot_sparkstreaming_spark.queries.pipeline import (
+        PACK_BUDGET,
+        pack_token_sequences,
+    )
+
+    rows = (
+        pack_token_sequences(spark, SF_DIR_ORACLE)
+        .orderBy("shard", "doc_id")
+        .collect()
+    )
+    assert rows, "fixture documents must produce at least one packed doc"
+    last_end = {}  # shard -> (pack, offset) one past the previous doc
+    for r in rows:
+        assert 0 <= r.offset_in_pack < PACK_BUDGET
+        assert r.first_pack <= r.last_pack
+        # span consistency: the doc's final token lands in last_pack
+        end_abs = r.first_pack * PACK_BUDGET + r.offset_in_pack + r.n_tokens - 1
+        assert end_abs // PACK_BUDGET == r.last_pack
+        if r.shard in last_end:
+            prev_abs = last_end[r.shard]
+            assert r.first_pack * PACK_BUDGET + r.offset_in_pack == prev_abs
+        else:
+            assert (r.first_pack, r.offset_in_pack) == (0, 0)
+        last_end[r.shard] = end_abs + 1
+
+
+def test_canonical_selection_per_component(spark):
+    """Exactly one canonical doc per component; the survivor is the
+    longest member (ties to smallest doc_id); non-canonical rows only
+    occur in clusters of >= 2; every fixture document appears once."""
+    from iot_sparkstreaming_spark.queries.dedup import dedup_canonical_docs
+    from iot_sparkstreaming_spark.tables import load_table
+
+    rows = dedup_canonical_docs(spark, SF_DIR_ORACLE).collect()
+    n_docs = load_table(spark, SF_DIR_ORACLE, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    assert any(len(m) > 1 for m in by_comp.values()), "fixture must have clusters"
+    for members in by_comp.values():
+        canon = [r for r in members if r.is_canonical]
+        assert len(canon) == 1
+        expect = min(members, key=lambda r: (-r.n_tokens, r.doc_id))
+        assert canon[0].doc_id == expect.doc_id
+        if len(members) == 1:
+            assert members[0].is_canonical

@@ -78,3 +78,36 @@ def test_ivf_prunes_candidates(spark):
         per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
         assert r.neighbor_id != r.query_id
     assert per_query and all(n <= 5 for n in per_query.values())
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    """Dequantized values (q*scale) must sit within half a quantization
+    step of the original in every dimension, and codes must fill the
+    int8 range (max_abs_q == 127 for every non-zero vector)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from iot_sparkstreaming_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id",
+        F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    quant = REGISTRY["quantize_embeddings_int8"].spark(spark, SF_DIR_ORACLE)
+    joined = emb.join(quant, "vec_id")
+    # reconstruct each dim as floor(x*127/amax+0.5)*scale and take the
+    # worst |x - dequant|; the half-up rule bounds it by scale/2
+    amax = col("scale") * 127.0
+    dequant_err = F.array_max(
+        F.transform(
+            col("v"),
+            lambda x: F.abs(x - F.floor(x / amax * 127.0 + 0.5) * col("scale")),
+        )
+    )
+    rows = joined.select(
+        "vec_id", "scale", "max_abs_q", dequant_err.alias("err")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_q == 127
+        assert r.err <= r.scale / 2 + 1e-12, (r.vec_id, r.err, r.scale)

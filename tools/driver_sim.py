@@ -3,10 +3,11 @@
 ``--vanilla`` builds a bare SparkSession with ZERO engine configs — the
 external driver's exact posture (this caught the round-1 nanosAsLong bug).
 """
-import hashlib, importlib.util, sys
+import hashlib, importlib.util, os, sys
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
 import duckdb
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 if "--vanilla" in sys.argv:
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.master("local[8]").getOrCreate()
@@ -22,7 +23,7 @@ print("ENTRY OK rows=", len(rows), "schema=", [f.name for f in df.schema])
 qs, oracles = mod.queries(), mod.oracle_sql()
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
 def vhash(cols, rows):
     cols = list(cols); order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -37,7 +38,7 @@ def norm(v):
 
 fail = 0
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, "/root/testdata/sf0.01")
+    sdf = fn(spark, SF_DIR)
     srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
     if name not in oracles:
         print(f"{name}: NO-ORACLE rows={len(srows)}"); continue
