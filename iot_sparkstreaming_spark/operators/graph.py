@@ -1,9 +1,9 @@
-"""Iterative graph operators: connected components.
+"""Iterative graph operators: connected components and PageRank.
 
 The engine's iterative-algorithm shape (driver-controlled loop of
 distributed joins/aggregations). Used by the dedup family to turn
-pairwise near-dup matches into clusters; exposed as a library
-operator because any entity-resolution pipeline needs it.
+pairwise near-dup matches into clusters; exposed as library
+operators because any entity-resolution pipeline needs them.
 """
 
 from __future__ import annotations
@@ -150,3 +150,70 @@ def connected_components_star(
     return all_nodes.join(mapping, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+#: fixed-point scale for integer PageRank: ranks are stored as
+#: rank * PR_SCALE in a bigint, so every operation is exact integer
+#: arithmetic (floor division) — bitwise reproducible across engines,
+#: which float/decimal division is not.
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list, in
+    fixed-point integer arithmetic; returns ``(node, pr)`` where
+    ``pr`` ≈ rank * PR_SCALE.
+
+    Update rule per iteration (d = damping_pct/100)::
+
+        pr'(v) = (1-d)*PR_SCALE + d * Σ_{u→v} (pr(u) // outdeg(u))
+
+    with every division a FLOOR division on bigints, so two engines
+    computing this independently agree bit-for-bit (no float sum
+    order, no decimal quotient rounding). Dangling mass is dropped
+    (standard simplification); ranks stay bounded by
+    |nodes| * PR_SCALE, far inside int64.
+
+    Plan per iteration: one join of ranks onto the (loop-invariant,
+    materialized) degree-annotated edge list, one groupBy-sum on the
+    destination, one left join back to the node set — shuffles
+    |edges| + |nodes| per round, the same skeleton as
+    :func:`connected_components`. localCheckpoint truncates
+    per-round lineage.
+    """
+    base = PR_SCALE * (100 - damping_pct) // 100
+    e = edges.select(col(src).alias("a"), col(dst).alias("b"))
+    outdeg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    ed = e.join(outdeg, "a").localCheckpoint(eager=True)
+    nodes = (
+        e.select(col("a").alias("node"))
+        .union(e.select(col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed.a == ranks.node)
+            .select(col("b").alias("node"), F.expr("pr div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -273,3 +273,37 @@ def test_connected_components_star_deep_chain(spark):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.node: r.component for r in connected_components_star(df, max_iterations=12).collect()}
     assert got == {i: 0 for i in range(40)}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_matches_python_reference(spark, edges):
+    """Fixed-point integer PageRank must agree exactly with a pure-
+    Python replay of the same update rule on random directed graphs
+    (integer arithmetic means EXACT equality, not approximate)."""
+    from iot_sparkstreaming_spark.operators.graph import PR_SCALE, pagerank
+
+    iters, damp = 3, 85
+    base = PR_SCALE * (100 - damp) // 100
+    outdeg: dict[int, int] = {}
+    nodes: set[int] = set()
+    for a, b in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+        nodes.update((a, b))
+    pr = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for a, b in edges:
+            incoming[b] += pr[a] // outdeg[a]
+        pr = {n: base + (damp * incoming[n]) // 100 for n in nodes}
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.pr for r in pagerank(df, iterations=iters, damping_pct=damp).collect()}
+    assert got == pr
