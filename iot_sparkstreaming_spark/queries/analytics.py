@@ -742,3 +742,137 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (col("node") % 2 == 1).alias("is_supplier"),
         "pr",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (gaps-and-islands over event streams)
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN event_type IS DISTINCT FROM
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+collapsed AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS version, event_type,
+    MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, version, event_type, valid_from,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+    AS is_current,
+  CAST(n_events AS BIGINT) AS n_events
+FROM collapsed
+"""
+
+
+@register("scd2_user_dimension", oracle=SCD2_ORACLE)
+def scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    collapse each user's consecutive same-event_type runs into
+    versioned validity intervals [valid_from, valid_to) with an
+    is_current flag — the classic gaps-and-islands pattern
+    (lag → change flag → running-sum run id → collapse → lead).
+
+    Determinism: run ordering is (ts, event_id) — event_id is the
+    unique tie-break, so versions are a function of the data.
+
+    Scale: every window partitions by user_id and the collapse groups
+    by (user_id, run_id) — hash partitioning on user_id satisfies ALL
+    of them (subset-clustering), so the whole query is ONE shuffle on
+    user_id followed by in-partition sorts. No fact-table re-shuffle
+    between stages.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0).alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").cast("bigint").alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        col("run_id").cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-level rollup (hypertable continuous-aggregate pattern)
+# ---------------------------------------------------------------------------
+
+ROLLUP2_ORACLE = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS m, event_type,
+    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,4))) AS sv,
+    MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('hour', m) AS hour, event_type,
+  CAST(SUM(n) AS BIGINT) AS n_events,
+  CAST(SUM(sv) AS DOUBLE) AS sum_value,
+  CAST(MIN(mn) AS DOUBLE) AS min_value,
+  CAST(MAX(mx) AS DOUBLE) AS max_value
+FROM minute GROUP BY 1, 2
+"""
+
+
+@register("rollup_minute_to_hour", oracle=ROLLUP2_ORACLE)
+def rollup_minute_to_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: a minute-grain rollup
+    materialized first, then the hour grain computed FROM the minute
+    rollup (sum-of-sums, min-of-mins) rather than re-scanning raw
+    events — exact for the decomposable aggregates used here, and the
+    oracle replays the same two-level computation.
+
+    Scale: this is the pattern that makes dashboard queries cheap at
+    100 TB — the raw scan happens once into the minute table (in
+    production, incrementally per ingest window), and every coarser
+    grain re-aggregates the much smaller rollup. The second stage
+    shuffles one row per (minute, event_type), ~1/60th of stage one's
+    output; Catalyst plans both as ordinary hash aggregates with
+    map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", col("ts")).alias("m"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(col("value").cast("decimal(38,4)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return minute.groupBy(
+        F.date_trunc("hour", col("m")).alias("hour"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+        F.min("mn").cast("double").alias("min_value"),
+        F.max("mx").cast("double").alias("max_value"),
+    )

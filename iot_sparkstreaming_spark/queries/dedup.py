@@ -669,3 +669,91 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (CCNet-style paragraph hashing)
+# ---------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 20
+
+PASSAGE_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+passages AS (
+  SELECT doc_id,
+    md5(array_to_string(
+      toks[p*{PASSAGE_TOKENS}+1 : (p+1)*{PASSAGE_TOKENS}], ' ')) AS ph
+  FROM tk, (SELECT unnest(generate_series(0, 1000)) AS p)
+  WHERE p*{PASSAGE_TOKENS} < len(toks)
+),
+freq AS (
+  SELECT ph, COUNT(DISTINCT doc_id) AS n_docs FROM passages GROUP BY ph
+)
+SELECT p.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_passages,
+  CAST(COUNT(*) FILTER (WHERE f.n_docs >= 2) AS BIGINT) AS n_shared_passages,
+  CAST(COUNT(*) FILTER (WHERE f.n_docs >= 2) AS DOUBLE) / COUNT(*)
+    AS shared_frac
+FROM passages p JOIN freq f ON p.ph = f.ph
+GROUP BY p.doc_id
+"""
+
+
+@register("dedup_passages", oracle=PASSAGE_ORACLE)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the CCNet/paragraph-hash pass): cut
+    each document into non-overlapping PASSAGE_TOKENS-token
+    passages, hash each, and report per document how many of its
+    passages also appear in ANOTHER document — the screen that
+    catches boilerplate and partial copies that whole-document
+    hashing (dedup_exact) misses.
+
+    The harness corpus is single-line text, so "paragraph" is a fixed
+    token window; on real corpora the splitter would be the newline
+    variant of the same plan.
+
+    Scale: the shuffle carries only (16-byte passage hash, doc_id)
+    pairs — the text never leaves the scan stage. Passage frequency
+    is one hash-keyed aggregate; the join back to per-doc accounting
+    keys on the same hash, so AQE plans it as a co-located continuation
+    of the frequency shuffle. This is the same posting-list skeleton
+    as the Jaccard inverted index, but with O(n_tokens / passage_len)
+    keys per doc instead of O(n_tokens) shingles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1).alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") > 0)
+    n_passages = F.ceil(F.size("toks").cast("double") / PASSAGE_TOKENS).cast("bigint")
+    passages = tk.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_passages - 1)).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(col("toks"), col("p") * PASSAGE_TOKENS + 1, PASSAGE_TOKENS)
+            )
+        ).alias("ph"),
+    )
+    freq = passages.groupBy("ph").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        passages.join(freq, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.count(F.when(col("n_docs") >= 2, 1)).cast("bigint").alias(
+                "n_shared_passages"
+            ),
+            (
+                F.count(F.when(col("n_docs") >= 2, 1)).cast("double") / F.count("*")
+            ).alias("shared_frac"),
+        )
+    )

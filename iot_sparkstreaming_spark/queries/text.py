@@ -396,3 +396,159 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", col("tf").cast("bigint").alias("tf"),
                 col("df").cast("bigint").alias("df"), "salience", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality rules (Gopher-style)
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, tk,
+    CASE WHEN len(tk) >= 2
+      THEN list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])
+      ELSE [] END AS bg
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(list_max(list_transform(list_distinct(tk),
+        d -> len(list_filter(tk, t -> t = d)))) AS DOUBLE) / len(tk)
+    AS top_unigram_frac,
+  CASE WHEN len(bg) > 0
+    THEN CAST(list_max(list_transform(list_distinct(bg),
+          d -> len(list_filter(bg, t -> t = d)))) AS DOUBLE) / len(bg)
+    ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio
+FROM bi
+WHERE len(tk) > 0
+"""
+
+
+@register("doc_repetition_stats", oracle=REPETITION_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: fraction of
+    tokens taken by the most common unigram / bigram, and the
+    distinct-token ratio — the standard screens for degenerate
+    boilerplate ("Rabin et al. duplicate n-gram fraction"; see the
+    Gopher/MassiveText filtering rules, public).
+
+    Scale: deliberately MAP-ONLY — the per-document top-n-gram count
+    is a per-row array fold (quadratic in the ~100-token doc length,
+    linear in corpus size), so 100 TB runs with ZERO shuffle, unlike
+    the explode→groupBy formulation whose shuffle would carry every
+    token occurrence in the corpus. The tokenize pass sits in its own
+    projection so codegen computes it once per row (expression-
+    re-inlining trap, README "plan discipline").
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.lower(col("text"))).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    bigram = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(col("tk"), i), F.element_at(col("tk"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = tk.select("doc_id", "tk", bigram.alias("bg"))
+
+    def top_frac(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(col(arr)),
+                lambda d: F.size(F.filter(col(arr), lambda t: t == d)),
+            )
+        ).cast("double") / F.size(col(arr))
+
+    return bi.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        top_frac("tk").alias("top_unigram_frac"),
+        F.when(F.size("bg") > 0, top_frac("bg"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        (F.size(F.array_distinct(col("tk"))).cast("double") / F.size("tk")).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (regex scrub pass)
+# ---------------------------------------------------------------------------
+
+#: conservative patterns that parse identically under Java regex
+#: (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+#: no backrefs/lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+PII_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com or +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(body, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(body, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(body, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+  CAST(len(regexp_replace(regexp_replace(body, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+FROM enriched
+"""
+
+
+@register("pii_redaction", oracle=PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: detect and redact email addresses and phone
+    numbers, emitting per-document match counts plus the md5 and
+    length of the redacted text (byte-exact evidence the scrub is
+    identical across engines).
+
+    The harness corpus contains no PII, so the query PLANTS a
+    deterministic contact string derived from doc_id on BOTH engines
+    before scrubbing — the regex extraction and replacement are then
+    genuinely exercised on every row (the oracle replays the same
+    construction; a zero-match corpus would verify nothing).
+
+    Scale: map-only regex pass, no shuffle; at 100 TB this is the
+    canonical scrub stage that runs fused with ingest. Patterns are
+    restricted to the Java∩RE2 common subset so one pattern set
+    serves both engines (and any RE2-based scanner fleet).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        col("text"),
+        F.lit(" contact user"),
+        col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    enriched = docs.select("doc_id", body.alias("body"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(col("body"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(col("body"), F.lit(EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(col("body"), F.lit(PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
