@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_token_stats",
     "tfidf_top_terms",
     "pack_token_sequences",
+    "dedup_passages",
+    "pagerank_trade_graph",
 ]
 
 

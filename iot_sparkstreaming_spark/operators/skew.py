@@ -1,80 +1,60 @@
-"""Skew mitigation: salted aggregation and salted joins.
+"""Skew-mitigation operators: salted two-phase ranking.
 
-AQE's skew-join splitting (on in session.py) handles most skew at
-runtime by splitting oversized partitions. Salting is the explicit
-fallback for the cases AQE cannot fix:
+AQE's skew handling splits oversized SHUFFLE partitions for joins and
+aggregates, but a window function cannot be split that way — rank()
+over a hot key needs every row of the key in one task, so one
+pathological user (a bot account with 10^9 events in a 100 TB log)
+serializes an entire stage. For MERGEABLE window consumers (top-k:
+the global top-k is contained in the union of per-shard top-ks) the
+fix is algebraic, not physical: rank within (key, salt) shards first,
+discard everything below k per shard, then rank the ≤ k·n_salts
+survivors per key. Phase 1 spreads the hot key over n_salts tasks;
+phase 2 touches only a constant number of rows per key.
 
-* a single hot KEY in an aggregation (one reducer gets the world —
-  splitting a partition doesn't help when one key IS the partition);
-* skewed keys in a shuffle join where the other side is small enough
-  to replicate per salt but too big to broadcast outright.
-
-``salted_agg`` runs any algebraic aggregation in two stages:
-group by (key, salt) — spreading a hot key over ``n_salts`` reducers —
-then re-aggregate by key. Correct for aggregations with a merge step
-(sum/count/min/max — pass the partial column names and merge exprs).
-
-``salted_join`` salts the skewed (big) side with a random-free
-deterministic salt derived from a high-cardinality column, and
-explodes the small side ``n_salts``-fold so every (key, salt) pair
-still matches. Row multiplicity is preserved exactly.
+The result is bitwise-identical to the single-window form — the
+registered query shares its oracle with the unsalted one.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.window import Window
 
 
-def _salt_col(det_col: Column, n_salts: int) -> Column:
-    """Deterministic salt in [0, n_salts) — hash of a high-cardinality
-    column, not rand(): reruns and retried tasks produce identical
-    results (rand() in a shuffle input breaks exactly-once retries)."""
-    return F.pmod(F.hash(det_col), F.lit(n_salts))
-
-
-def salted_sum_count(
+def salted_topk(
     df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-    salt_from: str,
+    part_keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    salt_from: Column,
     n_salts: int = 16,
+    rank_col: str = "rk",
 ) -> DataFrame:
-    """Two-stage sum+count of ``value_col`` per key, skew-spread over
-    ``n_salts`` partial groups. Returns (key..., sum_value, n_rows).
+    """Top-k rows per ``part_keys`` group under ``order_by``, computed
+    as two cascaded windows so no single task ever holds a whole hot
+    key. ``salt_from`` must be a deterministic column expression
+    (e.g. a unique id) — NOT rand(), which would break replay/retry
+    determinism.
 
-    Stage 1 shuffles on (key, salt) — a hot key occupies n_salts
-    reducers instead of one; stage 2's input is n_salts rows per key,
-    so its shuffle is negligible."""
-    partial = (
-        df.withColumn("_salt", _salt_col(col(salt_from), n_salts))
-        .groupBy(*key_cols, "_salt")
-        .agg(
-            F.sum(col(value_col).cast("decimal(38,4)")).alias("_psum"),
-            F.count("*").alias("_pcnt"),
-        )
+    Exactness: for any k and any shard split, the k smallest elements
+    of a multiset union are contained in the union of each shard's k
+    smallest — so phase 2 sees every global top-k candidate. The
+    per-shard rank is discarded; the emitted ``rank_col`` comes from
+    the phase-2 window over survivors only.
+    """
+    salt = (F.abs(F.hash(salt_from)) % n_salts).alias("__salt")
+    w1 = Window.partitionBy(*part_keys, "__salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__shard_rk", F.row_number().over(w1))
+        .filter(F.col("__shard_rk") <= k)
+        .drop("__salt", "__shard_rk")
     )
-    return partial.groupBy(*key_cols).agg(
-        F.sum("_psum").cast("double").alias("sum_value"),
-        F.sum("_pcnt").alias("n_rows"),
+    w2 = Window.partitionBy(*part_keys).orderBy(*order_by)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
     )
-
-
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    key: str,
-    salt_from: str,
-    n_salts: int = 16,
-) -> DataFrame:
-    """Inner equi-join where ``big`` has skewed keys: big side gets a
-    deterministic salt, small side is exploded n_salts-fold, and the
-    join key becomes (key, salt) — the hot key's rows spread across
-    n_salts tasks. Use when the small side fits replicated-n_salts
-    but not broadcast; otherwise prefer plain broadcast."""
-    big_s = big.withColumn("_salt", _salt_col(col(salt_from), n_salts))
-    small_s = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    return big_s.join(small_s, [key, "_salt"]).drop("_salt")

@@ -876,3 +876,37 @@ def rollup_minute_to_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").cast("double").alias("min_value"),
         F.max("mx").cast("double").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase top-k (hot-key-proof twin of window_topk_per_user)
+# ---------------------------------------------------------------------------
+
+
+@register("window_topk_salted", oracle=TOPK_ORACLE)
+def window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user via the salted two-phase ranking operator
+    (operators/skew.py) — bitwise the SAME result as
+    window_topk_per_user (they share an oracle), but no task ever
+    holds a whole user: phase 1 ranks within (user, salt) shards and
+    keeps 3 per shard, phase 2 ranks the ≤ 48 survivors per user.
+
+    This is the plan you switch to when one key is pathologically hot
+    (a bot account in a 100 TB event log): windows can't be
+    AQE-skew-split the way joins can, so the mitigation must be
+    algebraic. Cost at uniform data: one extra (cheap) shuffle of the
+    ≤ k·n_salts survivors — which is why the unsalted form remains
+    the default and this one is the documented skew escape hatch.
+    """
+    from iot_sparkstreaming_spark.operators.skew import salted_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_topk(
+        ev,
+        part_keys=["user_id"],
+        order_by=[col("value").desc(), col("event_id")],
+        k=3,
+        salt_from=col("event_id"),
+    ).select(
+        "user_id", "event_id", "value", col("rk").cast("bigint").alias("rk")
+    )

@@ -307,3 +307,44 @@ def test_pagerank_matches_python_reference(spark, edges):
     df = spark.createDataFrame(edges, ["a", "b"])
     got = {r.node: r.pr for r in pagerank(df, iterations=iters, damping_pct=damp).collect()}
     assert got == pr
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),  # heavy key collisions
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 4),
+    n_salts=st.integers(1, 8),
+)
+def test_salted_topk_equals_single_window(spark, rows, k, n_salts):
+    """Salted two-phase top-k must be EXACTLY the single-window top-k
+    for any key skew, k, and salt count (top-k is a mergeable
+    aggregate — phase 1 can never discard a global top-k row)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from iot_sparkstreaming_spark.operators.skew import salted_topk
+
+    df = spark.createDataFrame(
+        [(key, val, i) for i, (key, val) in enumerate(rows)],
+        ["key", "val", "row_id"],
+    )
+    order = [F.col("val").desc(), F.col("row_id")]
+    w = Window.partitionBy("key").orderBy(*order)
+    expected = {
+        (r.key, r.row_id, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+    got = {
+        (r.key, r.row_id, r.rk)
+        for r in salted_topk(
+            df, ["key"], order, k, salt_from=F.col("row_id"), n_salts=n_salts
+        ).collect()
+    }
+    assert got == expected
