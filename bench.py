@@ -50,6 +50,7 @@ HEADLINE = [
     "pack_token_sequences",
     "dedup_passages",
     "pagerank_trade_graph",
+    "corpus_build_pipeline",
 ]
 
 

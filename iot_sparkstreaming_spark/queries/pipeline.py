@@ -348,3 +348,150 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_pack"),
         (col("cum_before") % PACK_BUDGET).cast("bigint").alias("offset_in_pack"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build (the composed flagship pipeline)
+# ---------------------------------------------------------------------------
+
+CB_MIN_TOKENS = 25
+CB_MAX_TOP_FRAC = 0.15  # Gopher-style repetition cutoff
+CB_SAMPLE_PCT = 80
+
+CORPUS_BUILD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, source, text, len(tk) AS n_tokens,
+    len(tk) >= {CB_MIN_TOKENS} AND
+    CAST(list_max(list_transform(list_distinct(tk),
+         d -> len(list_filter(tk, t -> t = d)))) AS DOUBLE) / len(tk)
+      <= {CB_MAX_TOP_FRAC} AS q_ok
+  FROM toks WHERE len(tk) > 0
+),
+keepers AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+  FROM flags WHERE q_ok GROUP BY md5(text)
+),
+staged AS (
+  SELECT f.doc_id, f.source, f.n_tokens, f.q_ok,
+    f.q_ok AND f.doc_id IN (SELECT keep_id FROM keepers) AS canonical,
+    ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR) || ':' || f.source), 1, 8))::BIGINT
+      % 100 < {CB_SAMPLE_PCT} AS ticket_ok
+  FROM flags f
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(COUNT(*) FILTER (WHERE q_ok) AS BIGINT) AS n_quality,
+  CAST(COUNT(*) FILTER (WHERE canonical) AS BIGINT) AS n_canonical,
+  CAST(COUNT(*) FILTER (WHERE canonical AND ticket_ok) AS BIGINT) AS n_sampled,
+  CAST(SUM(n_tokens) FILTER (WHERE canonical AND ticket_ok) AS BIGINT)
+    AS sampled_tokens,
+  MIN(CASE WHEN canonical AND ticket_ok THEN doc_id END) AS min_sampled_doc_id
+FROM staged
+GROUP BY source
+"""
+
+
+@register("corpus_build_pipeline", oracle=CORPUS_BUILD_ORACLE)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus build — quality screen (length +
+    repetition), exact dedup (canonical copy per content hash), and
+    deterministic hash sampling — in ONE query, with per-source
+    accounting of every stage's survivor count. This is the
+    end-to-end shape the individual operators exist for; running it
+    as one plan lets Catalyst fuse the map-side stages (tokenize,
+    quality flags, ticket) into a single scan pass.
+
+    Scale: the only shuffles are (a) the content-hash groupBy for
+    canonical selection (16-byte keys), (b) the keeper-id semi join
+    (AQE broadcasts it when the survivor set is small relative to the
+    corpus), (c) the final per-source rollup. Text leaves the scan
+    stage only as md5; the quality/ticket flags are map-only.
+    Determinism: sampling is a hash ticket on (doc_id, source) — no
+    RNG, reproducible across engines and partitionings.
+
+    Fixture note: sf0.01 contains no exact-duplicate texts, so the
+    dedup stage's attrition shows from sf0.1 up (8 duplicate groups);
+    the quality and sampling stages attrit at every SF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1).alias(
+            "tk"
+        ),
+    ).filter(F.size("tk") > 0)
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(col("tk")),
+                lambda d: F.size(F.filter(col("tk"), lambda t: t == d)),
+            )
+        ).cast("double")
+        / F.size("tk")
+    )
+    flags = tk.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        (
+            (F.size("tk") >= CB_MIN_TOKENS) & (top_frac <= CB_MAX_TOP_FRAC)
+        ).alias("q_ok"),
+    )
+    keepers = (
+        flags.filter(col("q_ok"))
+        .groupBy(F.md5(col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    ticket_ok = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", col("doc_id").cast("string"), col("source"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < CB_SAMPLE_PCT
+    )
+    staged = (
+        flags.join(
+            keepers.withColumn("is_keeper", F.lit(True)),
+            flags.doc_id == keepers.keep_id,
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "q_ok",
+            (col("q_ok") & F.coalesce(col("is_keeper"), F.lit(False))).alias(
+                "canonical"
+            ),
+            ticket_ok.alias("ticket_ok"),
+        )
+    )
+    return staged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count(F.when(col("q_ok"), 1)).cast("bigint").alias("n_quality"),
+        F.count(F.when(col("canonical"), 1)).cast("bigint").alias("n_canonical"),
+        F.count(F.when(col("canonical") & col("ticket_ok"), 1))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.when(col("canonical") & col("ticket_ok"), col("n_tokens")))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+        F.min(F.when(col("canonical") & col("ticket_ok"), col("doc_id"))).alias(
+            "min_sampled_doc_id"
+        ),
+    )

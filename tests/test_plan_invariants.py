@@ -65,3 +65,16 @@ def test_pushdown_reaches_scan(plans, name, pushed):
         seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
     ]
     assert any(pushed in seg for seg in pushed_sections), pushed_sections
+
+
+@pytest.mark.parametrize("name,max_exchanges", [
+    # gaps-and-islands SCD2: hash partitioning on user_id satisfies
+    # every window AND the (user_id, run_id) collapse — ONE shuffle.
+    ("scd2_user_dimension", 1),
+    # two-level rollup: minute agg + hour re-agg, one exchange each
+    ("rollup_minute_to_hour", 2),
+])
+def test_single_partitioning_reused(plans, name, max_exchanges):
+    plan = plans[name]
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_exchanges, f"{name}: {n} exchanges\n{plan}"
