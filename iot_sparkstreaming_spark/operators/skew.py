@@ -1,18 +1,30 @@
-"""Skew-mitigation operators: salted two-phase ranking.
+"""Skew mitigation: salted aggregation, salted joins, salted ranking.
 
-AQE's skew handling splits oversized SHUFFLE partitions for joins and
-aggregates, but a window function cannot be split that way — rank()
-over a hot key needs every row of the key in one task, so one
-pathological user (a bot account with 10^9 events in a 100 TB log)
-serializes an entire stage. For MERGEABLE window consumers (top-k:
-the global top-k is contained in the union of per-shard top-ks) the
-fix is algebraic, not physical: rank within (key, salt) shards first,
-discard everything below k per shard, then rank the ≤ k·n_salts
-survivors per key. Phase 1 spreads the hot key over n_salts tasks;
-phase 2 touches only a constant number of rows per key.
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime by splitting oversized partitions. Salting is the explicit
+fallback for the cases AQE cannot fix:
 
-The result is bitwise-identical to the single-window form — the
-registered query shares its oracle with the unsalted one.
+* a single hot KEY in an aggregation (one reducer gets the world —
+  splitting a partition doesn't help when one key IS the partition);
+* skewed keys in a shuffle join where the other side is small enough
+  to replicate per salt but too big to broadcast outright;
+* a window function over a hot key — a window needs every row of the
+  key in one task, so it cannot be split physically at all; for
+  MERGEABLE window consumers (top-k) the fix is algebraic.
+
+``salted_sum_count`` runs sum+count aggregation in two stages:
+group by (key, salt) — spreading a hot key over ``n_salts`` reducers —
+then re-aggregate by key. Correct for aggregations with a merge step.
+
+``salted_join`` salts the skewed (big) side with a random-free
+deterministic salt derived from a high-cardinality column, and
+explodes the small side ``n_salts``-fold so every (key, salt) pair
+still matches. Row multiplicity is preserved exactly.
+
+``salted_topk`` cascades two ranking windows: rank within (key, salt)
+shards keeping k per shard, then rank the ≤ k·n_salts survivors per
+key — bitwise-identical to the single-window top-k (the global top-k
+is contained in the union of per-shard top-ks).
 """
 
 from __future__ import annotations
@@ -21,7 +33,61 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import col
 from pyspark.sql.window import Window
+
+
+def _salt_col(det_col: Column, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts) — hash of a high-cardinality
+    column, not rand(): reruns and retried tasks produce identical
+    results (rand() in a shuffle input breaks exactly-once retries)."""
+    return F.pmod(F.hash(det_col), F.lit(n_salts))
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage sum+count of ``value_col`` per key, skew-spread over
+    ``n_salts`` partial groups. Returns (key..., sum_value, n_rows).
+
+    Stage 1 shuffles on (key, salt) — a hot key occupies n_salts
+    reducers instead of one; stage 2's input is n_salts rows per key,
+    so its shuffle is negligible."""
+    partial = (
+        df.withColumn("_salt", _salt_col(col(salt_from), n_salts))
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.sum(col(value_col).cast("decimal(38,4)")).alias("_psum"),
+            F.count("*").alias("_pcnt"),
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_psum").cast("double").alias("sum_value"),
+        F.sum("_pcnt").alias("n_rows"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join where ``big`` has skewed keys: big side gets a
+    deterministic salt, small side is exploded n_salts-fold, and the
+    join key becomes (key, salt) — the hot key's rows spread across
+    n_salts tasks. Use when the small side fits replicated-n_salts
+    but not broadcast; otherwise prefer plain broadcast."""
+    big_s = big.withColumn("_salt", _salt_col(col(salt_from), n_salts))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
 
 
 def salted_topk(
@@ -45,7 +111,7 @@ def salted_topk(
     per-shard rank is discarded; the emitted ``rank_col`` comes from
     the phase-2 window over survivors only.
     """
-    salt = (F.abs(F.hash(salt_from)) % n_salts).alias("__salt")
+    salt = _salt_col(salt_from, n_salts).alias("__salt")
     w1 = Window.partitionBy(*part_keys, "__salt").orderBy(*order_by)
     survivors = (
         df.withColumn("__salt", salt)
