@@ -910,3 +910,160 @@ def window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "event_id", "value", col("rk").cast("bigint").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact descriptive statistics: correlation + OLS slope from moments
+# ---------------------------------------------------------------------------
+
+CORR_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(value AS DECIMAL(38,6)) * EXTRACT(hour FROM ts)) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts) AS DECIMAL(38,4))) AS DOUBLE) AS sy2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  (n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    AS corr_value_hour,
+  (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS ols_slope,
+  (sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n AS ols_intercept
+FROM m
+"""
+
+
+@register("stats_correlation", oracle=CORR_ORACLE)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS fit (slope/intercept) of event
+    value vs hour-of-day, per event type — descriptive statistics
+    built from EXACT decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²),
+    with the closed-form combination done in double arithmetic in ONE
+    identical expression on both engines. Built-in ``corr()`` would
+    accumulate doubles in partition order and never hash-match; the
+    moment form is the scale-correct pattern anyway (one partial-agg
+    pass, six numbers per group).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour(col("ts"))
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(col("value").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum(hour.cast("decimal(38,4)")).cast("double").alias("sy"),
+        F.sum(col("value").cast("decimal(38,6)") * hour).cast("double").alias("sxy"),
+        F.sum(col("value").cast("decimal(19,4)") * col("value").cast("decimal(19,4)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum((hour * hour).cast("decimal(38,4)")).cast("double").alias("sy2"),
+    )
+    slope = (col("n") * col("sxy") - col("sx") * col("sy")) / (
+        col("n") * col("sx2") - col("sx") * col("sx")
+    )
+    return m.select(
+        "event_type",
+        col("n").cast("bigint").alias("n_events"),
+        (
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+            / F.sqrt(
+                (col("n") * col("sx2") - col("sx") * col("sx"))
+                * (col("n") * col("sy2") - col("sy") * col("sy"))
+            )
+        ).alias("corr_value_hour"),
+        slope.alias("ols_slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).alias("ols_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling with LOCF (hypertable gapfill pattern)
+# ---------------------------------------------------------------------------
+
+GAPFILL_USERS = 8
+
+GAPFILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+  FROM events WHERE user_id < {GAPFILL_USERS}
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+  FROM hourly GROUP BY user_id
+)
+SELECT s.user_id, s.h AS hour_ts,
+  CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+  a.sum_value AS sum_value,
+  LAST_VALUE(a.sum_value IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS locf_value,
+  a.n_events IS NULL AS is_gap
+FROM spine s LEFT JOIN hourly a ON s.user_id = a.user_id AND s.h = a.h
+"""
+
+
+@register("gapfill_hourly_series", oracle=GAPFILL_ORACLE)
+def gapfill_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: build each user's dense hourly
+    spine between their first and last event, left-join the actual
+    hourly rollup, and carry the last observation forward (LOCF) into
+    the gaps — the resample/fill step every time-series consumer
+    (forecasting, feature windows) needs.
+
+    Plan discipline: one explicit repartition on user_id up front,
+    after which every keyed stage — the (user, hour) rollup, the
+    per-user min/max, the spine explode, and the LOCF window — is
+    clustering-satisfied by that single partitioning (hash on a
+    subset of each stage's keys). The hourly rollup is materialized
+    once and shared by the spine derivation and the join (Spark
+    reuses no exchanges across sibling branches); post-rollup it is
+    tiny relative to raw events, so AQE broadcasts it into the spine
+    join. The spine is generated distributed, never at the driver.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(col("user_id") < GAPFILL_USERS)
+        .repartition("user_id")
+    )
+    # materialized once: the spine derivation and the spine⋈actuals
+    # join both consume it, and Spark reuses no exchanges across
+    # branches of the same subtree (README "plan discipline")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", col("ts")).alias("h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(col("value").cast("decimal(38,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(col("h0"), col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        col("h").alias("hour_ts"),
+        F.coalesce(col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        col("n_events").isNull().alias("is_gap"),
+    )
