@@ -581,3 +581,78 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert n == 2  # u1 once, u2 once; the redelivery vanished
+
+
+def test_streaming_corpus_ingest(spark, tmp_path):
+    """Streaming corpus ingestion: documents arrive as a json file
+    stream and flow through the SAME batch operators — quality screen
+    (token count + top-unigram repetition cutoff), PII scrub, exact
+    dedup across batches (dropDuplicatesWithinWatermark on the
+    content hash) — into an append sink. The corpus pipeline is not
+    batch-only: every map-side stage is a Column expression, so it
+    lifts onto a stream unchanged."""
+    import json as _json
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    good = "alpha beta gamma delta " * 10  # 40 tokens, low repetition
+    repetitive = "spam " * 40  # top-unigram frac 1.0 → screened
+    short = "tiny doc"  # under min tokens → screened
+    rows = [
+        {"doc_id": 1, "text": good + " reach me at a@b.io", "event_time": "2024-01-01T00:00:01"},
+        {"doc_id": 2, "text": repetitive, "event_time": "2024-01-01T00:00:02"},
+        {"doc_id": 3, "text": short, "event_time": "2024-01-01T00:00:03"},
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = "doc_id BIGINT, text STRING, event_time STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z0-9]+)"), 1)
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda d: F.size(F.filter(tk, lambda t: t == d)),
+            )
+        ).cast("double")
+        / F.size(tk)
+    )
+    cleaned = (
+        stream.withColumn("ts", F.to_timestamp("event_time"))
+        .withColumn("n_tokens", F.size(tk))
+        .withColumn("top_frac", top_frac)
+        .filter((F.col("n_tokens") >= 25) & (F.col("top_frac") <= 0.5))
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"), r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"
+            ),
+        )
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("corpus_ingest")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an exact duplicate of doc 1 (same post-scrub text)
+        # plus one fresh doc — only the fresh one lands
+        rows2 = [
+            {"doc_id": 4, "text": good + " reach me at a@b.io", "event_time": "2024-01-01T00:10:00"},
+            {"doc_id": 5, "text": good + " fresh tail words here", "event_time": "2024-01-01T00:11:00"},
+        ]
+        (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT doc_id, text FROM corpus_ingest ORDER BY doc_id"
+        ).collect()
+    finally:
+        q.stop()
+    assert [r.doc_id for r in out] == [1, 5]
+    assert "<EMAIL>" in out[0].text and "@" not in out[0].text.replace("<EMAIL>", "")
