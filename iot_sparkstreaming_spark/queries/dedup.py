@@ -757,3 +757,89 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_MIN = 0.8
+
+CONTAINMENT_ORACLE = (
+    SHINGLES_CTE
+    + f"""
+, posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+kept AS (
+  SELECT doc_id, s FROM posts
+  WHERE s IN (SELECT s FROM posts GROUP BY s HAVING COUNT(*) <= {STOP_SHINGLE_MAX_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(n_common AS BIGINT) AS n_common,
+  CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= {CONTAINMENT_MIN}
+"""
+)
+
+
+@register("dedup_containment", oracle=CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| ≥ 0.8 — catches a
+    document EMBEDDED in a larger one (quotation, concatenation,
+    boilerplate wrapping), which symmetric Jaccard misses: a 50-token
+    doc fully contained in a 500-token doc has Jaccard ≈ 0.1 but
+    containment 1.0. Broder's original resemblance/containment pair.
+
+    Plan: identical inverted-index skeleton to dedup_ngram_jaccard
+    (explode-first shingles, stop-shingle cutoff, posting self-join)
+    but emitting ORDERED pairs (a≠b, both directions) and dividing by
+    the contained side's shingle count only. Same scale posture: the
+    shuffle key is the shingle, pair-rows bounded by the DF cutoff.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tk.select(
+        "doc_id",
+        F.concat_ws(
+            " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("s"),
+        F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
+    )
+    # same materialized posting-list shape as dedup_ngram_jaccard:
+    # stop-shingle cutoff, then per-doc surviving-shingle count rides
+    # the posting row so no separate sizes join is needed
+    posts = (
+        tri.filter(col("full_width"))
+        .select("doc_id", "s")
+        .distinct()
+        .withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+        .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
+        .drop("__df")
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .localCheckpoint(eager=True)
+    )
+    a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
+    b = posts.select(col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(col("doc_a") != col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        col("n_common").cast("bigint").alias("n_common"),
+        (col("n_common").cast("double") / col("na")).alias("containment"),
+    ).filter(col("containment") >= CONTAINMENT_MIN)

@@ -552,3 +552,63 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide bigram counts (the BPE first-merge-candidate table)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+BPE_MERGE_ORACLE = f"""
+WITH tk AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM tk WHERE len(toks) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
+@register("bpe_merge_candidates", oracle=BPE_MERGE_ORACLE)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies, top-20 — the count table
+    a BPE tokenizer trainer builds to pick its next merge (the first
+    merge IS the top row). Deterministic tie-break (count desc, pair
+    asc) so the top-k is a function of the corpus.
+
+    Scale: tokenize + pair construction are map-side inside the
+    explode; the groupBy shuffles one row per pair OCCURRENCE but
+    partial aggregation collapses repeats map-side, so the exchange
+    carries at most |distinct pairs| per task. Top-k plans as
+    TakeOrderedAndProject — no global sort. Iterating merges (real
+    BPE training) would loop this query on re-paired tokens, the same
+    driver-loop shape as operators/graph.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+    tk = docs.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = tk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(col("toks"), i),
+                    F.element_at(col("toks"), i + 1),
+                ),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(col("n").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
