@@ -612,3 +612,65 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("n").desc(), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rarity statistics (LM-perplexity proxy without the LM)
+# ---------------------------------------------------------------------------
+
+RARITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_token_df,
+  CAST(COUNT(*) FILTER (WHERE d.df = 1) AS DOUBLE) / COUNT(*) AS hapax_frac,
+  CAST(MIN(d.df) AS BIGINT) AS rarest_df
+FROM tok t JOIN df d ON t.token = d.token
+GROUP BY t.doc_id
+"""
+
+
+@register("doc_rarity_stats", oracle=RARITY_ORACLE)
+def doc_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality features per document: the mean
+    corpus document-frequency of its tokens (low = exotic vocabulary,
+    high = boilerplate), the hapax fraction (tokens appearing in only
+    this document — OCR noise and mojibake spike it), and the rarest
+    token's df. The CCNet-style perplexity filter ranks docs by LM
+    surprisal; document-frequency mass is the model-free proxy with
+    the same screening power, and — unlike log-prob sums — it is an
+    INTEGER sum, so the score is bitwise-reproducible across engines
+    and partitionings.
+
+    Plan: one explode, a token-keyed df aggregate, one join of df
+    back onto the token stream (same posting-list key the tfidf and
+    dedup families already shuffle on), one per-doc rollup. No
+    single-partition global window — a corpus-wide rank would bottle
+    everything into one task; df-mass needs no global ordering.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).alias("token"),
+    )
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tok.join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.sum("df").cast("double") / F.count("*")).alias("mean_token_df"),
+            (
+                F.count(F.when(col("df") == 1, 1)).cast("double") / F.count("*")
+            ).alias("hapax_frac"),
+            F.min("df").cast("bigint").alias("rarest_df"),
+        )
+    )
