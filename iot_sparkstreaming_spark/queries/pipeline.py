@@ -495,3 +495,121 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_sampled_doc_id"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (iterative merge loop — the tokenizer-training operator)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 5
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair counts → deterministic argmax →
+    greedy left-to-right merge via run-parity (see bpe_train_merges)."""
+    w = "PARTITION BY doc_id ORDER BY pos"
+    return f""",
+p{r} AS (SELECT doc_id, pos, tok, LEAD(tok) OVER ({w}) AS nxt FROM s{r}),
+top{r} AS (
+  SELECT tok AS p1, nxt AS p2, COUNT(*) AS n
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY tok, nxt ORDER BY n DESC, p1, p2 LIMIT 1
+),
+m{r} AS (
+  SELECT q.doc_id, q.pos, q.tok, q.nxt,
+    q.tok = t.p1 AND q.nxt IS NOT DISTINCT FROM t.p2 AS mt
+  FROM p{r} q CROSS JOIN top{r} t
+),
+h{r} AS (
+  SELECT *, CASE WHEN mt AND NOT COALESCE(LAG(mt) OVER ({w}), FALSE)
+            THEN 1 ELSE 0 END AS head
+  FROM m{r}
+),
+g{r} AS (
+  SELECT *, SUM(head) OVER ({w} ROWS UNBOUNDED PRECEDING) AS grp
+  FROM h{r}
+),
+o{r} AS (
+  SELECT *, CASE WHEN mt THEN ROW_NUMBER() OVER
+      (PARTITION BY doc_id, grp, mt ORDER BY pos) END AS rk
+  FROM g{r}
+),
+mg{r} AS (
+  SELECT *, mt AND rk % 2 = 1 AS mrg FROM o{r}
+),
+s{r + 1} AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER ({w}) AS pos,
+    CASE WHEN mrg THEN tok || ' ' || nxt ELSE tok END AS tok
+  FROM (SELECT *, COALESCE(LAG(mrg) OVER ({w}), FALSE) AS consumed FROM mg{r})
+  WHERE NOT consumed
+)"""
+
+
+def _bpe_oracle() -> str:
+    sql = """
+WITH s0 AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok
+  FROM documents,
+    LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS tok,
+             generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+               AS pos) u
+  WHERE doc_id < 100
+)"""
+    for r in range(BPE_MERGES):
+        sql += _bpe_round_sql(r)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS step, p1, p2, CAST(n AS BIGINT) AS n_occurrences FROM top{r}"
+        for r in range(BPE_MERGES)
+    )
+    return sql + "\n" + selects
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed: 5 merge rounds, each (a)
+    counting adjacent token pairs corpus-wide, (b) picking the most
+    frequent pair (deterministic tie-break: count desc, pair asc),
+    (c) merging its occurrences greedily left-to-right. Returns the
+    merge table (step, p1, p2, n_occurrences) — the artifact a BPE
+    trainer ships.
+
+    The greedy merge is a sequential recurrence (merge[i] = match[i]
+    ∧ ¬merge[i-1]) that windows can't express directly; the
+    run-parity identity closes it: within each maximal run of
+    consecutive match positions, exactly the odd-ranked ones merge
+    ("a a a a" → "(a a)(a a)"). Both engines replay that identity —
+    the oracle unrolls all 5 rounds into plain CTEs (same trick as
+    the PageRank oracle).
+
+    Scale: state is (doc_id, pos, tok), hash-partitioned by doc_id;
+    every window in a round is per-document, so ONE exchange
+    partitions a round and the pair-count aggregate rides partial
+    aggregation. The per-round driver action is the 1-row argmax
+    (same class as the components convergence check); state is
+    re-materialized per round (localCheckpoint) because the merge
+    transform and next round's count both consume it. Restricted to
+    doc_id < 100 to keep the fixture's oracle replay fast — the plan
+    is corpus-size-agnostic.
+    """
+    from iot_sparkstreaming_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(col("doc_id") < 100)
+    state = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.lower(col("text")), F.lit("([a-z0-9]+)"), 1
+                )
+            ).alias("pos0", "tok"),
+        )
+        .select("doc_id", (col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    merges = bpe_train(state, BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step INT, p1 STRING, p2 STRING, n_occurrences BIGINT"
+    )

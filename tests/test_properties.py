@@ -348,3 +348,62 @@ def test_salted_topk_equals_single_window(spark, rows, k, n_salts):
         ).collect()
     }
     assert got == expected
+
+
+def _py_bpe(docs: list[list[str]], n_merges: int):
+    """Pure-Python greedy BPE reference: count adjacent pairs, merge
+    the (count desc, pair asc)-top pair left-to-right, repeat."""
+    state = [list(d) for d in docs]
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for d in state:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (p1, p2), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, p1, p2, n))
+        new_state = []
+        for d in state:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == p1 and d[i + 1] == p2:
+                    out.append(p1 + " " + p2)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            new_state.append(out)
+        state = new_state
+    return merges
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ).filter(lambda ds: sum(len(d) for d in ds) >= 4)
+)
+def test_bpe_merge_loop_matches_python(spark, docs):
+    """The distributed BPE round (window run-parity merge) must equal
+    the sequential greedy reference on random corpora — including
+    repeated-token runs ('a a a a'), the case the parity trick exists
+    for."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_merges = 3
+    expected = _py_bpe(docs, n_merges)
+
+    from iot_sparkstreaming_spark.operators.bpe import bpe_train
+
+    rows = [
+        (di, pi + 1, t) for di, d in enumerate(docs) for pi, t in enumerate(d)
+    ]
+    state = spark.createDataFrame(rows, "doc_id LONG, pos LONG, tok STRING")
+    got = bpe_train(state, n_merges)
+    assert got == expected
