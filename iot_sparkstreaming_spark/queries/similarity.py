@@ -501,3 +501,55 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (JL sketching)
+# ---------------------------------------------------------------------------
+
+RP_DIM = 8
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for j in range(RP_DIM):
+        w = "[" + ", ".join(repr(x) for x in PLANES[j]) + "]"
+        cols.append(f"ROUND(list_dot_product(v, {w}), 6) AS p{j}")
+    sel = ",\n  ".join(cols)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+  {sel}
+FROM e
+"""
+
+
+@register("rp_project_embeddings", oracle=_rp_oracle())
+def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 8 dims: project
+    every embedding onto 8 fixed pseudo-random hyperplanes (the SAME
+    md5-seeded literals the sign-LSH family uses, so the projection
+    is a pure function of the construction, not an RNG draw). The
+    standard index-compression / visualization precursor; sign-LSH is
+    exactly this projection quantized to 1 bit.
+
+    Determinism: each coordinate is a left-to-right fold rounded to
+    6 dp — the module's cosine convention — so both engines agree
+    bitwise. Scale: map-only, 8 codegen folds per row; the 64-float
+    payload never shuffles (this query has no exchange at all).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    projections = [
+        F.round(
+            _dot(col("v"), F.array(*[F.lit(x) for x in PLANES[j]])), 6
+        ).alias(f"p{j}")
+        for j in range(RP_DIM)
+    ]
+    return e.select("vec_id", *projections)
