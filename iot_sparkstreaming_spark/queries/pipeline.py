@@ -613,3 +613,78 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step INT, p1 STRING, p2 STRING, n_occurrences BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (data-mixing allocation)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 100_000  # documents to draw across sources
+
+MIX_ORACLE = f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, sqrt(n_docs) AS wt FROM c
+),
+t AS (
+  SELECT list_reduce(
+    list_prepend(CAST(0 AS DOUBLE),
+      list_transform(list_sort(list(struct_pack(s := source, wt := wt))),
+                     x -> x.wt)),
+    (a, b) -> a + b) AS total
+  FROM w
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  wt,
+  wt / total AS share,
+  CAST(FLOOR(({MIX_BUDGET} * wt) / total) AS BIGINT) AS n_alloc
+FROM w, t
+"""
+
+
+@register("temperature_mix_allocation", oracle=MIX_ORACLE)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing allocation with temperature T=2 (weight ∝ n^(1/2)):
+    up-weights small sources relative to proportional sampling — the
+    standard multi-source mixing step (multilingual/multi-domain
+    corpus weighting) between per-source cleaning and batch assembly.
+
+    Exactness without decimals: sqrt is IEEE-754 CORRECTLY ROUNDED
+    (unlike pow/log, which vary by libm — temperature 1/2 is chosen
+    so the weight is exact), and the global weight total is a
+    left-to-right fold over the source-sorted weight array, so both
+    engines add the same doubles in the same order. Shares and
+    allocations are then single identical expressions.
+
+    Scale: one groupBy over the corpus; the global fold runs on the
+    ~|sources|-row aggregate collected to ONE row (constant
+    cardinality — the broadcast-scalar pattern from TPC-H Q11), then
+    broadcast back. No global sort of the corpus, no driver loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = c.select("source", "n_docs", F.sqrt(col("n_docs")).alias("wt"))
+    total = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "wt"))),
+                lambda x: x["wt"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("total")
+    )
+    from pyspark.sql.functions import broadcast
+
+    return w.crossJoin(broadcast(total)).select(
+        "source",
+        col("n_docs").cast("bigint").alias("n_docs"),
+        "wt",
+        (col("wt") / col("total")).alias("share"),
+        F.floor((MIX_BUDGET * col("wt")) / col("total")).cast("bigint").alias(
+            "n_alloc"
+        ),
+    )
