@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "semdedup_cluster_prune",
     "knn_bruteforce_cosine",
     "ann_lsh_cosine",
     "ann_ivf_cosine",

@@ -843,3 +843,145 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("n_common").cast("bigint").alias("n_common"),
         (col("n_common").cast("double") / col("na")).alias("containment"),
     ).filter(col("containment") >= CONTAINMENT_MIN)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-partitioned semantic dedup (prune within clusters)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def _semdedup_oracle() -> str:
+    """Oracle replaying the identical centroid-assignment construction
+    (same deterministic centroid subset as queries/similarity.py's
+    IVF) and the same within-cluster prune rule in DuckDB."""
+    from iot_sparkstreaming_spark.queries.similarity import (
+        CENT_OFFSET,
+        CENT_STRIDE,
+        _COS_SQL,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cvec FROM e
+  WHERE vec_id % {CENT_STRIDE} = {CENT_OFFSET}
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS_SQL.format(a="e.v", b="cent.cvec")} DESC, cent.cid) AS crk
+    FROM e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+csize AS (SELECT cid, COUNT(*) AS cluster_n FROM assigned GROUP BY cid),
+pairs AS (
+  SELECT a.cid, a.vec_id AS kept_id, b.vec_id AS vec_id,
+         {_COS_SQL.format(a="a.v", b="b.v")} AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cid, CAST(cluster_n AS BIGINT) AS cluster_n, kept_id, cosine
+FROM (
+  SELECT p.*, csize.cluster_n,
+    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+      ORDER BY p.cosine DESC, p.kept_id) AS rk
+  FROM pairs p JOIN csize ON csize.cid = p.cid
+  WHERE p.cosine >= {SEMDEDUP_THRESHOLD}
+)
+WHERE rk = 1
+"""
+
+
+@register("semdedup_cluster_prune", oracle=_semdedup_oracle())
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then prune near-duplicates ONLY within each
+    cluster — the clustering bounds the quadratic pairwise term to
+    ~(n/k)² per cluster instead of n² global, which is the entire
+    reason the method scales to web corpora.
+
+    Prune rule (deterministic): a vector is dropped iff some
+    SMALLER-id member of its cluster has cosine ≥ 0.35 with it; the
+    emitted row names its best keeper (argmax cosine, min id on
+    ties). Centroids are the same deterministic corpus subset as
+    ann_ivf_cosine (``vec_id % 30 == 10``) — swapping in trained
+    k-means centroids changes recall, not the plan or the rule.
+
+    Scale shape: assignment is the IVF broadcast + hash-agg argmax
+    (map-side, no sort window over corpus×k); the only corpus
+    shuffle after that is the equi-join on ``cid``, where AQE
+    skew-splits hot clusters. k grows ~√n so the centroid broadcast
+    stays small. Cluster sizes ride the assigned row (window on the
+    same cid partitioning — no second shuffle, no sizes join).
+    """
+    from pyspark.sql.window import Window
+
+    from iot_sparkstreaming_spark.queries.similarity import (
+        CENT_OFFSET,
+        CENT_STRIDE,
+    )
+
+    e = _emb_vectors(spark, sf_dir)
+    cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
+        col("vec_id").alias("cid"),
+        col("v").alias("cvec"),
+        col("norm").alias("cn"),
+    )
+    ccos = F.round(_dot(col("v"), col("cvec")) / col("norm") / col("cn"), 6)
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "norm", ccos.alias("ccos"), "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(col("v")).alias("v"),
+            F.any_value(col("norm")).alias("norm"),
+            F.max(
+                F.struct(col("ccos").alias("c"), (-col("cid")).alias("nc"))
+            ).alias("m"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            (-col("m.nc")).alias("cid"),
+        )
+        # cluster size via window on the SAME cid clustering the pair
+        # join needs — one exchange serves both
+        .repartition(col("cid"))
+        .withColumn("cluster_n", F.count("*").over(Window.partitionBy("cid")))
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        "cid",
+        col("vec_id").alias("kept_id"),
+        col("v").alias("va"),
+        col("norm").alias("na"),
+    )
+    b = assigned.select(
+        "cid", "vec_id", "cluster_n", col("v").alias("vb"), col("norm").alias("nb")
+    )
+    cosine = F.round(_dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+    pairs = (
+        a.join(b, "cid")
+        .filter(col("kept_id") < col("vec_id"))
+        .select("vec_id", "cid", "cluster_n", "kept_id", cosine.alias("cosine"))
+        .filter(col("cosine") >= SEMDEDUP_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(col("cosine").desc(), col("kept_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") == 1)
+        .select(
+            "vec_id",
+            "cid",
+            col("cluster_n").cast("bigint").alias("cluster_n"),
+            "kept_id",
+            "cosine",
+        )
+    )
