@@ -87,3 +87,55 @@ def bpe_train(state: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
             .localCheckpoint(eager=True)
         )
     return merges
+
+
+def bpe_apply(state: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """ENCODE with a fixed merge table: replay each (p1, p2) merge in
+    table order via the same run-parity greedy transform as training,
+    without the per-round argmax. Returns the final (doc_id, pos,
+    tok) state.
+
+    Unlike training (whose per-round driver action forces
+    materialization), apply has NO driver action — rounds lazy-chain
+    into one plan, checkpointed every 3 merges only to keep lineage
+    (and the window-stack depth) bounded. Order matters: a later
+    merge may consume an earlier merge's output token, exactly like
+    a shipped BPE tokenizer's ranked merge list."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    for i, (p1, p2) in enumerate(merges, 1):
+        paired = state.select(
+            "doc_id", "pos", "tok", F.lead("tok").over(w).alias("nxt")
+        )
+        mt = (col("tok") == F.lit(p1)) & col("nxt").eqNullSafe(F.lit(p2))
+        marked = (
+            paired.withColumn("mt", mt)
+            .withColumn(
+                "head",
+                (
+                    col("mt") & ~F.coalesce(F.lag("mt").over(w), F.lit(False))
+                ).cast("int"),
+            )
+            .withColumn(
+                "grp",
+                F.sum("head").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+        )
+        rk_w = Window.partitionBy("doc_id", "grp", "mt").orderBy("pos")
+        merged = marked.withColumn(
+            "mrg",
+            F.when(col("mt"), F.row_number().over(rk_w) % 2 == 1).otherwise(
+                F.lit(False)
+            ),
+        ).withColumn("consumed", F.coalesce(F.lag("mrg").over(w), F.lit(False)))
+        state = merged.filter(~col("consumed")).select(
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            F.when(
+                col("mrg"), F.concat_ws(" ", col("tok"), col("nxt"))
+            ).otherwise(col("tok")).alias("tok"),
+        )
+        if i % 3 == 0:
+            state = state.localCheckpoint(eager=True)
+    return state

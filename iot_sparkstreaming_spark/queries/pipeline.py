@@ -688,3 +688,191 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_alloc"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global contiguous ID assignment (two-phase, no global sort)
+# ---------------------------------------------------------------------------
+
+ID_BUCKET_W = 1024  # doc_ids per range bucket
+
+GLOBAL_ID_ORACLE = """
+SELECT doc_id, source,
+  CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS global_id
+FROM documents
+"""
+
+
+@register("assign_global_ids", oracle=GLOBAL_ID_ORACLE)
+def assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids 0..n-1 ordered by (source, doc_id) —
+    the "stable sample index" every sharded training run needs —
+    WITHOUT the single-partition global window a naive
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` plans.
+
+    Two-phase (the zipWithIndex idea, done declaratively):
+    1. range-bucket rows by ``floor(doc_id / 1024)`` — floor division
+       preserves doc_id order across buckets, so (source, bucket) is
+       a prefix of the global order;
+    2. count rows per (source, bucket) — a ~n/1024-row aggregate —
+       and prefix-sum those counts into bucket offsets;
+    3. join offsets back on (source, bucket) and add the
+       within-bucket rank (window bounded to ≤1024 rows).
+
+    Only the TINY offsets table pays an ordered cumsum (single
+    partition of n/1024 aggregate rows; recurse the same two-phase
+    trick on the offsets table if even that outgrows one task). The
+    corpus itself sees one hash shuffle on (source, bucket) and
+    bounded windows — no global sort, no driver collect. Oracle is
+    the naive global ROW_NUMBER, proving the decomposition exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    b = docs.withColumn("bkt", F.floor(col("doc_id") / ID_BUCKET_W))
+    counts = b.groupBy("source", "bkt").agg(F.count("*").alias("n"))
+    offs = counts.select(
+        "source",
+        "bkt",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("source", "bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source", "bkt").orderBy("doc_id")
+    )
+    return (
+        b.join(offs, ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            (col("off") + rk - 1).cast("bigint").alias("global_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE: tokenize the corpus with a fixed (shipped) merge table
+# ---------------------------------------------------------------------------
+
+#: the tokenizer artifact — ranked merge list; step 3 consumes step
+#: 1's output token, so table ORDER is semantically load-bearing
+BPE_MERGE_TABLE: list[tuple[str, str]] = [
+    ("table", "hash"),
+    ("part", "filter"),
+    ("table hash", "agg"),
+    ("slow", "key"),
+    ("merge", "group"),
+]
+
+
+def _bpe_apply_round_sql(r: int, p1: str, p2: str) -> str:
+    """One unrolled ENCODE round: literal merge pair instead of the
+    trained argmax; otherwise identical run-parity greedy merge."""
+    w = "PARTITION BY doc_id ORDER BY pos"
+    return f""",
+p{r} AS (SELECT doc_id, pos, tok, LEAD(tok) OVER ({w}) AS nxt FROM s{r}),
+m{r} AS (
+  SELECT doc_id, pos, tok, nxt,
+    tok = '{p1}' AND nxt IS NOT DISTINCT FROM '{p2}' AS mt
+  FROM p{r}
+),
+h{r} AS (
+  SELECT *, CASE WHEN mt AND NOT COALESCE(LAG(mt) OVER ({w}), FALSE)
+            THEN 1 ELSE 0 END AS head
+  FROM m{r}
+),
+g{r} AS (
+  SELECT *, SUM(head) OVER ({w} ROWS UNBOUNDED PRECEDING) AS grp
+  FROM h{r}
+),
+o{r} AS (
+  SELECT *, CASE WHEN mt THEN ROW_NUMBER() OVER
+      (PARTITION BY doc_id, grp, mt ORDER BY pos) END AS rk
+  FROM g{r}
+),
+mg{r} AS (
+  SELECT *, mt AND rk % 2 = 1 AS mrg FROM o{r}
+),
+s{r + 1} AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER ({w}) AS pos,
+    CASE WHEN mrg THEN tok || ' ' || nxt ELSE tok END AS tok
+  FROM (SELECT *, COALESCE(LAG(mrg) OVER ({w}), FALSE) AS consumed FROM mg{r})
+  WHERE NOT consumed
+)"""
+
+
+def _bpe_encode_oracle() -> str:
+    sql = """
+WITH s0 AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok
+  FROM documents,
+    LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS tok,
+             generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+               AS pos) u
+)"""
+    for r, (p1, p2) in enumerate(BPE_MERGE_TABLE):
+        sql += _bpe_apply_round_sql(r, p1, p2)
+    n = len(BPE_MERGE_TABLE)
+    return sql + f"""
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN contains(tok, ' ') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_merged,
+  STRING_AGG(tok, '|' ORDER BY pos) AS encoded
+FROM s{n}
+GROUP BY doc_id
+"""
+
+
+@register("bpe_encode_docs", oracle=_bpe_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: encode every document with the
+    fixed 5-entry merge table above (the artifact
+    ``bpe_train_merges`` produces) — the inference half of the
+    tokenizer lifecycle. Merge 3 consumes merge 1's output token, so
+    the ranked-order replay is exercised, not just independent
+    substitutions.
+
+    Each round is per-document windows over (doc_id, pos) — one hash
+    partitioning serves all rounds, rounds lazy-chain (no driver
+    action), lineage checkpointed every 3 merges
+    (operators/bpe.py:bpe_apply). The oracle unrolls the same rounds
+    as plain CTEs with the merge pair as literals. Output: per-doc
+    token count, merged-token count, and the full encoded sequence —
+    a byte-exact cross-engine check of the entire encode.
+
+    At 100 TB a production encoder would run the merge loop per-doc
+    inside an Arrow batch (mapInPandas, merge table broadcast) —
+    O(merges × corpus) window passes trade that for pure-JVM
+    execution; both shapes shuffle the corpus once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("p", "tok"),
+    ).select("doc_id", (col("p") + 1).cast("bigint").alias("pos"), "tok")
+
+    from iot_sparkstreaming_spark.operators.bpe import bpe_apply
+
+    final = bpe_apply(s0, BPE_MERGE_TABLE)
+    return final.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.contains(col("tok"), F.lit(" ")).cast("int"))
+        .cast("bigint")
+        .alias("n_merged"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            "|",
+        ).alias("encoded"),
+    )
