@@ -1312,3 +1312,63 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes & order priority (completes the 22-query suite)
+# ---------------------------------------------------------------------------
+
+Q12_ORACLE = """
+SELECT
+  l_returnflag || '-' || l_linestatus AS ship_mode,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY ship_mode
+ORDER BY ship_mode
+"""
+
+
+@register("q12_shipping_modes", oracle=Q12_ORACLE)
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: the harness lineitem has no
+    l_shipmode/l_commitdate/l_receiptdate, so ship mode is the
+    returnflag+linestatus pair — 6 stable buckets — and "received
+    late" becomes "shipped more than 60 days after the order date").
+    Defining shape kept exactly: fact-fact join + two conditional
+    counts (CASE inside SUM) bucketed by a low-cardinality mode
+    column (``workingTest.scala`` has no aggregation at all —
+    SURVEY.md §2.8 absent-category).
+
+    Scale: the l_shipdate year-range pushes into the parquet scan;
+    the lateness predicate rides the join (it references both
+    sides). 6 output groups → the post-join partial aggregation
+    collapses everything map-side; the only real cost at 100 TB is
+    the orderkey shuffle, which AQE skew-splits.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (col("l_orderkey") == col("o_orderkey"))
+            & (col("l_shipdate") > col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(
+            F.concat_ws("-", col("l_returnflag"), col("l_linestatus")).alias(
+                "ship_mode"
+            )
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
