@@ -31,26 +31,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in cache:
         return cache[key]
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — unsupported by the
-        # Spark reader unless spark.sql.legacy.parquet.nanosAsLong
-        # surfaces it as nanos-since-epoch bigint. Set the conf HERE,
-        # at runtime, not only at session-build time: callers (the
-        # external harness among them) hand us vanilla SparkSessions,
-        # and a runtime conf.set before the read is sufficient for the
-        # parquet schema converter. Safe to set repeatedly; read-time
-        # conf, no session restart needed.
+        # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across harness testdata generations, so the
+        # load must branch on the OBSERVED dtype, not an assumption.
+        # nanosAsLong surfaces NANOS columns as nanos-since-epoch bigint
+        # (it is a no-op for micros data). Set it at runtime: callers
+        # hand us vanilla sessions, and a read-time conf.set suffices
+        # for the parquet schema converter. Safe to set repeatedly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # Convert nanos bigint via exact integer division (NOT float
-        # division: ~1.7e18 ns exceeds the double mantissa) to
-        # microseconds, matching DuckDB's own nanos→micros truncation
-        # so oracles agree.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # NANOS parquet surfaced as bigint by the conf above.
+            # Exact integer division (NOT float: ~1.7e18 ns exceeds the
+            # double mantissa) to micros, matching DuckDB's own
+            # nanos→micros truncation so oracles agree.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # MICROS parquet read as TIMESTAMP_NTZ (isAdjustedToUTC
+            # false). Cast to session-TZ TIMESTAMP so downstream
+            # unix_millis/date_part arithmetic and the DuckDB oracle
+            # (which reads the same file as plain TIMESTAMP) agree —
+            # both sessions run UTC in this harness.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        # TimestampType: already what downstream expects — pass through.
     cache[key] = df
     return df
 
