@@ -50,21 +50,45 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 
 # Deterministic enumeration order for the driver. Cross-module imports
 # can scramble decorator-side registration order, so load_all re-orders
-# explicitly: the reference pipelines (the round-0 behavioral contract,
-# SURVEY §2.5) first, then the LLM-pipeline families, then analytics /
-# functions / TPC-H — so if a harness ever samples a prefix, the
-# highest-stakes queries are in it.
+# explicitly. The driver's correctness check samples a 50-query prefix
+# of this order, so the prefix is rotated per round to cycle every
+# registered query through external verification:
+#
+# * rounds 1-3 led with reference/text/similarity/multimodal/sql/
+#   pipeline/dedup (all green in CORRECTNESS_r02/r03);
+# * round 4 promotes the never-yet-checked tail — TPC-H (24) and
+#   functions (12) — plus the 12 events-consuming queries (8 reference
+#   + 4 analytics) that must re-prove green after the events dtype fix:
+#   8 + 4 + 24 + 12 + 2 = exactly the 50-query window.
+#
+# Everything outside the prefix keeps local oracle coverage via
+# tests/test_oracle_parity.py, which parametrizes the full registry.
+_PRIORITY_PREFIX = [
+    "warning_notification",
+    "user_activity_category",
+    "user_registration_latest",
+    "latest_location",
+    "sales_keyed_replace",
+    "userhistory_pk_dedup",
+    "history_by_user_join",
+    "warning_streak_alerts",
+    "window_topk_per_user",
+    "window_running_total",
+    "window_event_deltas",
+    "sessionize_events",
+]
+
 _MODULE_ORDER = [
     "reference",
+    "tpch",
+    "functions",
+    "analytics",
     "text",
     "similarity",
     "multimodal",
     "sql_surface",
     "pipeline",
     "dedup",
-    "analytics",
-    "functions",
-    "tpch",
 ]
 
 
@@ -85,10 +109,16 @@ def load_all() -> dict[str, Query]:
     )
 
     rank = {m: i for i, m in enumerate(_MODULE_ORDER)}
+    prefix = {n: i for i, n in enumerate(_PRIORITY_PREFIX)}
 
-    def key(item: tuple[str, Query]) -> tuple[int, int]:
+    def key(item: tuple[str, Query]) -> tuple[int, int, int]:
         mod = item[1].spark.__module__.rsplit(".", 1)[-1]
-        # stable within a module: preserve registration order
-        return (rank.get(mod, len(rank)), list(QUERIES).index(item[0]))
+        # prefix names first, then module priority; stable within a
+        # module (registration order).
+        return (
+            prefix.get(item[0], len(prefix)),
+            rank.get(mod, len(rank)),
+            list(QUERIES).index(item[0]),
+        )
 
     return dict(sorted(QUERIES.items(), key=key))
