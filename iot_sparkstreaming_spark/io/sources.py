@@ -79,6 +79,38 @@ def lines_stream(
     raise ValueError(f"unknown source: {source}")
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the harness ``events`` parquet, normalized
+    to the same shape :func:`iot_sparkstreaming_spark.tables.load_table`
+    gives batch queries.
+
+    The streaming parquet source needs an explicit schema, so the
+    OBSERVED file schema is probed with a one-off batch read (metadata
+    only — no data scan), then the shared ``normalize_events_ts``
+    handles whichever physical ts encoding the environment shipped.
+    This is the CI twin of the production Kafka edge: swapping it for
+    ``lines_stream(source="kafka")`` + a parser changes no downstream
+    transform (batch/stream unification).
+    """
+    import os
+
+    from iot_sparkstreaming_spark.tables import normalize_events_ts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # nanosAsLong so a TIMESTAMP(NANOS) file surfaces as bigint instead
+    # of failing the read (no-op for micros files).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        # Single-file layout: the file stream source only lists
+        # directories, so stream the parent dir filtered to this file.
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return normalize_events_ts(stream)
+
+
 def parse_csv_records_with_rejects(
     lines: DataFrame,
     schema: T.StructType,

@@ -76,7 +76,15 @@ classified AS (
 def telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived fitbit-shaped telemetry from ``events`` — the Spark twin
     of ``TELEMETRY_CTE``. Pure column expressions; single scan."""
-    ev = load_table(spark, sf_dir, "events")
+    return derive_telemetry(load_table(spark, sf_dir, "events"))
+
+
+def derive_telemetry(ev: DataFrame) -> DataFrame:
+    """Pure events → fitbit-telemetry projection. ``DataFrame →
+    DataFrame`` so the SAME code runs on the batch table (queries
+    below) and on a ``readStream`` frame (streaming twins in
+    streaming/pipelines.py) — batch/stream unification instead of the
+    reference's separate DStream formulation."""
     k = F.get_json_object(col("props"), "$.k").cast("int")
     return ev.select(
         "event_id",

@@ -41,27 +41,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            # NANOS parquet surfaced as bigint by the conf above.
-            # Exact integer division (NOT float: ~1.7e18 ns exceeds the
-            # double mantissa) to micros, matching DuckDB's own
-            # nanos→micros truncation so oracles agree.
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif isinstance(ts_type, T.TimestampNTZType):
-            # MICROS parquet read as TIMESTAMP_NTZ (isAdjustedToUTC
-            # false). Cast to session-TZ TIMESTAMP so downstream
-            # unix_millis/date_part arithmetic and the DuckDB oracle
-            # (which reads the same file as plain TIMESTAMP) agree —
-            # both sessions run UTC in this harness.
-            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-        # TimestampType: already what downstream expects — pass through.
+        df = normalize_events_ts(df)
     cache[key] = df
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Branch on the OBSERVED dtype of ``events.ts`` and normalize to a
+    session-TZ ``timestamp``. Pure ``DataFrame → DataFrame`` so the same
+    normalization runs on batch reads and ``readStream`` frames."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # NANOS parquet surfaced as bigint by the nanosAsLong conf.
+        # Exact integer division (NOT float: ~1.7e18 ns exceeds the
+        # double mantissa) to micros, matching DuckDB's own
+        # nanos→micros truncation so oracles agree.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # MICROS parquet read as TIMESTAMP_NTZ (isAdjustedToUTC false).
+        # Cast to session-TZ TIMESTAMP so downstream unix_millis /
+        # date_part arithmetic and the DuckDB oracle (which reads the
+        # same file as plain TIMESTAMP) agree — both sessions run UTC
+        # in this harness.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    # TimestampType: already what downstream expects — pass through.
     return df
 
 

@@ -1,0 +1,98 @@
+"""Streaming-vs-batch twin equivalence over the real events table
+(VERDICT r3 #6; reference workingTest.scala:110-208).
+
+The batch queries ``warning_notification`` / ``user_activity_category``
+and the Structured Streaming pipelines ``warning_pipeline`` /
+``activity_pipeline`` must be the SAME computation: here the streaming
+twins run as real ``readStream`` jobs over the sf0.1 events parquet
+(memory sink, run-to-completion) and every payload is compared
+byte-for-byte against the batch result. The two code paths share
+``derive_telemetry`` and ``normalize_events_ts``, so this pins the
+unification claim, not just a small fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sparkstreaming_spark.io.sources import events_stream
+from iot_sparkstreaming_spark.queries.reference import (
+    derive_telemetry,
+    user_activity_category,
+    warning_notification,
+)
+from iot_sparkstreaming_spark.streaming.pipelines import (
+    activity_pipeline,
+    warning_pipeline,
+)
+from iot_sparkstreaming_spark.tables import load_table
+
+TWIN_SF_DIR = os.environ.get("SPARK_GRAFT_TWIN_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _fitbit_stream(spark, sf_dir):
+    """events readStream → fitbit-shaped frame the streaming pipelines
+    consume: event_ms is the reference's ``machine_timestamp``."""
+    return derive_telemetry(events_stream(spark, sf_dir)).withColumnRenamed(
+        "event_ms", "machine_timestamp"
+    )
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(TWIN_SF_DIR), reason="sf0.1 testdata not present"
+)
+def test_warning_twin_payload_parity(spark):
+    _run_to_memory(
+        warning_pipeline(_fitbit_stream(spark, TWIN_SF_DIR)), "twin_warnings"
+    )
+    stream_payloads = sorted(
+        r.payload for r in spark.sql("SELECT payload FROM twin_warnings").collect()
+    )
+    batch_payloads = sorted(
+        r.payload
+        for r in warning_notification(spark, TWIN_SF_DIR).select("payload").collect()
+    )
+    assert len(batch_payloads) > 0
+    assert stream_payloads == batch_payloads
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(TWIN_SF_DIR), reason="sf0.1 testdata not present"
+)
+def test_activity_twin_payload_parity(spark):
+    user_details = load_table(spark, TWIN_SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("category"),
+    )
+    _run_to_memory(
+        activity_pipeline(_fitbit_stream(spark, TWIN_SF_DIR), user_details),
+        "twin_activity",
+    )
+    stream_payloads = sorted(
+        r.payload for r in spark.sql("SELECT payload FROM twin_activity").collect()
+    )
+    batch_payloads = sorted(
+        r.payload
+        for r in user_activity_category(spark, TWIN_SF_DIR)
+        .select("payload")
+        .collect()
+    )
+    assert len(batch_payloads) > 0
+    assert stream_payloads == batch_payloads
