@@ -1,0 +1,426 @@
+"""Corpus-mining / curation operators a large-scale training-data
+pipeline needs beyond the dedup/text/similarity families: corpus-level
+n-gram statistics, deterministic per-domain sampling quotas, vocabulary
+coverage (OOV) measurement, composite quality gating, dimension-wise
+embedding centroids, and the classic event-funnel / retention-cohort
+analyses over the events stream.
+
+All operators are built-in column expressions (no Python UDFs) with
+exact DuckDB oracles. Scale notes per operator docstring; the common
+theme is one shuffle on the natural key plus broadcast of anything
+bounded by a constant (vocabularies, quota tables, stage sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+from pyspark.sql.window import Window
+
+from iot_sparkstreaming_spark.functions.text import hash64, tokens, word_shingles
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top-k n-grams
+# ---------------------------------------------------------------------------
+
+NGRAM_TOPK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+bigrams AS (
+  SELECT unnest(CASE WHEN len(tk) >= 2
+    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+    ELSE [] END) AS ngram
+  FROM toks
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bigrams
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 50
+"""
+
+
+@register("ngram_topk_corpus", oracle=NGRAM_TOPK_ORACLE)
+def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams — the frequency table behind
+    boilerplate detection and n-gram LM features.
+
+    Scale shape: shingle per row (map-only), explode, hash-aggregate
+    with map-side partial combine (the shuffle moves one row per
+    distinct bigram per partition, not per occurrence), then
+    ``TakeOrderedAndProject`` — per-partition top-k merged on the
+    driver, never a global sort of the full frequency table.
+    Deterministic tie-break (count desc, ngram asc) so the result
+    hash-matches regardless of partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(word_shingles(tokens(col("text")), 2)).alias("ngram")
+    )
+    return (
+        bigrams.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(col("n_occurrences").desc(), col("ngram"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-domain sampling quota (hash-priority sampling)
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+    ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
+FROM ranked WHERE rk <= 10
+"""
+
+
+@register("priority_sample_per_source", oracle=PRIORITY_SAMPLE_ORACLE)
+def priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sampling quota: keep the 10 docs per source with the
+    smallest deterministic hash — statistically a uniform sample (the
+    hash is effectively random in doc_id) but fully reproducible under
+    retries and re-partitioning, unlike reservoir sampling whose result
+    depends on encounter order.
+
+    Scale shape: one shuffle on ``source``; skewed domains are the
+    norm in web crawls, and AQE splits the hot partitions. For a
+    quota >> memory, swap row_number for a two-pass approximate
+    threshold (quantile of the hash) — noted, not needed at rank 10."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash64(col("doc_id").cast("string")), col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(col("sample_rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: per-document OOV rate against the corpus top-100
+# ---------------------------------------------------------------------------
+
+OOV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+ex AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+vocab AS (
+  SELECT t FROM ex GROUP BY t
+  ORDER BY COUNT(*) DESC, t LIMIT 100
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+  CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+    / COUNT(*) AS oov_rate
+FROM ex
+GROUP BY doc_id
+"""
+
+
+@register("oov_rate_per_doc", oracle=OOV_ORACLE)
+def oov_rate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage measurement: build the corpus top-100
+    vocabulary, then score every document's out-of-vocabulary token
+    rate (each occurrence counts).
+
+    Scale shape: the vocabulary is constant-size (top-k via
+    TakeOrdered), so the per-doc scoring joins exploded tokens against
+    a BROADCAST vocab — the corpus-size side never shuffles. Docs with
+    zero tokens drop on both engines (explode and unnest agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens(col("text"))).alias("t"))
+    vocab = (
+        ex.groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .orderBy(col("n").desc(), col("t"))
+        .limit(100)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        ex.join(broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (col("n_oov").cast("double") / col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate (C4-style rule filter with reasons)
+# ---------------------------------------------------------------------------
+
+QUALITY_GATE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS n_distinct,
+    len(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+    len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+    n_chars
+  FROM documents
+)
+SELECT doc_id,
+  concat_ws(',',
+    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+    CASE WHEN n_tokens > 2000 THEN 'too_long' END,
+    CASE WHEN CAST(n_alpha AS DOUBLE) / n_chars < 0.5 THEN 'low_alpha' END,
+    CASE WHEN CAST(n_digit AS DOUBLE) / n_chars > 0.2 THEN 'digit_heavy' END,
+    CASE WHEN n_tokens >= 10
+              AND CAST(n_distinct AS DOUBLE) / n_tokens < 0.3 THEN 'low_diversity' END
+  ) AS reasons,
+  (n_tokens >= 10 AND n_tokens <= 2000
+   AND CAST(n_alpha AS DOUBLE) / n_chars >= 0.5
+   AND CAST(n_digit AS DOUBLE) / n_chars <= 0.2
+   AND NOT (n_tokens >= 10 AND CAST(n_distinct AS DOUBLE) / n_tokens < 0.3)
+  ) AS keep
+FROM m
+"""
+
+
+@register("quality_gate_composite", oracle=QUALITY_GATE_ORACLE)
+def quality_gate_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite cleaning gate: five rules (length bounds,
+    alphabetic ratio, digit density, token diversity) evaluated per
+    document, emitting keep/drop plus the comma-joined failed-rule
+    list — the audit trail a curation pipeline needs to tune
+    thresholds. ``concat_ws`` skips NULLs on both engines, so the
+    reasons string is rule-ordered and deterministic.
+
+    Scale shape: map-only scan; at 100 TB this is the cheapest kind of
+    operator there is — whole-stage-codegen'd column math."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(col("text"))
+    m = docs.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct"),
+        F.length(F.regexp_replace(col("text"), "[^a-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace(col("text"), "[^0-9]", "")).alias("n_digit"),
+        "n_chars",
+    )
+    too_short = col("n_tokens") < 10
+    too_long = col("n_tokens") > 2000
+    low_alpha = col("n_alpha").cast("double") / col("n_chars") < 0.5
+    digit_heavy = col("n_digit").cast("double") / col("n_chars") > 0.2
+    low_diversity = (col("n_tokens") >= 10) & (
+        col("n_distinct").cast("double") / col("n_tokens") < 0.3
+    )
+    return m.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.when(too_short, "too_short"),
+            F.when(too_long, "too_long"),
+            F.when(low_alpha, "low_alpha"),
+            F.when(digit_heavy, "digit_heavy"),
+            F.when(low_diversity, "low_diversity"),
+        ).alias("reasons"),
+        (
+            ~too_short & ~too_long & ~low_alpha & ~digit_heavy & ~low_diversity
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension-wise embedding centroids per label
+# ---------------------------------------------------------------------------
+
+CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT label,
+    unnest(generate_series(1, len(v))) - 1 AS dim,
+    unnest(list_transform(v, x -> ROUND(x, 6))) AS val
+  FROM e
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+  CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS centroid,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ex
+GROUP BY label, dim
+"""
+
+
+@register("embedding_centroid_per_label", oracle=CENTROID_ORACLE)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, emitted as (label, dim, centroid)
+    rows — the cluster-center update of k-means / the class prototype
+    of a nearest-centroid classifier, as a pure aggregate.
+
+    Determinism: per-element values round to 6 dp (bitwise-identical
+    cross-engine) and the cross-row mean accumulates in exact decimal,
+    so the result is independent of aggregation order (a parallel
+    double-sum is not — same discipline as the TPC-H sums).
+
+    Scale shape: posexplode then one hash-aggregate on (label, dim) —
+    dims are bounded (the array length), so cardinality is
+    |labels| x dim: tiny. Map-side partial aggregation does the heavy
+    lifting; no window, no sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(col("embedding"), lambda x: F.round(x.cast("double"), 6))
+        ).alias("dim", "val"),
+    )
+    return (
+        ex.groupBy("label", col("dim").cast("bigint").alias("dim"))
+        .agg(
+            (
+                F.sum(col("val").cast("decimal(38,6)")).cast("double") / F.count("*")
+            ).alias("centroid"),
+            F.count("*").cast("bigint").alias("n_vecs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: signup -> view -> purchase
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS v_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s.s_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_order,
+         CAST(COUNT(*) AS BIGINT) AS n_users FROM s
+  UNION ALL
+  SELECT 'view', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM v
+  UNION ALL
+  SELECT 'purchase', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM p
+)
+"""
+
+
+@register("funnel_analysis", oracle=FUNNEL_ORACLE)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel over the events stream: users who
+    signed up, then viewed at or after their first signup, then
+    purchased at or after that first view. Stage timestamps are MINs,
+    so the result is replay-deterministic.
+
+    Scale shape: three aggregations each shuffling on ``user_id`` —
+    the SAME key, so Catalyst reuses the partitioning across the
+    joins (no extra exchange); the per-stage user sets shrink
+    monotonically. No window over the raw stream, no driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+
+    return stage(s, "signup", 1).unionAll(stage(v, "view", 2)).unionAll(
+        stage(p, "purchase", 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: first-seen date x week offset
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_date,
+  CAST(FLOOR(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+    AS week_offset,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", oracle=RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: cohort users by first-seen date,
+    count distinct active users per (cohort, week-offset) cell.
+
+    Scale shape: first-seen is one shuffle on user_id; the join back
+    rides the same partitioning (no extra exchange); the final
+    count-distinct re-shuffles on the (cohort, week) cell whose
+    cardinality is weeks² — tiny. The distinct is exact; at 100 TB
+    swap for approx_count_distinct per the sketch query in
+    functions.py if 2-3% error is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_date",
+            F.floor(
+                F.datediff(F.to_date("ts"), col("cohort_date")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_users"))
+    )

@@ -89,6 +89,7 @@ _MODULE_ORDER = [
     "sql_surface",
     "pipeline",
     "dedup",
+    "mining",
 ]
 
 
@@ -99,6 +100,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         dedup,
         functions,
+        mining,
         multimodal,
         pipeline,
         reference,
