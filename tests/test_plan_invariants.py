@@ -78,3 +78,25 @@ def test_single_partitioning_reused(plans, name, max_exchanges):
     plan = plans[name]
     n = plan.count("Exchange hashpartitioning")
     assert n <= max_exchanges, f"{name}: {n} exchanges\n{plan}"
+
+
+def test_ngram_topk_avoids_global_sort(plans):
+    """Corpus top-k must be per-partition top-k merged on the driver
+    (TakeOrderedAndProject), never a full sort of the frequency table."""
+    assert "TakeOrderedAndProject" in plans["ngram_topk_corpus"]
+
+
+def test_oov_vocab_is_broadcast(plans):
+    """The constant-size vocabulary joins as a broadcast — the
+    corpus-size exploded-token side must never shuffle for the join."""
+    assert "BroadcastExchange" in plans["oov_rate_per_doc"]
+
+
+def test_funnel_stage_filters_push_to_scan(plans):
+    """Each funnel stage reads only its event_type slice: the filter
+    must reach the parquet scan, not run post-scan over all events."""
+    plan = plans["funnel_analysis"]
+    pushed_sections = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("event_type" in seg for seg in pushed_sections), pushed_sections
