@@ -29,7 +29,11 @@ SHOWCASE = [
     ("scd2_user_dimension", "gaps-and-islands on ONE exchange (subset clustering)"),
     ("gapfill_hourly_series", "distributed spine; materialized rollup shared by both consumers"),
     ("corpus_build_pipeline", "map-side quality/ticket stages fused into the scan; hash-keyed dedup"),
-    ("pagerank_trade_graph", "lazy-chained iterative rounds over a materialized edge list"),
+    ("pagerank_trade_graph", "cache-partitioned loop invariants: per-round joins reuse hashpartitioning, no edge re-exchange"),
+    ("ngram_topk_corpus", "corpus top-k via TakeOrderedAndProject — per-partition top-k, no global sort"),
+    ("oov_rate_per_doc", "constant-size vocabulary broadcast; corpus-side tokens never shuffle for the join"),
+    ("funnel_analysis", "per-stage event_type filters pushed to the parquet scans; same-key shuffles reused"),
+    ("retention_cohorts", "first-seen agg and join-back share the user_id partitioning"),
 ]
 
 
