@@ -36,6 +36,12 @@ def connected_components(
     edges = (
         pairs.select(col(src).alias("a"), col(dst).alias("b"))
         .union(pairs.select(col(dst).alias("a"), col(src).alias("b")))
+        # Loop-invariant: pre-partition on the per-round join key and
+        # cache the PLAN (not localCheckpoint — ExistingRDD loses
+        # outputPartitioning and would re-exchange the edges every
+        # round; see pagerank below).
+        .repartition("b")
+        .persist()
     )
     labels = (
         edges.select(col("a").alias("node")).distinct().withColumn("comp", col("node"))
