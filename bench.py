@@ -52,6 +52,14 @@ HEADLINE = [
     "dedup_passages",
     "pagerank_trade_graph",
     "corpus_build_pipeline",
+    # corpus-mining family (round 4)
+    "ngram_topk_corpus",
+    "priority_sample_per_source",
+    "oov_rate_per_doc",
+    "quality_gate_composite",
+    "embedding_centroid_per_label",
+    "funnel_analysis",
+    "retention_cohorts",
 ]
 
 
