@@ -409,17 +409,25 @@ def _emb_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialized (localCheckpoint): Spark does not reuse exchanges
     across the self-join's two branches here, so without it every
     branch re-scans parquet and re-folds the norms. In production
-    this is the precomputed vectors+norms table you'd write once.
+    this is the precomputed vectors+norms table you'd write once —
+    the session memo makes that explicit: one materialization per
+    session per sf_dir, shared by every vector query.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(
-            "vec_id",
-            F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return (
+            emb.select(
+                "vec_id",
+                F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+            )
+            .select("vec_id", "v", F.sqrt(_dot(col("v"), col("v"))).alias("norm"))
+            .localCheckpoint(eager=True)
         )
-        .select("vec_id", "v", F.sqrt(_dot(col("v"), col("v"))).alias("norm"))
-        .localCheckpoint(eager=True)
-    )
+
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    return session_memo(spark, ("emb_vectors", sf_dir), build)
 
 
 def _emb_neardup_oracle() -> str:

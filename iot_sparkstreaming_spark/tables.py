@@ -46,6 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def session_memo(spark: SparkSession, key: tuple, builder):
+    """Session-scoped memo for deterministic derived DataFrames (the
+    materialized-view pattern): precomputed invariants like
+    vector+norm tables or degree-annotated edge lists are built once
+    per session and reused by every query over the same inputs. Same
+    lifecycle as the table-handle cache above — dies with the session
+    object, caches plans/checkpoints, never stale across sessions."""
+    cache: dict = spark.__dict__.setdefault("_graft_memo", {})
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Branch on the OBSERVED dtype of ``events.ts`` and normalize to a
     session-TZ ``timestamp``. Pure ``DataFrame → DataFrame`` so the same
