@@ -97,6 +97,37 @@ def main() -> None:
             times[name] = min(times.get(name, el), el)
 
     total = round(sum(times.values()), 4)
+
+    # Streaming throughput: the reference's ONE hard performance number
+    # is "per-trigger processing time < 1 s at input rate" (BASELINE.md,
+    # workingTest.scala:30). Measure the Structured Streaming warning
+    # twin end-to-end over the full events table (readStream → classify
+    # → filter → payload → noop sink, run-to-completion) and report
+    # sustained rows/sec — the input rate at which a 1 s trigger stays
+    # under 1 s of processing.
+    stream_rows = 0
+    stream_sec = 0.0
+    try:
+        from iot_sparkstreaming_spark.io.sources import events_stream
+        from iot_sparkstreaming_spark.queries.reference import derive_telemetry
+        from iot_sparkstreaming_spark.streaming.pipelines import warning_pipeline
+
+        stream_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        fitbit = derive_telemetry(events_stream(spark, sf_dir)).withColumnRenamed(
+            "event_ms", "machine_timestamp"
+        )
+        t0 = time.perf_counter()
+        sq = (
+            warning_pipeline(fitbit)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        stream_sec = round(time.perf_counter() - t0, 4)
+    except Exception:
+        stream_rows = -1  # recorded as "measurement unavailable", not 0 rows/s
+
     print(
         json.dumps(
             {
@@ -106,6 +137,11 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "runs_per_query": 2,
+                "streaming_events_rows": stream_rows,
+                "streaming_wall_sec": stream_sec,
+                "streaming_rows_per_sec": (
+                    round(stream_rows / stream_sec) if stream_sec > 0 and stream_rows > 0 else None
+                ),
             }
         )
     )
