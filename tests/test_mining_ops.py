@@ -1,0 +1,72 @@
+"""Structural invariants of the corpus-mining operators — properties
+that must hold on ANY input, beyond the value-exact oracle parity
+already covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from iot_sparkstreaming_spark.queries.mining import (
+    funnel_analysis,
+    oov_rate_per_doc,
+    priority_sample_per_source,
+    quality_gate_composite,
+    embedding_centroid_per_label,
+    ngram_topk_corpus,
+)
+
+
+def test_funnel_stages_monotone(spark):
+    rows = {r.stage: r.n_users for r in funnel_analysis(spark, SF_DIR).collect()}
+    assert set(rows) == {"signup", "view", "purchase"}
+    assert rows["signup"] >= rows["view"] >= rows["purchase"]
+    assert rows["purchase"] >= 0
+
+
+def test_quality_gate_keep_iff_no_reasons(spark):
+    df = quality_gate_composite(spark, SF_DIR)
+    bad = df.filter(df.keep != (F.col("reasons") == "")).count()
+    assert bad == 0
+
+
+def test_priority_sample_quota_and_determinism(spark):
+    a = priority_sample_per_source(spark, SF_DIR)
+    per_source = a.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per_source)
+    # deterministic under re-execution (retry-safety: same sample twice)
+    ra = sorted((r.doc_id, r.source) for r in a.collect())
+    rb = sorted(
+        (r.doc_id, r.source)
+        for r in priority_sample_per_source(spark, SF_DIR).collect()
+    )
+    assert ra == rb
+
+
+def test_oov_bounds(spark):
+    df = oov_rate_per_doc(spark, SF_DIR)
+    bad = df.filter(
+        (F.col("n_oov") < 0)
+        | (F.col("n_oov") > F.col("n_tokens"))
+        | (F.col("oov_rate") < 0)
+        | (F.col("oov_rate") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_centroid_nvecs_consistent_across_dims(spark):
+    df = embedding_centroid_per_label(spark, SF_DIR)
+    # every dim of a label aggregates the same vector population
+    distinct_counts = (
+        df.groupBy("label").agg(F.count_distinct("n_vecs").alias("k")).collect()
+    )
+    assert all(r.k == 1 for r in distinct_counts)
+
+
+def test_ngram_topk_sorted_and_bounded(spark):
+    rows = ngram_topk_corpus(spark, SF_DIR).collect()
+    assert len(rows) <= 50
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(" " in r.ngram for r in rows)  # bigrams, not unigrams
