@@ -49,6 +49,7 @@ def warning_streaks(
     warnings: DataFrame,
     min_streak: int = 3,
     timeout: str = GroupStateTimeout.NoTimeout,
+    order_cols: tuple[str, ...] = ("machine_timestamp",),
 ) -> DataFrame:
     """Per-user consecutive-warning streak detector.
 
@@ -62,6 +63,13 @@ def warning_streaks(
     boundaries and restarts via the state store — the operator the
     reference could not express at all (its per-batch lambdas saw
     one second of data; SURVEY.md §2.8 "no stateful ops").
+
+    ``order_cols`` defines event order WITHIN a micro-batch (stable
+    sort). The default millis-string order is what the payload carries;
+    pass finer keys (e.g. ``("ts", "event_id")``) when the input has
+    sub-millisecond ties and downstream parity needs the batch engine's
+    exact tie-break — tests/test_twin_parity.py pins streaming-vs-batch
+    equality this way.
     """
 
     def fn(
@@ -72,11 +80,13 @@ def warning_streaks(
         import pandas as pd
 
         (user_id,) = key
+        # output schema declares user_id:string; the grouping key keeps
+        # the input's type (bigint for events-derived streams) — coerce.
+        user_id = str(user_id)
         (streak,) = state.get if state.exists else (0,)
         out: list[dict[str, Any]] = []
         for pdf in pdfs:
-            # event order within the batch = machine timestamp order
-            pdf = pdf.sort_values("machine_timestamp", kind="mergesort")
+            pdf = pdf.sort_values(list(order_cols), kind="mergesort")
             for w, ts in zip(pdf["warning"], pdf["machine_timestamp"]):
                 streak = 0 if w == WARN_NONE else streak + 1
                 if streak >= min_streak:
@@ -91,8 +101,11 @@ def warning_streaks(
         state.update((streak,))
         yield pd.DataFrame(out, columns=[f.name for f in STREAK_OUTPUT_SCHEMA.fields])
 
+    in_cols = ["user_id", "warning", "machine_timestamp"] + [
+        c for c in order_cols if c not in ("user_id", "warning", "machine_timestamp")
+    ]
     return (
-        warnings.select("user_id", "warning", "machine_timestamp")
+        warnings.select(*in_cols)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

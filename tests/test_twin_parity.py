@@ -76,6 +76,39 @@ def test_warning_twin_payload_parity(spark):
 @pytest.mark.skipif(
     not os.path.isdir(TWIN_SF_DIR), reason="sf0.1 testdata not present"
 )
+def test_streak_stateful_twin_parity(spark):
+    """The applyInPandasWithState streak operator must emit exactly the
+    batch gaps-and-islands result (warning_streak_alerts) when driven
+    over the same events with the same (ts, event_id) tie-break."""
+    from iot_sparkstreaming_spark.functions.health import classify_warning
+    from iot_sparkstreaming_spark.queries.reference import warning_streak_alerts
+    from iot_sparkstreaming_spark.streaming.stateful import warning_streaks
+
+    classified = _fitbit_stream(spark, TWIN_SF_DIR).withColumn(
+        "warning",
+        classify_warning(F.col("pulse"), F.col("age"), F.col("bp_cat")),
+    )
+    _run_to_memory(
+        warning_streaks(classified, order_cols=("ts", "event_id")),
+        "twin_streaks",
+    )
+    stream_rows = sorted(
+        (r.user_id, r.machine_timestamp, r.streak_len, r.warning)
+        for r in spark.sql(
+            "SELECT user_id, machine_timestamp, streak_len, warning FROM twin_streaks"
+        ).collect()
+    )
+    batch_rows = sorted(
+        (str(r.user_id), r.event_ms, int(r.streak_len), r.warning)
+        for r in warning_streak_alerts(spark, TWIN_SF_DIR).collect()
+    )
+    assert len(batch_rows) > 0
+    assert stream_rows == batch_rows
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(TWIN_SF_DIR), reason="sf0.1 testdata not present"
+)
 def test_activity_twin_payload_parity(spark):
     user_details = load_table(spark, TWIN_SF_DIR, "customer").select(
         F.col("c_custkey").alias("user_id"),
