@@ -106,6 +106,79 @@ def test_streak_stateful_twin_parity(spark):
     assert stream_rows == batch_rows
 
 
+def test_streak_state_survives_micro_batch_boundaries(spark, tmp_path):
+    """The streak counter must persist across REAL micro-batch
+    boundaries: split the events table into six time-range files,
+    stream them one file per trigger (in-order arrival, the
+    reference's operating assumption), and assert the cross-batch
+    result still equals the batch gaps-and-islands query. A streak
+    spanning two micro-batches only survives via the state store —
+    a per-batch recomputation (the reference's per-RDD lambdas) would
+    lose it."""
+    from iot_sparkstreaming_spark.functions.health import classify_warning
+    from iot_sparkstreaming_spark.queries.reference import (
+        derive_telemetry as derive,
+        warning_streak_alerts,
+    )
+    from iot_sparkstreaming_spark.streaming.stateful import warning_streaks
+    from iot_sparkstreaming_spark.tables import load_table, normalize_events_ts
+
+    # sf0.1: the smaller fixtures have no streak >= 3 at all
+    ev = load_table(spark, TWIN_SF_DIR, "events")
+    out_dir = str(tmp_path / "events.parquet")
+    ev.repartitionByRange(6, "ts", "event_id").write.parquet(out_dir)
+    # file-stream sources order ties arbitrarily: give each range file
+    # a strictly increasing mtime so triggers consume time-ascending.
+    parts = sorted(
+        p for p in os.listdir(out_dir) if p.startswith("part-")
+    )
+    base = 1_700_000_000
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(out_dir, p), (base + i, base + i))
+
+    raw_schema = spark.read.parquet(out_dir).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir)
+    )
+    classified = (
+        derive(stream)
+        .withColumnRenamed("event_ms", "machine_timestamp")
+        .withColumn(
+            "warning",
+            classify_warning(F.col("pulse"), F.col("age"), F.col("bp_cat")),
+        )
+    )
+    q = (
+        warning_streaks(classified, order_cols=("ts", "event_id"))
+        .writeStream.format("memory")
+        .queryName("twin_streaks_mb")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 6  # one trigger per range file (+ possible empty)
+
+    stream_rows = sorted(
+        (r.user_id, r.machine_timestamp, r.streak_len, r.warning)
+        for r in spark.sql(
+            "SELECT user_id, machine_timestamp, streak_len, warning"
+            " FROM twin_streaks_mb"
+        ).collect()
+    )
+    batch_rows = sorted(
+        (str(r.user_id), r.event_ms, int(r.streak_len), r.warning)
+        for r in warning_streak_alerts(spark, str(tmp_path)).collect()
+    )
+    assert len(batch_rows) > 0
+    assert stream_rows == batch_rows
+
+
 @pytest.mark.skipif(
     not os.path.isdir(TWIN_SF_DIR), reason="sf0.1 testdata not present"
 )
