@@ -94,6 +94,58 @@ JACCARD_THRESHOLD = 0.5
 #: semantics — while the PLAN is bounded on hot keys at any scale.
 STOP_SHINGLE_MAX_DF = 50
 
+def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-filtered inverted-index posting list
+    ``(doc_id, s, n_sh)`` — the shared substrate of
+    :func:`dedup_ngram_jaccard` and :func:`dedup_containment`.
+
+    EXPLODE-FIRST construction: tokenize once inside the Generate,
+    then build 3-gram shingles from the token stream with ``lead()``
+    windows. The per-row array formulation (``_shingled``, kept for
+    MinHash whose signature math wants the array) gets its tokenize
+    expression re-inlined by optimizer rules across the
+    filter/size/explode branches — 16 copies of ``regexp_extract_all``
+    in the final plan, ~6x slower measured. Here the regex runs
+    exactly once per document; the doc_id window shuffle it costs is
+    one the posting join needs anyway.
+
+    distinct == the oracle's ``list_distinct``; docs with <3 tokens
+    yield no full-width shingles (the ``len(tk)>=3`` guard). The DF
+    window shares the join's partitioning key (s); ``n_sh`` counts
+    SURVIVING shingles, so it comes after the cutoff. Materialized +
+    session-memoized: the production shape is a posting-list table
+    written ONCE, then self-joined by every consumer."""
+    from pyspark.sql.window import Window
+
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tk = docs.select(
+            "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        tri = tk.select(
+            "doc_id",
+            F.concat_ws(
+                " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("s"),
+            F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
+        )
+        return (
+            tri.filter(col("full_width"))
+            .select("doc_id", "s")
+            .distinct()
+            .withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+            .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
+            .drop("__df")
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, ("shingle_postings", sf_dir), build)
+
+
 JACCARD_ORACLE = (
     SHINGLES_CTE
     + f"""
@@ -132,54 +184,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``STOP_SHINGLE_MAX_DF²`` pair-rows per shingle. The oracle mirrors
     the cutoff; at fixture DF levels it drops nothing, so both sides
     also equal the unfiltered semantics."""
-    # EXPLODE-FIRST posting construction: tokenize once inside the
-    # Generate, then build 3-gram shingles from the token stream with
-    # lead() windows. The per-row array formulation (_shingled, kept
-    # for MinHash whose signature math wants the array) gets its
-    # tokenize expression re-inlined by optimizer rules across the
-    # filter/size/explode branches — 16 copies of regexp_extract_all
-    # in the final plan, ~6x slower measured. Here the regex runs
-    # exactly once per document; the doc_id window shuffle it costs
-    # is one the posting join needs anyway.
-    from pyspark.sql.window import Window
-
-    def build_posts() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        tk = docs.select(
-            "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        tri = tk.select(
-            "doc_id",
-            F.concat_ws(
-                " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("s"),
-            F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
-        )
-        # distinct == the oracle's list_distinct; docs with <3 tokens
-        # yield no full-width shingles, matching the len(tk)>=3 guard.
-        # The DF window shares the join's partitioning key (s), so the
-        # stop-shingle filter costs one extra shuffle on the shingle key;
-        # n_sh must count SURVIVING shingles, so it comes after the cutoff.
-        return (
-            tri.filter(col("full_width"))
-            .select("doc_id", "s")
-            .distinct()
-            .withColumn("__df", F.count("*").over(Window.partitionBy("s")))
-            .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
-            .drop("__df")
-            .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-            .localCheckpoint(eager=True)
-        )
-
-    # materialized + memoized: the posting list feeds BOTH sides of the
-    # self-join and Spark does not reuse the exchange across branches —
-    # without this, tokenize + two windows run twice per call. The
-    # production shape is a posting-list table written ONCE then
-    # self-joined; session_memo makes the once explicit.
-    from iot_sparkstreaming_spark.tables import session_memo
-
-    posts = session_memo(spark, ("jaccard_posts", sf_dir), build_posts)
+    posts = _posting_list(spark, sf_dir)
     a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
     b = posts.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"), "s")
     inter = (
@@ -264,10 +269,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-running the shingle+hash pass per branch (no
     # cross-branch exchange reuse) — the signatures TABLE of a
     # production MinHash pipeline.
-    hashed = sh.select("doc_id", shingle_hashes(col("sh")).alias("hs"))
-    sigs = hashed.select(
-        "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
-    ).localCheckpoint(eager=True)
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build_sigs() -> DataFrame:
+        hashed = sh.select("doc_id", shingle_hashes(col("sh")).alias("hs"))
+        return hashed.select(
+            "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
+        ).localCheckpoint(eager=True)
+
+    sigs = session_memo(spark, ("minhash_sigs", sf_dir), build_sigs)
 
     band_id = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_id")
     bands = sigs.select(
@@ -357,10 +367,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-terms over the hashed array (see token_hashes docstring).
     # Materialized: the 8-byte-per-doc simhashes feed both band-join
     # branches; without it the md5+bit-term pass runs twice.
-    hashed = docs.select("doc_id", token_hashes(tokens(col("text"))).alias("th"))
-    sims = hashed.select(
-        "doc_id", simhash32_from_hashes(col("th")).alias("sim")
-    ).localCheckpoint(eager=True)
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build_sims() -> DataFrame:
+        hashed = docs.select(
+            "doc_id", token_hashes(tokens(col("text"))).alias("th")
+        )
+        return hashed.select(
+            "doc_id", simhash32_from_hashes(col("th")).alias("sim")
+        ).localCheckpoint(eager=True)
+
+    sims = session_memo(spark, ("simhash_sims", sf_dir), build_sims)
 
     band_structs = F.array(
         *[
@@ -820,31 +837,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contained side's shingle count only. Same scale posture: the
     shuffle key is the shingle, pair-rows bounded by the DF cutoff.
     """
-    from pyspark.sql.window import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = tk.select(
-        "doc_id",
-        F.concat_ws(
-            " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-        ).alias("s"),
-        F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
-    )
-    # same materialized posting-list shape as dedup_ngram_jaccard:
-    # stop-shingle cutoff, then per-doc surviving-shingle count rides
-    # the posting row so no separate sizes join is needed
-    posts = (
-        tri.filter(col("full_width"))
-        .select("doc_id", "s")
-        .distinct()
-        .withColumn("__df", F.count("*").over(Window.partitionBy("s")))
-        .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
-        .drop("__df")
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .localCheckpoint(eager=True)
-    )
+    # the posting list is byte-identical to dedup_ngram_jaccard's —
+    # shared via _posting_list, so one session materializes it once
+    # for both consumers
+    posts = _posting_list(spark, sf_dir)
     a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
     b = posts.select(col("doc_id").alias("doc_b"), "s")
     inter = (
@@ -943,36 +939,41 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         CENT_STRIDE,
     )
 
-    e = _emb_vectors(spark, sf_dir)
-    cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
-        col("vec_id").alias("cid"),
-        col("v").alias("cvec"),
-        col("norm").alias("cn"),
-    )
-    ccos = F.round(_dot(col("v"), col("cvec")) / col("norm") / col("cn"), 6)
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "norm", ccos.alias("ccos"), "cid")
-        .groupBy("vec_id")
-        .agg(
-            F.any_value(col("v")).alias("v"),
-            F.any_value(col("norm")).alias("norm"),
-            F.max(
-                F.struct(col("ccos").alias("c"), (-col("cid")).alias("nc"))
-            ).alias("m"),
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build_assigned() -> DataFrame:
+        e = _emb_vectors(spark, sf_dir)
+        cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
+            col("vec_id").alias("cid"),
+            col("v").alias("cvec"),
+            col("norm").alias("cn"),
         )
-        .select(
-            "vec_id",
-            "v",
-            "norm",
-            (-col("m.nc")).alias("cid"),
+        ccos = F.round(_dot(col("v"), col("cvec")) / col("norm") / col("cn"), 6)
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "norm", ccos.alias("ccos"), "cid")
+            .groupBy("vec_id")
+            .agg(
+                F.any_value(col("v")).alias("v"),
+                F.any_value(col("norm")).alias("norm"),
+                F.max(
+                    F.struct(col("ccos").alias("c"), (-col("cid")).alias("nc"))
+                ).alias("m"),
+            )
+            .select(
+                "vec_id",
+                "v",
+                "norm",
+                (-col("m.nc")).alias("cid"),
+            )
+            # cluster size via window on the SAME cid clustering the pair
+            # join needs — one exchange serves both
+            .repartition(col("cid"))
+            .withColumn("cluster_n", F.count("*").over(Window.partitionBy("cid")))
+            .localCheckpoint(eager=True)
         )
-        # cluster size via window on the SAME cid clustering the pair
-        # join needs — one exchange serves both
-        .repartition(col("cid"))
-        .withColumn("cluster_n", F.count("*").over(Window.partitionBy("cid")))
-        .localCheckpoint(eager=True)
-    )
+
+    assigned = session_memo(spark, ("semdedup_assigned", sf_dir), build_assigned)
     a = assigned.select(
         "cid",
         col("vec_id").alias("kept_id"),

@@ -74,31 +74,36 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the train-gram set is the big side; it arrives
     pre-distinct (one hash agg) so the join carries each gram once.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
-        ).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [F.lead("tok", i).over(w) for i in range(1, CONTAM_N)]
-    grams = (
-        tk.select(
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build_grams():
+        docs = load_table(spark, sf_dir, "documents")
+        tk = docs.select(
             "doc_id",
-            F.concat_ws(" ", col("tok"), *lead_cols).alias("g"),
-            lead_cols[-1].isNotNull().alias("full_width"),
+            F.posexplode(
+                F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+            ).alias("pos", "tok"),
         )
-        .filter(col("full_width"))
-        .select("doc_id", "g")
-        .distinct()
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 10
-    )
-    grams = grams.withColumn("bucket", bucket).localCheckpoint(eager=True)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        lead_cols = [F.lead("tok", i).over(w) for i in range(1, CONTAM_N)]
+        g = (
+            tk.select(
+                "doc_id",
+                F.concat_ws(" ", col("tok"), *lead_cols).alias("g"),
+                lead_cols[-1].isNotNull().alias("full_width"),
+            )
+            .filter(col("full_width"))
+            .select("doc_id", "g")
+            .distinct()
+        )
+        bucket = (
+            F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 10
+        )
+        return g.withColumn("bucket", bucket).localCheckpoint(eager=True)
+
+    grams = session_memo(spark, ("contamination_grams", sf_dir), build_grams)
     test_grams = grams.filter(col("bucket") >= 9).select("doc_id", "g")
     train_grams = grams.filter(col("bucket") < 8).select("g").distinct()
     hit = train_grams.withColumn("__hit", F.lit(1))

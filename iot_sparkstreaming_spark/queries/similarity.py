@@ -78,17 +78,24 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     here references the corpus from 2-4 plan branches, and Spark does
     not reuse exchanges across self-join branches — without the
     checkpoint each branch re-scans parquet and re-folds the norms.
-    Production shape: the vectors+norms table you write once."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(
-            "vec_id",
-            "label",
-            F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+    Production shape: the vectors+norms table you write once —
+    session-memoized so every similarity query shares ONE
+    materialization per sf_dir."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return (
+            emb.select(
+                "vec_id",
+                "label",
+                F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+            )
+            .withColumn("nv", _norm(col("v")))
+            .localCheckpoint(eager=True)
         )
-        .withColumn("nv", _norm(col("v")))
-        .localCheckpoint(eager=True)
-    )
+
+    return session_memo(spark, ("sim_vectors", sf_dir), build)
 
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact baseline)
