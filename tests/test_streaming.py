@@ -287,6 +287,53 @@ def test_session_window_stream(spark, tmp_path):
     assert "u9" not in {r.user_id for r in rows}
 
 
+def test_watermark_drops_late_rows_in_append(spark, tmp_path):
+    """The watermark contract, both directions: a finalized window
+    emits exactly once, and a row arriving LATER than the watermark is
+    dropped — it must neither re-emit the window nor change its
+    counts. (The reference had no late-data handling at all:
+    SURVEY.md §2.8 — late rows silently corrupted state.)"""
+    src = tmp_path / "late_in"
+    src.mkdir()
+    (src / "b0.txt").write_text("\n".join(FITBIT_LINES) + "\n")
+    lines = spark.readStream.format("text").load(str(src))
+    stats = windowed_pulse_stats(parse_csv_records(lines, FITBIT_SCHEMA, "fitbit"))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("late_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        # advance the watermark far past the 10:00 window -> finalizes it
+        (src / "b1.txt").write_text(
+            "fitbit,2016-11-07 11:00:00,u9,1,1,100.0,98.0,30,NORMAL,t\n"
+        )
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT user_id, n_readings FROM late_stats"
+            " WHERE window_start = '2016-11-07 10:00:00'"
+        ).collect()
+        assert {r.user_id for r in emitted} == {"u1", "u2", "u3", "u4", "u5"}
+        assert all(r.n_readings == 1 for r in emitted)
+        # u1 again at 10:00:30 — behind the watermark (~10:58): dropped
+        (src / "b2.txt").write_text(
+            "fitbit,2016-11-07 10:00:30,u1,1,1,150.0,98.0,30,NORMAL,t\n"
+        )
+        q.processAllAvailable()
+        after = spark.sql(
+            "SELECT user_id, n_readings FROM late_stats"
+            " WHERE window_start = '2016-11-07 10:00:00'"
+        ).collect()
+    finally:
+        q.stop()
+    # no re-emit, no count change: the late row vanished by contract
+    assert sorted((r.user_id, r.n_readings) for r in after) == sorted(
+        (r.user_id, r.n_readings) for r in emitted
+    )
+
+
 def test_checkpoint_restart_resumes(spark, tmp_path):
     """Stop a stream, add data, restart with the same checkpoint —
     the new run must pick up only the new file (offset recovery)."""
