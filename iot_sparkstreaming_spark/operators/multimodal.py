@@ -154,3 +154,51 @@ def thumbnail_stub(assets: DataFrame, max_px: int = 64) -> DataFrame:
         "asset_id", col("meta.width").alias("width"), col("meta.height").alias("height")
     )
     return flat.mapInPandas(gen, schema=out_schema)
+
+
+def frame_sample_stub(
+    assets: DataFrame, every_n: int = 10, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing for video assets: uniform every-Nth
+    frame, capped at ``max_frames`` per asset — one output row per
+    sampled frame index, the exploded shape a frame decoder feeds to a
+    vision encoder. Deterministic from metadata alone (``n_frames``
+    derived from duration_ms at a nominal 25 fps); the real
+    implementation replaces the index arithmetic's downstream with
+    ``decode_asset`` + per-frame extraction, keeping this exact
+    partitioning and output contract.
+
+    Scale: map-only, payloads untouched (column pruning drops them at
+    the scan); output rows ≤ max_frames × assets."""
+    import pandas as pd  # noqa: F811
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("sample_seq", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n_frames = (pdf["duration_ms"].fillna(0).clip(lower=0) * 25 // 1000).astype(
+                "int64"
+            )
+            out = []
+            for aid, nf in zip(pdf["asset_id"], n_frames):
+                idxs = list(range(0, int(nf), every_n))[:max_frames]
+                out.extend(
+                    {"asset_id": aid, "frame_index": ix, "sample_seq": seq}
+                    for seq, ix in enumerate(idxs)
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "frame_index", "sample_seq"]
+            ).astype(
+                {"asset_id": "int64", "frame_index": "int32", "sample_seq": "int32"}
+            )
+
+    flat = assets.filter(col("modality") == "video").select(
+        "asset_id", col("meta.duration_ms").alias("duration_ms")
+    )
+    return flat.mapInPandas(gen, schema=out_schema)

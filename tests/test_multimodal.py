@@ -64,3 +64,24 @@ def test_thumbnail_stub_bounds(assets):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_asset(b"\x00\x01", "audio")
+
+
+def test_frame_sample_stub_contract(assets):
+    from iot_sparkstreaming_spark.operators.multimodal import frame_sample_stub
+
+    rows = frame_sample_stub(assets, every_n=10, max_frames=8).collect()
+    assert rows
+    per_asset: dict[int, list] = {}
+    for r in rows:
+        per_asset.setdefault(r.asset_id, []).append(r)
+    video_ids = {
+        r.asset_id for r in assets.filter(F.col("modality") == "video").collect()
+    }
+    assert set(per_asset) <= video_ids
+    for frames in per_asset.values():
+        frames.sort(key=lambda r: r.sample_seq)
+        assert len(frames) <= 8
+        assert [r.sample_seq for r in frames] == list(range(len(frames)))
+        assert [r.frame_index for r in frames] == [
+            i * 10 for i in range(len(frames))
+        ]
