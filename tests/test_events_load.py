@@ -80,3 +80,30 @@ def test_events_ts_dtype_adaptive(spark, events_dir):
     assert dict(df.dtypes)["ts"] == "timestamp"
     got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
     assert got == EXPECTED
+
+
+def test_events_stream_dtype_adaptive(spark, events_dir):
+    """The streaming source must normalize every physical encoding the
+    batch loader does — same dtype-drift risk, same contract."""
+    from iot_sparkstreaming_spark.io.sources import events_stream
+
+    stream = events_stream(spark, events_dir)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    name = f"ev_dtype_{abs(hash(events_dir)) % 10**8}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        r.ts
+        for r in spark.sql(f"SELECT ts FROM {name} ORDER BY event_id").collect()
+    ]
+    assert got == EXPECTED
