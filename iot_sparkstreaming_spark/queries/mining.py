@@ -302,6 +302,111 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+# local fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram width (tokens)
+WINNOW_W = 4  # winnowing window (hashes)
+#: (hash, pos) packed into one bigint so MIN() argmins the pair:
+#: hash < 2^32 (md5-prefix hash64), pos < POS_MOD.
+WINNOW_POS_MOD = 1_000_000
+
+WINNOWING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(tk) - {WINNOW_K - 1})) - 1 AS pos,
+    unnest(CASE WHEN len(tk) >= {WINNOW_K}
+      THEN list_transform(generate_series(1, len(tk) - {WINNOW_K - 1}),
+             i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 8))::BIGINT)
+      ELSE [] END) AS h
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, pos, h, h * {WINNOW_POS_MOD} + pos AS hp,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+),
+wins AS (
+  SELECT doc_id, pos, n_grams,
+    MIN(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS min_hp
+  FROM packed
+)
+SELECT DISTINCT doc_id,
+  CAST(min_hp % {WINNOW_POS_MOD} AS BIGINT) AS fp_pos,
+  CAST(min_hp // {WINNOW_POS_MOD} AS BIGINT) AS fp_hash
+FROM wins
+WHERE pos <= n_grams - {WINNOW_W}
+"""
+
+
+@register("winnowing_fingerprints", oracle=WINNOWING_ORACLE)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    {k}-gram, slide a window of {w} consecutive hashes, keep the
+    minimum of each window (lowest position on hash ties — packed
+    (hash, pos) bigint makes MIN an argmin, deterministic on both
+    engines). Guarantees: any shared run of >= k+w-1 tokens between
+    two documents shares at least one fingerprint — the local-match
+    detection property plain shingle sampling lacks.
+
+    Scale shape: one shuffle on doc_id serves the gram window, the
+    count, and the winnowing min (same partitioning, single exchange);
+    the distinct collapses per doc. Density is ~2/(w+1) of grams, so
+    the fingerprint table is a fraction of the posting list a full
+    shingle index needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tk.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ", col("tok"), F.lead("tok", 1).over(w_seq), F.lead("tok", 2).over(w_seq)
+            ).alias("g"),
+            F.lead("tok", 2).over(w_seq).isNotNull().alias("full_width"),
+        )
+        .filter(col("full_width"))
+        .select("doc_id", "pos", hash64(col("g")).alias("h"))
+    )
+    packed = grams.select(
+        "doc_id",
+        "pos",
+        (col("h") * WINNOW_POS_MOD + col("pos")).alias("hp"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = packed.select(
+        "doc_id",
+        "pos",
+        "n_grams",
+        F.min("hp").over(w_win).alias("min_hp"),
+    )
+    return (
+        wins.filter(col("pos") <= col("n_grams") - WINNOW_W)
+        .select(
+            "doc_id",
+            (col("min_hp") % WINNOW_POS_MOD).cast("bigint").alias("fp_pos"),
+            # integer div, NOT `/` (double division would round the
+            # packed bigint through a float)
+            F.expr(f"min_hp div {WINNOW_POS_MOD}").cast("bigint").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event funnel: signup -> view -> purchase
 # ---------------------------------------------------------------------------
 

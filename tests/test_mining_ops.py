@@ -64,6 +64,30 @@ def test_centroid_nvecs_consistent_across_dims(spark):
     assert all(r.k == 1 for r in distinct_counts)
 
 
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, tmp_path):
+    """Winnowing's defining property (Schleimer et al.): two documents
+    sharing a token run of length >= k + w - 1 (= 6 here) must share
+    at least one fingerprint hash, regardless of surrounding text."""
+    from iot_sparkstreaming_spark.queries.mining import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"nine eight {shared} seven"),
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    fps = winnowing_fingerprints(spark, str(tmp_path)).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+
+
 def test_ngram_topk_sorted_and_bounded(spark):
     rows = ngram_topk_corpus(spark, SF_DIR).collect()
     assert len(rows) <= 50
