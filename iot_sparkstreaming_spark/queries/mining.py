@@ -406,6 +406,57 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_MAX_DF = 50  # stop-fingerprint cutoff (boilerplate hashes)
+WINNOW_MIN_SHARED = 3
+
+WINNOW_PAIRS_ORACLE = f"""
+WITH fps AS ({WINNOWING_ORACLE}),
+kept AS (
+  SELECT doc_id, fp_hash FROM (
+    SELECT doc_id, fp_hash,
+      COUNT(*) OVER (PARTITION BY fp_hash) AS df
+    FROM (SELECT DISTINCT doc_id, fp_hash FROM fps)
+  ) WHERE df <= {WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register("winnowing_overlap_pairs", oracle=WINNOW_PAIRS_ORACLE)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pair detection over the winnowing index: document
+    pairs sharing >= 3 distinct fingerprint hashes — the
+    plagiarism/boilerplate-overlap query MOSS runs, as an
+    inverted-index self-join (same skeleton as dedup_ngram_jaccard but
+    over a ~2/(w+1)-density index instead of the full posting list).
+
+    The DF cutoff drops boilerplate fingerprints (a hash shared by
+    > 50 docs identifies a template, not a copy) and bounds the
+    hottest posting list — without it one viral fingerprint creates a
+    df² pair blow-up at scale."""
+    fps = winnowing_fingerprints(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    kept = (
+        fps.withColumn(
+            "df", F.count("*").over(Window.partitionBy("fp_hash"))
+        )
+        .filter(col("df") <= WINNOW_MAX_DF)
+        .drop("df")
+    )
+    a = kept.select(col("doc_id").alias("doc_a"), "fp_hash")
+    b = kept.select(col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event funnel: signup -> view -> purchase
 # ---------------------------------------------------------------------------
