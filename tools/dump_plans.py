@@ -34,6 +34,7 @@ SHOWCASE = [
     ("oov_rate_per_doc", "constant-size vocabulary broadcast; corpus-side tokens never shuffle for the join"),
     ("funnel_analysis", "per-stage event_type filters pushed to the parquet scans; same-key shuffles reused"),
     ("retention_cohorts", "first-seen agg and join-back share the user_id partitioning"),
+    ("winnowing_fingerprints", "gram windows, counts, and winnowing min ride ONE doc_id exchange"),
 ]
 
 
