@@ -60,6 +60,8 @@ HEADLINE = [
     "embedding_centroid_per_label",
     "funnel_analysis",
     "retention_cohorts",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 

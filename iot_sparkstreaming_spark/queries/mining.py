@@ -358,52 +358,65 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the winnowing min (same partitioning, single exchange);
     the distinct collapses per doc. Density is ~2/(w+1) of grams, so
     the fingerprint table is a fraction of the posting list a full
-    shingle index needs."""
-    docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
-    )
-    w_seq = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        tk.select(
+    shingle index needs. The table is the fingerprint INDEX — a
+    build-once artifact — so it is materialized + session-memoized
+    for its consumers (winnowing_overlap_pairs)."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tk = docs.select(
+            "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
+        )
+        w_seq = Window.partitionBy("doc_id").orderBy("pos")
+        grams = (
+            tk.select(
+                "doc_id",
+                "pos",
+                F.concat_ws(
+                    " ",
+                    col("tok"),
+                    F.lead("tok", 1).over(w_seq),
+                    F.lead("tok", 2).over(w_seq),
+                ).alias("g"),
+                F.lead("tok", 2).over(w_seq).isNotNull().alias("full_width"),
+            )
+            .filter(col("full_width"))
+            .select("doc_id", "pos", hash64(col("g")).alias("h"))
+        )
+        packed = grams.select(
             "doc_id",
             "pos",
-            F.concat_ws(
-                " ", col("tok"), F.lead("tok", 1).over(w_seq), F.lead("tok", 2).over(w_seq)
-            ).alias("g"),
-            F.lead("tok", 2).over(w_seq).isNotNull().alias("full_width"),
+            (col("h") * WINNOW_POS_MOD + col("pos")).alias("hp"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
         )
-        .filter(col("full_width"))
-        .select("doc_id", "pos", hash64(col("g")).alias("h"))
-    )
-    packed = grams.select(
-        "doc_id",
-        "pos",
-        (col("h") * WINNOW_POS_MOD + col("pos")).alias("hp"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
-    )
-    w_win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    wins = packed.select(
-        "doc_id",
-        "pos",
-        "n_grams",
-        F.min("hp").over(w_win).alias("min_hp"),
-    )
-    return (
-        wins.filter(col("pos") <= col("n_grams") - WINNOW_W)
-        .select(
+        w_win = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.currentRow, WINNOW_W - 1)
+        )
+        wins = packed.select(
             "doc_id",
-            (col("min_hp") % WINNOW_POS_MOD).cast("bigint").alias("fp_pos"),
-            # integer div, NOT `/` (double division would round the
-            # packed bigint through a float)
-            F.expr(f"min_hp div {WINNOW_POS_MOD}").cast("bigint").alias("fp_hash"),
+            "pos",
+            "n_grams",
+            F.min("hp").over(w_win).alias("min_hp"),
         )
-        .distinct()
-    )
+        return (
+            wins.filter(col("pos") <= col("n_grams") - WINNOW_W)
+            .select(
+                "doc_id",
+                (col("min_hp") % WINNOW_POS_MOD).cast("bigint").alias("fp_pos"),
+                # integer div, NOT `/` (double division would round the
+                # packed bigint through a float)
+                F.expr(f"min_hp div {WINNOW_POS_MOD}").cast("bigint").alias(
+                    "fp_hash"
+                ),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, ("winnowing_fps", sf_dir), build)
 
 
 WINNOW_MAX_DF = 50  # stop-fingerprint cutoff (boilerplate hashes)
