@@ -87,8 +87,17 @@ def main() -> None:
     # best-of-2 per query: this VM's wall-clock varies ±30% run to
     # run, so a single draw is mostly noise — the min of two runs is
     # the standard steady-state estimator (both runs post-warm-up).
+    #
+    # The FIRST sf_dir run of each query is additionally recorded as
+    # its cold time: index-backed queries (ANN/LSH/IVF/jaccard/
+    # winnowing/pagerank) memoize their invariant index frames per
+    # session (tables.session_memo), so run 1 pays the index build and
+    # run 2 measures the build-once/query-many steady state. Reporting
+    # both keeps the index-build cost visible instead of hiding it
+    # behind the memo.
     times: dict[str, float] = {}
-    for _ in range(2):
+    cold_times: dict[str, float] = {}
+    for run in range(2):
         for name in HEADLINE:
             q = registry.get(name)
             if q is None:
@@ -96,9 +105,12 @@ def main() -> None:
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).count()
             el = round(time.perf_counter() - t0, 4)
+            if run == 0:
+                cold_times[name] = el
             times[name] = min(times.get(name, el), el)
 
     total = round(sum(times.values()), 4)
+    cold_total = round(sum(cold_times.values()), 4)
 
     # Streaming throughput: the reference's ONE hard performance number
     # is "per-trigger processing time < 1 s at input rate" (BASELINE.md,
@@ -109,12 +121,18 @@ def main() -> None:
     # under 1 s of processing.
     stream_rows = 0
     stream_sec = 0.0
+    stream_err = None
     try:
         from iot_sparkstreaming_spark.io.sources import events_stream
         from iot_sparkstreaming_spark.queries.reference import derive_telemetry
         from iot_sparkstreaming_spark.streaming.pipelines import warning_pipeline
+        from iot_sparkstreaming_spark.tables import load_table
 
-        stream_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        # load_table, not a bare spark.read.parquet: it owns the
+        # events-ts dtype normalization (nanosAsLong et al.), so the
+        # count works on every testdata encoding regardless of which
+        # headline queries ran before it.
+        stream_rows = load_table(spark, sf_dir, "events").count()
         fitbit = derive_telemetry(events_stream(spark, sf_dir)).withColumnRenamed(
             "event_ms", "machine_timestamp"
         )
@@ -127,8 +145,9 @@ def main() -> None:
         )
         sq.awaitTermination()
         stream_sec = round(time.perf_counter() - t0, 4)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — the metric must not kill the bench
         stream_rows = -1  # recorded as "measurement unavailable", not 0 rows/s
+        stream_err = f"{type(e).__name__}: {e}"[:500]
 
     print(
         json.dumps(
@@ -137,6 +156,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "cold_queries": cold_times,
+                "cold_total_wall_sec": cold_total,
                 "sf": sf,
                 "runs_per_query": 2,
                 "streaming_events_rows": stream_rows,
@@ -144,6 +165,7 @@ def main() -> None:
                 "streaming_rows_per_sec": (
                     round(stream_rows / stream_sec) if stream_sec > 0 and stream_rows > 0 else None
                 ),
+                "streaming_error": stream_err,
             }
         )
     )

@@ -46,25 +46,32 @@ def connected_components(
     labels = (
         edges.select(col("a").alias("node")).distinct().withColumn("comp", col("node"))
     )
-    for _ in range(max_iterations):
-        candidate = edges.join(labels, edges.b == labels.node).select(
-            col("a").alias("node"), col("comp")
-        )
-        new_labels = (
-            labels.unionByName(candidate)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(col("comp") != col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select("node", col("comp").alias("component"))
-    raise RuntimeError(f"did not converge in {max_iterations} iterations")
+    # The returned frame scans the final localCheckpoint'ed labels RDD,
+    # not the edges plan, so the edge cache can be dropped on exit —
+    # repeated clustering calls in one session must not accumulate
+    # cached blocks for the session lifetime.
+    try:
+        for _ in range(max_iterations):
+            candidate = edges.join(labels, edges.b == labels.node).select(
+                col("a").alias("node"), col("comp")
+            )
+            new_labels = (
+                labels.unionByName(candidate)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+                .filter(col("comp") != col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("node", col("comp").alias("component"))
+        raise RuntimeError(f"did not converge in {max_iterations} iterations")
+    finally:
+        edges.unpersist()
 
 
 def connected_components_star(

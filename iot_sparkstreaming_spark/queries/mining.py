@@ -187,14 +187,14 @@ SELECT doc_id,
   concat_ws(',',
     CASE WHEN n_tokens < 10 THEN 'too_short' END,
     CASE WHEN n_tokens > 2000 THEN 'too_long' END,
-    CASE WHEN CAST(n_alpha AS DOUBLE) / n_chars < 0.5 THEN 'low_alpha' END,
-    CASE WHEN CAST(n_digit AS DOUBLE) / n_chars > 0.2 THEN 'digit_heavy' END,
+    CASE WHEN CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0) < 0.5 THEN 'low_alpha' END,
+    CASE WHEN CAST(n_digit AS DOUBLE) / NULLIF(n_chars, 0) > 0.2 THEN 'digit_heavy' END,
     CASE WHEN n_tokens >= 10
               AND CAST(n_distinct AS DOUBLE) / n_tokens < 0.3 THEN 'low_diversity' END
   ) AS reasons,
   (n_tokens >= 10 AND n_tokens <= 2000
-   AND CAST(n_alpha AS DOUBLE) / n_chars >= 0.5
-   AND CAST(n_digit AS DOUBLE) / n_chars <= 0.2
+   AND CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0) >= 0.5
+   AND CAST(n_digit AS DOUBLE) / NULLIF(n_chars, 0) <= 0.2
    AND NOT (n_tokens >= 10 AND CAST(n_distinct AS DOUBLE) / n_tokens < 0.3)
   ) AS keep
 FROM m
@@ -224,8 +224,12 @@ def quality_gate_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     too_short = col("n_tokens") < 10
     too_long = col("n_tokens") > 2000
-    low_alpha = col("n_alpha").cast("double") / col("n_chars") < 0.5
-    digit_heavy = col("n_digit").cast("double") / col("n_chars") > 0.2
+    # nullif guard: an empty-text document (n_chars = 0) must yield NULL
+    # ratios identically on both engines — Spark's non-ANSI x/0 is NULL
+    # but DuckDB double division yields inf, so the guard is explicit.
+    safe_chars = F.nullif(col("n_chars"), F.lit(0))
+    low_alpha = col("n_alpha").cast("double") / safe_chars < 0.5
+    digit_heavy = col("n_digit").cast("double") / safe_chars > 0.2
     low_diversity = (col("n_tokens") >= 10) & (
         col("n_distinct").cast("double") / col("n_tokens") < 0.3
     )

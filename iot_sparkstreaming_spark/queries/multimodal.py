@@ -16,7 +16,9 @@ from pyspark.sql.functions import col
 
 from iot_sparkstreaming_spark.operators.multimodal import (
     assets_from_documents,
+    audio_features,
     extract_features,
+    wav_audio_assets,
 )
 from iot_sparkstreaming_spark.queries.registry import register
 from iot_sparkstreaming_spark.tables import load_table
@@ -86,3 +88,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanctioned Python boundary, proven driftless."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(assets_from_documents(docs))
+
+
+# The WAV fixture is closed-form (operators/multimodal.py
+# synthesize_wav): n_frames = 64 + id % 128, sample[i] =
+# ((id*31 + i*17) mod 65536) - 32768. The oracle recomputes the
+# DECODED statistics from that formula alone — it never sees the
+# RIFF container — so a hash match proves the whole Spark-side
+# encode → real WAV bytes → stdlib-wave decode → features round-trip
+# is lossless.
+AUDIO_WAV_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, 64 + doc_id % 128 AS n_frames
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT asset_id, n_frames,
+    unnest(generate_series(0, n_frames - 1)) AS i
+  FROM f
+)
+SELECT asset_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS n_channels,
+  CAST(n_frames AS BIGINT) AS n_frames,
+  CAST(SUM((asset_id * 31 + i * 17) % 65536 - 32768) AS BIGINT) AS sum_amp,
+  CAST(MAX(ABS((asset_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT) AS peak_abs
+FROM s
+GROUP BY asset_id, n_frames
+"""
+
+
+@register("audio_wav_features", oracle=AUDIO_WAV_ORACLE)
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path (no stub): every audio-modality document
+    becomes a genuine PCM16 RIFF/WAVE file (stdlib ``wave`` encode in
+    one mapInPandas pass), which a second pass then parses back with
+    the stdlib decoder and reduces to integer sample statistics. The
+    oracle recomputes those statistics from the closed-form signal
+    definition, so the container framing, byte order, and sample
+    unpacking are all under test.
+
+    Scale shape: two chained map-only Arrow passes — no shuffle at
+    all; payload bytes live only inside the pipeline between them and
+    are dropped before any exchange. At 100 TB of audio the same plan
+    holds: decode parallelism is the scan's partitioning, features are
+    a few ints per asset."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(wav_audio_assets(docs))

@@ -62,8 +62,48 @@ def test_thumbnail_stub_bounds(assets):
 
 
 def test_decode_stub_raises():
+    # video (and image, PIL absent) stay stubbed; audio is real now
     with pytest.raises(NotImplementedError):
-        decode_asset(b"\x00\x01", "audio")
+        decode_asset(b"\x00\x01", "video")
+
+
+def test_wav_codec_roundtrip():
+    """Real codec: synthesize_wav writes a genuine RIFF/WAVE container
+    and decode_asset parses it back to the closed-form samples."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE,
+        synthesize_wav,
+    )
+
+    aid = 42
+    payload = synthesize_wav(aid)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = decode_asset(payload, "audio")
+    assert d["sample_rate"] == WAV_SAMPLE_RATE
+    assert d["n_channels"] == 1
+    n = 64 + aid % 128
+    assert d["n_frames"] == n
+    expected = tuple(((aid * 31 + i * 17) % 65536) - 32768 for i in range(n))
+    assert d["samples"] == expected
+
+
+def test_audio_features_batch_invariance(spark):
+    """Chained encode→decode mapInPandas passes give identical results
+    under tiny Arrow batches + many partitions vs one partition."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        audio_features,
+        wav_audio_assets,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        multi = audio_features(wav_audio_assets(docs.repartition(8))).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    single = audio_features(wav_audio_assets(docs.coalesce(1))).collect()
+    assert multi and sorted(map(tuple, multi)) == sorted(map(tuple, single))
+    assert all(r.peak_abs <= 32768 and r.n_frames >= 64 for r in multi)
 
 
 def test_frame_sample_stub_contract(assets):

@@ -24,7 +24,7 @@ REGISTRY = load_all()
 ALL = sorted(REGISTRY)
 
 #: operators sanctioned to cross into (Arrow-batched) Python
-ARROW_ALLOWED = {"multimodal_features", "udaf_iqr_pandas"}
+ARROW_ALLOWED = {"multimodal_features", "udaf_iqr_pandas", "audio_wav_features"}
 
 
 @pytest.fixture(scope="module")
