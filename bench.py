@@ -62,6 +62,14 @@ HEADLINE = [
     "retention_cohorts",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    # round 5: anomaly/EWMA/collocation (triangle_count_parts is
+    # excluded — the fixture's co-purchase graph is near-complete at
+    # sf0.1, a uniform-assignment artifact that makes any triangle
+    # enumeration quadratic-dense; its scale posture is tested at
+    # sf0.01 by the oracle row instead)
+    "anomaly_zscore_events",
+    "ewma_user_value",
+    "bigram_lift_topk",
 ]
 
 

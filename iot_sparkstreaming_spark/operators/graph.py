@@ -165,6 +165,66 @@ def connected_components_star(
     )
 
 
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts of an undirected simple graph given as
+    canonical edges (``src < dst``, no duplicates, no self-loops);
+    returns ``(node, n_triangles)`` for every node in ≥ 1 triangle.
+
+    Degree-ordered orientation (the standard distributed formulation:
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11 — public algorithm): orient every edge
+    toward the higher ``(degree, id)`` endpoint, enumerate wedges at
+    each source among its out-neighbors, close them against the
+    oriented edge list. Every triangle is found exactly once — at its
+    lowest-ordered vertex.
+
+    Why orientation matters at 100 TB: out-degree under this total
+    order is bounded by O(sqrt(m)) for ANY degree distribution, so
+    wedge count is Σ outdeg² ≤ m·sqrt(m) instead of the Σ deg²
+    blow-up a naive a<b<c id-ordering suffers at power-law hub nodes
+    (a celebrity node with deg 10⁷ would otherwise emit 10¹⁴ wedges
+    from one reducer). Three shuffles total: degree agg, wedge
+    self-join on the source, closing-edge join.
+    """
+    e = edges.select(col(src).alias("u"), col(dst).alias("v"))
+    deg = (
+        e.select(col("u").alias("node"))
+        .union(e.select(col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(col("node").alias("u"), col("deg").alias("du"))
+    dv = deg.select(col("node").alias("v"), col("deg").alias("dv"))
+    ann = e.join(du, "u").join(dv, "v")
+    lower_first = (col("du") < col("dv")) | (
+        (col("du") == col("dv")) & (col("u") < col("v"))
+    )
+    oriented = ann.select(
+        F.when(lower_first, col("u")).otherwise(col("v")).alias("src"),
+        F.when(lower_first, col("v")).otherwise(col("u")).alias("dst"),
+        F.when(lower_first, col("dv")).otherwise(col("du")).alias("ddst"),
+    )
+    x = oriented.select(
+        col("src"), col("dst").alias("p"), col("ddst").alias("dp")
+    )
+    y = oriented.select(
+        col("src"), col("dst").alias("q"), col("ddst").alias("dq")
+    )
+    wedges = x.join(y, "src").filter(
+        (col("dp") < col("dq")) | ((col("dp") == col("dq")) & (col("p") < col("q")))
+    )
+    closing = oriented.select(
+        col("src").alias("p"), col("dst").alias("q")
+    )
+    tri = wedges.join(closing, ["p", "q"]).select("src", "p", "q")
+    nodes = (
+        tri.select(col("src").alias("node"))
+        .union(tri.select(col("p").alias("node")))
+        .union(tri.select(col("q").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
 #: fixed-point scale for integer PageRank: ranks are stored as
 #: rank * PR_SCALE in a bigint, so every operation is exact integer
 #: arithmetic (floor division) — bitwise reproducible across engines,

@@ -1075,3 +1075,212 @@ def gapfill_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         col("n_events").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph (graph algorithm #3)
+# ---------------------------------------------------------------------------
+
+# The oracle enumerates each triangle once in its canonical a<b<c id
+# order (two joins over the id-ordered edge list) — tractable at
+# oracle scale, but the id-ordering would melt at a power-law hub.
+# The Spark side uses degree-ordered orientation instead
+# (operators/graph.py triangle_counts); both count the SAME triangle
+# set, so the per-node explode matches exactly.
+TRIANGLE_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM p e1
+  JOIN p e2 ON e2.u = e1.v
+  JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+GROUP BY node
+"""
+
+
+@register("triangle_count_parts", oracle=TRIANGLE_ORACLE)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts are
+    adjacent when some order contains both): the local-clustering
+    signal behind "frequently bought together" bundles and community
+    seeding — and the engine's third graph-algorithm shape beside
+    label propagation and PageRank.
+
+    Scale: the edge derivation is a per-order self-join (bounded by
+    order size, ~7 lineitems, so ≤ 21 pairs per order — linear in
+    lineitem, not quadratic in parts); triangle enumeration uses
+    degree-ordered orientation so wedge work is m^1.5-bounded even on
+    power-law co-purchase hubs — see operators/graph.py
+    triangle_counts for the WWW'11 provenance."""
+    from iot_sparkstreaming_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(col("l_orderkey").alias("o"), col("l_partkey").alias("u"))
+    b = li.select(col("l_orderkey").alias("o"), col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(col("u") < col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly flags (exact integer formulation)
+# ---------------------------------------------------------------------------
+
+# All arithmetic in bigint "centi-basis" units (value × 10⁴, exact:
+# fixture values carry ≤ 4 dp) so the 2σ test is the cross-multiplied
+# inequality (n·x − S)² > 4·(n·Q − S²) — no float mean, no sqrt, no
+# division, hence bitwise identical on any engine and any partitioning.
+ANOMALY_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+    CAST(ROUND(value * 10000) AS BIGINT) AS vc
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, value, vc,
+    COUNT(*) OVER win AS n_hist,
+    CAST(SUM(vc) OVER win AS BIGINT) AS s_hist,
+    CAST(SUM(vc * vc) OVER win AS BIGINT) AS q_hist
+  FROM e
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+  CAST(n_hist AS BIGINT) AS n_hist,
+  (n_hist * vc - s_hist) * (n_hist * vc - s_hist)
+    > 4 * (n_hist * q_hist - s_hist * s_hist) AS is_anomaly
+FROM w
+WHERE n_hist >= 5
+"""
+
+
+@register("anomaly_zscore_events", oracle=ANOMALY_ORACLE)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag an event whose value
+    sits more than 2 trailing standard deviations from the user's
+    previous ≤ 20 events (at least 5 of history) — the per-entity
+    outlier gate of a telemetry quality pipeline.
+
+    Exactness: the z-test is evaluated as the cross-multiplied
+    integer inequality (n·x − S)² > 4(n·Q − S²) over value×10⁴
+    bigints, so there is no float mean/stddev to drift between
+    engines or aggregation orders. Scale: one shuffle on user_id;
+    the three window aggregates share a single sort/frame pass."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(col("value") * 10000).cast("bigint")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        vc.alias("vc"),
+        F.count("*").over(win).alias("n_hist"),
+        F.sum(vc).over(win).cast("bigint").alias("s_hist"),
+        F.sum(vc * vc).over(win).cast("bigint").alias("q_hist"),
+    )
+    dev = col("n_hist") * col("vc") - col("s_hist")
+    var4 = 4 * (col("n_hist") * col("q_hist") - col("s_hist") * col("s_hist"))
+    return w.filter(col("n_hist") >= 5).select(
+        "user_id",
+        "event_id",
+        "value",
+        col("n_hist").cast("bigint").alias("n_hist"),
+        (dev * dev > var4).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (exact dyadic weights over a 16-tap window)
+# ---------------------------------------------------------------------------
+
+# α = 1/2 EWMA truncated at 16 taps: weight of the k-th lag is
+# 2^-(k+1), so the weighted sum over value×10⁴ bigints is Σ vc·2^(15-k)
+# — a pure bigint (≤ 5.7e6 · 2¹⁵ · 16 ≈ 3e12, far inside int64), made
+# a double by ONE final division. The oracle computes the identical
+# integer via a bounded self-join on row numbers; the Spark side folds
+# an ordered window array — same integer, bitwise-same double.
+EWMA_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+    CAST(ROUND(value * 10000) AS BIGINT) AS vc,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT cur.user_id, cur.event_id,
+  CAST(cur.vc AS DOUBLE) / 10000.0 AS value,
+  CAST(SUM(past.vc * (CAST(1 AS BIGINT) << (15 - (cur.rn - past.rn)))) AS BIGINT)
+    / 655360000.0 AS ewma
+FROM e cur
+JOIN e past
+  ON past.user_id = cur.user_id AND past.rn BETWEEN cur.rn - 15 AND cur.rn
+GROUP BY cur.user_id, cur.event_id, cur.vc
+"""
+
+
+@register("ewma_user_value", oracle=EWMA_ORACLE)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 1/2, 16-tap truncation) of event values —
+    the smoothing pass behind rate limiting, trend displays, and
+    drift detection, expressed without a row-at-a-time recurrence.
+
+    Exactness: dyadic weights make every term an integer shift of the
+    value×10⁴ bigint; the fold is an exact integer sum (order-free by
+    construction) and only the final normalization divides. The
+    oracle computes the same integer via a bounded rn-band self-join.
+
+    Scale: one shuffle on user_id; ``collect_list`` over a 16-row
+    frame is O(16) state per row (the window array never exceeds 16
+    elements), unlike an unbounded running collect. The fold runs in
+    whole-stage-codegen'd higher-order functions, not Python."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(col("value") * 10000).cast("bigint")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        vc.alias("vc"),
+        F.collect_list(vc).over(win).alias("arr"),
+    )
+    # weight 2^(16-m+i) as a bigint: pow is exact up to 2^15 and the
+    # cast is lossless (shiftleft would be equivalent but PySpark's
+    # wrapper only takes a literal shift amount)
+    scaled = F.aggregate(
+        F.transform(
+            col("arr"),
+            lambda x, i: x
+            * F.pow(F.lit(2.0), F.lit(16) - F.size(col("arr")) + i).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return arr.select(
+        "user_id",
+        "event_id",
+        (col("vc").cast("double") / 10000.0).alias("value"),
+        (scaled.cast("bigint") / F.lit(655360000.0)).alias("ewma"),
+    )

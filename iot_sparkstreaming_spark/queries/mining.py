@@ -597,3 +597,95 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "week_offset")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram association strength (lift) — collocation mining
+# ---------------------------------------------------------------------------
+
+# lift(a,b) = P(ab) / (P(a)·P(b)) = c_ab·N / (c_a·c_b): the PMI
+# argument without the log, so the score is ONE double division of
+# exact bigint products (all < 2^53 — token totals are ~3e6 at sf0.1)
+# — bitwise identical across engines, where a log()-based PMI would be
+# at the mercy of libm. Ranking by lift is ranking by PMI (log is
+# monotone).
+BIGRAM_LIFT_ORACLE = """
+WITH toks AS (
+  SELECT regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+uni AS (SELECT unnest(tk) AS t FROM toks),
+ucnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY t),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT
+    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
+    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i + 1])) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+bcnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+)
+SELECT b.w1 || ' ' || b.w2 AS ngram, b.n_ab,
+  CAST(b.n_ab * t.n AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+FROM bcnt b
+CROSS JOIN tot t
+JOIN ucnt ua ON ua.t = b.w1
+JOIN ucnt ub ON ub.t = b.w2
+ORDER BY lift DESC, ngram
+LIMIT 50
+"""
+
+
+@register("bigram_lift_topk", oracle=BIGRAM_LIFT_ORACLE)
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams by lift (observed/expected co-occurrence,
+    min support 5) — collocation mining: "new york" scores high on
+    lift even when raw frequency is unremarkable, which is what
+    phrase induction and tokenizer-merge candidates actually need
+    (``ngram_topk_corpus`` ranks by raw count; this ranks by
+    association strength).
+
+    Scale shape: tokenize once; unigram counts and bigram counts are
+    two hash aggregations with map-side combine; the two unigram
+    lookups are shuffle equi-joins on the token key (the full vocab
+    is NOT broadcastable at web scale); the corpus total is a
+    1-row broadcast. Final top-k is TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(tokens(col("text")).alias("tk"))
+    uni = tk.select(F.explode(col("tk")).alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").cast("bigint").alias("n"))
+    m = F.size(col("tk")) - 1
+    pairs = tk.filter(F.size(col("tk")) >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(col("tk"), 1, m),
+                F.slice(col("tk"), 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    bcnt = (
+        pairs.select(col("p.w1").alias("w1"), col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(col("n_ab") >= 5)
+    )
+    ua = ucnt.select(col("t").alias("w1"), col("c").alias("c_a"))
+    ub = ucnt.select(col("t").alias("w2"), col("c").alias("c_b"))
+    lift = (col("n_ab") * col("n")).cast("double") / (
+        col("c_a") * col("c_b")
+    ).cast("double")
+    return (
+        bcnt.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.concat_ws(" ", col("w1"), col("w2")).alias("ngram"),
+            col("n_ab").cast("bigint").alias("n_ab"),
+            lift.alias("lift"),
+        )
+        .orderBy(col("lift").desc(), col("ngram"))
+        .limit(50)
+    )

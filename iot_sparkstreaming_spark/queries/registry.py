@@ -116,19 +116,21 @@ _PRIORITY_PREFIX = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
-    "dedup_canonical_docs",
-    "dedup_passages",
-    "dedup_containment",
     "semdedup_cluster_prune",
     "knn_bruteforce_cosine",
     "ann_lsh_cosine",
-    "quantize_embeddings_int8",
     "ann_ivf_cosine",
     "multimodal_manifest",
     "multimodal_features",
-    # new in r5 (real WAV codec path) — takes rp_project_embeddings'
-    # slot (map-only, r2-green, unchanged since)
+    # new in r5 — brand-new code takes the slots of the simplest
+    # r2-green fillers (rp_project_embeddings, quantize_embeddings_
+    # int8, dedup_canonical_docs/passages/containment: all map-only
+    # or single-agg shapes, unchanged since their green rows)
     "audio_wav_features",
+    "triangle_count_parts",
+    "anomaly_zscore_events",
+    "ewma_user_value",
+    "bigram_lift_topk",
 ]
 
 _MODULE_ORDER = [

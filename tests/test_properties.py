@@ -407,3 +407,33 @@ def test_bpe_merge_loop_matches_python(spark, docs):
     state = spark.createDataFrame(rows, "doc_id LONG, pos LONG, tok STRING")
     got = bpe_train(state, n_merges)
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered triangle counting must agree with a pure-Python
+    all-triples check on random graphs (inputs canonicalized to the
+    operator's simple-graph contract: u < v, dedup, no self-loops)."""
+    from itertools import combinations
+
+    from iot_sparkstreaming_spark.operators.graph import triangle_counts
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    eset = set(canon)
+    nodes = sorted({n for e in canon for n in e})
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+
+    df = spark.createDataFrame(canon, ["u", "v"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expected
