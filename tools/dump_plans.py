@@ -35,6 +35,9 @@ SHOWCASE = [
     ("funnel_analysis", "per-stage event_type filters pushed to the parquet scans; same-key shuffles reused"),
     ("retention_cohorts", "first-seen agg and join-back share the user_id partitioning"),
     ("winnowing_fingerprints", "gram windows, counts, and winnowing min ride ONE doc_id exchange"),
+    ("anomaly_zscore_events", "all three trailing-window aggregates (n, sum, sum-of-squares) share ONE user_id exchange and ONE window pass"),
+    ("ewma_user_value", "bounded 16-row collect_list + HOF fold on ONE user_id exchange — no Python, no unbounded state"),
+    ("bigram_lift_topk", "unigram/bigram counts with map-side partial combine; 1-row corpus total broadcast; top-50 via TakeOrderedAndProject"),
 ]
 
 
