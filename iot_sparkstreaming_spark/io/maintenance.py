@@ -81,3 +81,55 @@ def delete_keys(
     kept.write.mode("overwrite").parquet(out_path)
     after = spark.read.parquet(out_path).count()
     return before, after
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleave — multi-dimensional layout clustering
+# ---------------------------------------------------------------------------
+
+#: bit-spreading magic masks (public-domain "interleave by binary magic
+#: numbers" bit trick): spread the low 16 bits of x so bit i lands at
+#: position 2i. Identical integer arithmetic on any engine with 64-bit
+#: &, |, << — which is what makes the z-value oracle-checkable.
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread_bits_sql(expr: str) -> str:
+    """SQL expression (Spark AND DuckDB dialect-shared subset) that
+    spreads the low 16 bits of ``expr`` to even positions."""
+    s = f"({expr} & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        s = f"((({s} | ({s} << {shift})) & {mask}))"
+    return s
+
+
+def zvalue_sql(x: str, y: str) -> str:
+    """64-bit Morton code of two 16-bit dimensions: x on even bits,
+    y on odd."""
+    return f"({spread_bits_sql(x)} | ({spread_bits_sql(y)} << 1))"
+
+
+def zorder_rewrite(df, x: str, y: str, out_path: str, files: int = 32) -> None:
+    """Rewrite a table Z-ORDERED on two dimensions: range-partition by
+    the Morton code of the (16-bit-bucketed) keys, sort within files.
+    Each output file then covers a small rectangle in (x, y) space, so
+    min/max footer stats prune scans filtered on EITHER dimension —
+    the multi-dimensional generalization of the single-key
+    range-clustered rewrite in :func:`compact`. Same recipe as
+    public lakehouse OPTIMIZE ZORDER BY implementations, built from
+    repartitionByRange + sortWithinPartitions."""
+    from pyspark.sql import functions as F
+
+    z = df.withColumn("_z", F.expr(zvalue_sql(x, y)))
+    (
+        z.repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -593,3 +593,75 @@ def feature_binning_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch ALGEBRA: build once at a fine grain, merge upward
+# ---------------------------------------------------------------------------
+
+HLL_UNION_ORACLE = """
+SELECT r_name,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+  TRUE AS merged_within_rsd,
+  TRUE AS merge_lossless
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+@register("hll_union_region_suppliers", oracle=HLL_UNION_ORACLE)
+def hll_union_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA, not just sketch estimation: per-nation
+    Datasketches HLL sketches of the suppliers serving each nation's
+    customers (suppliers overlap heavily across nations — a genuine
+    multiset union), merged upward to region level with
+    ``hll_union_agg`` — the pre-aggregated-rollup pattern that makes
+    COUNT(DISTINCT) feasible at 100 TB: leaf sketches are built once
+    in the hot path (fixed-size registers per group, mergeable), and
+    every coarser grain is a cheap register-max union of stored
+    sketches, never a re-scan of the fact table.
+
+    Output carries the exact distinct count plus two stable booleans:
+    the merged estimate lands within 3× the rsd standard error of
+    exact, and — the algebra's defining property — merging the nation
+    sketches gives BIT-IDENTICAL register state to sketching the
+    region directly (register-wise max is associative), asserted as
+    equal estimates. DuckDB cannot reproduce the sketch itself, so
+    the oracle checks the exact counts and the two invariant booleans
+    (same contract as ``approx_distinct_sketch``)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        li.join(orders, col("o_orderkey") == col("l_orderkey"))
+        .join(cust, col("c_custkey") == col("o_custkey"))
+        .join(F.broadcast(nation), col("n_nationkey") == col("c_nationkey"))
+        .join(F.broadcast(region), col("r_regionkey") == col("n_regionkey"))
+    )
+    leaf = joined.groupBy("r_name", "n_nationkey").agg(
+        F.hll_sketch_agg("l_suppkey").alias("sketch")
+    )
+    merged = leaf.groupBy("r_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_est")
+    )
+    direct = joined.groupBy("r_name").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_suppkey")).alias("direct_est"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )
+    return merged.join(direct, "r_name").select(
+        "r_name",
+        col("exact_suppliers").cast("bigint").alias("exact_suppliers"),
+        (
+            F.abs(col("merged_est") - col("exact_suppliers"))
+            <= 0.15 * col("exact_suppliers")
+        ).alias("merged_within_rsd"),
+        (col("merged_est") == col("direct_est")).alias("merge_lossless"),
+    )

@@ -646,16 +646,24 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ngram_topk_corpus`` ranks by raw count; this ranks by
     association strength).
 
-    Scale shape: tokenize once; unigram counts and bigram counts are
-    two hash aggregations with map-side combine; the two unigram
-    lookups are shuffle equi-joins on the token key (the full vocab
-    is NOT broadcastable at web scale); the corpus total is a
-    1-row broadcast. Final top-k is TakeOrdered, no global sort."""
+    Scale shape: the unigram count table is materialized ONCE
+    (localCheckpoint) because THREE consumers read it — the w1 join,
+    the w2 join, and the corpus total (derived as Σc instead of a
+    fourth tokenize of the corpus); Spark reuses no exchanges across
+    plan branches, so without it every branch would re-tokenize
+    (measured: 4 scans → 2). The unigram lookups are shuffle
+    equi-joins on the token key (the full vocab is NOT broadcastable
+    at web scale); the corpus total is a 1-row broadcast. Final top-k
+    is TakeOrdered, no global sort."""
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select(tokens(col("text")).alias("tk"))
     uni = tk.select(F.explode(col("tk")).alias("t"))
-    ucnt = uni.groupBy("t").agg(F.count("*").alias("c"))
-    tot = uni.agg(F.count("*").cast("bigint").alias("n"))
+    ucnt = (
+        uni.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = ucnt.agg(F.sum("c").cast("bigint").alias("n"))
     m = F.size(col("tk")) - 1
     pairs = tk.filter(F.size(col("tk")) >= 2).select(
         F.explode(

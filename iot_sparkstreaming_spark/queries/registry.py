@@ -110,7 +110,6 @@ _PRIORITY_PREFIX = [
     "warning_streak_alerts",
     # -- r2-only-checked families: dedup (10), similarity (5),
     #    multimodal (2)
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -120,17 +119,19 @@ _PRIORITY_PREFIX = [
     "knn_bruteforce_cosine",
     "ann_lsh_cosine",
     "ann_ivf_cosine",
-    "multimodal_manifest",
     "multimodal_features",
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
-    # int8, dedup_canonical_docs/passages/containment: all map-only
-    # or single-agg shapes, unchanged since their green rows)
+    # int8, dedup_exact, dedup_canonical_docs/passages/containment,
+    # multimodal_manifest: all map-only or single-agg shapes,
+    # unchanged since their green rows)
     "audio_wav_features",
     "triangle_count_parts",
     "anomaly_zscore_events",
     "ewma_user_value",
     "bigram_lift_topk",
+    "hll_union_region_suppliers",
+    "zorder_locality_events",
 ]
 
 _MODULE_ORDER = [

@@ -52,3 +52,52 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in _SQL_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(REGION_REVENUE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) locality — one SQL text, two engines
+# ---------------------------------------------------------------------------
+
+from iot_sparkstreaming_spark.io.maintenance import zvalue_sql  # noqa: E402
+
+#: Morton code of (user_id, floor(value)) in their low 16 bits; the
+#: coarse bucket is the top byte of the 32-bit z-value. The SAME text
+#: runs on Spark and DuckDB — both engines share 64-bit `&`, `|`, `<<`
+#: semantics, so the interleave is bitwise identical.
+ZORDER_LOCALITY_SQL = f"""
+WITH z AS (
+  SELECT user_id,
+    CAST(FLOOR(value) AS BIGINT) AS vb,
+    {zvalue_sql("(user_id & 65535)", "(CAST(FLOOR(value) AS BIGINT) & 65535)")}
+      AS zval
+  FROM events
+)
+SELECT CAST(zval >> 24 AS BIGINT) AS zbucket,
+  COUNT(*) AS n_rows,
+  CAST(MIN(user_id) AS BIGINT) AS min_user,
+  CAST(MAX(user_id) AS BIGINT) AS max_user,
+  CAST(MIN(vb) AS BIGINT) AS min_vb,
+  CAST(MAX(vb) AS BIGINT) AS max_vb
+FROM z
+GROUP BY zbucket
+"""
+
+
+@register("zorder_locality_events", oracle=ZORDER_LOCALITY_SQL)
+def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout computation as a checkable query: Morton-
+    interleave (user_id, floor(value)) and report, per coarse z-range
+    bucket, the row count and the min/max of BOTH dimensions — the
+    exact per-file footer statistics a Z-ORDERED rewrite
+    (io/maintenance.py ``zorder_rewrite``) would produce, and the
+    evidence that each z-range covers a bounded rectangle of the key
+    space (which is why min/max pruning then works for filters on
+    either dimension, not just the leading sort key).
+
+    The interleave is the public "binary magic numbers" bit spread —
+    pure 64-bit integer ops, so the identical SQL text runs on both
+    engines and the z-values are bitwise identical. Scale: map-only
+    expression + one hash aggregate; the rewrite itself adds one
+    range exchange (repartitionByRange on the z-value)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(ZORDER_LOCALITY_SQL)

@@ -63,3 +63,39 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_zorder_rewrite_roundtrip_and_locality(spark, tmp_path):
+    """Z-ordered rewrite is lossless, and each output file covers a
+    bounded rectangle of the key space: the per-file min/max spans of
+    BOTH dimensions must be far below the global span (the property
+    that makes footer-stats pruning work on either filter column)."""
+    from iot_sparkstreaming_spark.io.maintenance import zorder_rewrite
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "events_z")
+    zorder_rewrite(ev, "(user_id & 65535)", "(CAST(FLOOR(value) AS BIGINT) & 65535)", path, files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert sorted(c for c in back.columns) == sorted(ev.columns)
+
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    globals_ = ev.agg(
+        F.max("user_id").cast("double") - F.min("user_id"),
+        F.max(F.floor("value")) - F.min(F.floor("value")),
+    ).collect()[0]
+    gspan_u, gspan_v = float(globals_[0]), float(globals_[1])
+    spans = []
+    for f in Path(path).glob("*.parquet"):
+        t = pq.read_table(f, columns=["user_id", "value"])
+        u = t.column("user_id").to_pylist()
+        v = [int(x) for x in t.column("value").to_pylist()]
+        if u:
+            spans.append(((max(u) - min(u)) / gspan_u, (max(v) - min(v)) / gspan_v))
+    assert len(spans) >= 4
+    # average rectangle area well under the full key space
+    avg_area = sum(su * sv for su, sv in spans) / len(spans)
+    assert avg_area < 0.5, spans
