@@ -96,7 +96,7 @@ STOP_SHINGLE_MAX_DF = 50
 
 def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stop-shingle-filtered inverted-index posting list
-    ``(doc_id, s, n_sh)`` — the shared substrate of
+    ``(doc_id, s_h, n_sh)`` — the shared substrate of
     :func:`dedup_ngram_jaccard` and :func:`dedup_containment`.
 
     EXPLODE-FIRST construction: tokenize once inside the Generate,
@@ -109,9 +109,18 @@ def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once per document; the doc_id window shuffle it costs is
     one the posting join needs anyway.
 
-    distinct == the oracle's ``list_distinct``; docs with <3 tokens
-    yield no full-width shingles (the ``len(tk)>=3`` guard). The DF
-    window shares the join's partitioning key (s); ``n_sh`` counts
+    ``s_h`` is the shingle HASHED to a 60-bit bigint (md5-prefix, the
+    engine-shared hash family): the posting table and every downstream
+    self-join then shuffle 8-byte keys instead of ~25-byte shingle
+    strings — the same shuffle-bytes discipline as dedup_exact. The
+    oracles replay the identical hash, so the (astronomically rare at
+    ~2⁻⁶⁰·n² odds) collision would merge the same postings on both
+    engines — results stay bitwise comparable by construction.
+
+    distinct comes AFTER hashing (mirroring the oracle) so a
+    within-doc collision can't double-post; docs with <3 tokens yield
+    no full-width shingles (the ``len(tk)>=3`` guard). The DF window
+    shares the join's partitioning key (s_h); ``n_sh`` counts
     SURVIVING shingles, so it comes after the cutoff. Materialized +
     session-memoized: the production shape is a posting-list table
     written ONCE, then self-joined by every consumer."""
@@ -134,9 +143,14 @@ def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             tri.filter(col("full_width"))
-            .select("doc_id", "s")
+            .select(
+                "doc_id",
+                F.conv(F.substring(F.md5(col("s")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("s_h"),
+            )
             .distinct()
-            .withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+            .withColumn("__df", F.count("*").over(Window.partitionBy("s_h")))
             .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
             .drop("__df")
             .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
@@ -146,18 +160,29 @@ def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, ("shingle_postings", sf_dir), build)
 
 
+#: the posting/kept derivation in DuckDB — IDENTICAL md5-prefix hash,
+#: distinct after hashing, DF cutoff on the hashed key. Appended to
+#: SHINGLES_CTE by the three oracles that replay the inverted index.
+_KEPT_SQL = f"""
+, posts AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s_h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+),
+kept AS (
+  SELECT doc_id, s_h FROM posts
+  WHERE s_h IN (SELECT s_h FROM posts GROUP BY s_h
+                HAVING COUNT(*) <= {STOP_SHINGLE_MAX_DF})
+)"""
+
+
 JACCARD_ORACLE = (
     SHINGLES_CTE
+    + _KEPT_SQL
     + f"""
-, posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-kept AS (
-  SELECT doc_id, s FROM posts
-  WHERE s IN (SELECT s FROM posts GROUP BY s HAVING COUNT(*) <= {STOP_SHINGLE_MAX_DF})
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s_h = b.s_h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -185,10 +210,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cutoff; at fixture DF levels it drops nothing, so both sides
     also equal the unfiltered semantics."""
     posts = _posting_list(spark, sf_dir)
-    a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
-    b = posts.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"), "s")
+    a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s_h")
+    b = posts.select(col("doc_id").alias("doc_b"), col("n_sh").alias("nb"), "s_h")
     inter = (
-        a.join(b, ["s"])
+        a.join(b, ["s_h"])
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
@@ -571,17 +596,13 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computes via dedup_ngram_jaccard.
 COMPONENTS_ORACLE = (
     SHINGLES_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + _KEPT_SQL
     + f"""
-, posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-kept AS (
-  SELECT doc_id, s FROM posts
-  WHERE s IN (SELECT s FROM posts GROUP BY s HAVING COUNT(*) <= {STOP_SHINGLE_MAX_DF})
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 pairs AS (
   SELECT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.s_h = b.s_h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
   ) i
   JOIN sizes sa ON sa.doc_id = i.doc_a
@@ -796,16 +817,12 @@ CONTAINMENT_MIN = 0.8
 
 CONTAINMENT_ORACLE = (
     SHINGLES_CTE
+    + _KEPT_SQL
     + f"""
-, posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-kept AS (
-  SELECT doc_id, s FROM posts
-  WHERE s IN (SELECT s FROM posts GROUP BY s HAVING COUNT(*) <= {STOP_SHINGLE_MAX_DF})
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+  FROM kept a JOIN kept b ON a.s_h = b.s_h AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -837,10 +854,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared via _posting_list, so one session materializes it once
     # for both consumers
     posts = _posting_list(spark, sf_dir)
-    a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s")
-    b = posts.select(col("doc_id").alias("doc_b"), "s")
+    a = posts.select(col("doc_id").alias("doc_a"), col("n_sh").alias("na"), "s_h")
+    b = posts.select(col("doc_id").alias("doc_b"), "s_h")
     inter = (
-        a.join(b, ["s"])
+        a.join(b, ["s_h"])
         .filter(col("doc_a") != col("doc_b"))
         .groupBy("doc_a", "doc_b", "na")
         .agg(F.count("*").alias("n_common"))
