@@ -233,3 +233,24 @@ def click_purchase_stream_join(
         col("c.ts").alias("click_ts"),
         col("p.ts").alias("purchase_ts"),
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once cleanup of an at-least-once stream: drop replayed
+    events by ``event_id`` using ``dropDuplicatesWithinWatermark`` —
+    the streaming twin of the dedup family's batch distinct, and the
+    step every Kafka-at-least-once ingest needs before keyed sinks.
+
+    WithinWatermark (Spark 3.5+) is the 100-TB-correct variant: plain
+    streaming ``dropDuplicates`` keeps every key seen FOREVER (state
+    grows with the stream), while this expires state once the
+    watermark passes an id's event time — state is bounded by the
+    duplicate-arrival horizon, which is what at-least-once delivery
+    actually guarantees. Duplicates arriving inside the horizon are
+    dropped even when their timestamps differ slightly (retries
+    re-stamp); the first arrival wins.
+
+    Input: any frame with ``event_id`` and event-time ``ts``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -199,3 +199,138 @@ def stateful_latest_location(
             timeoutConf=timeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA on the transformWithState API (Spark 4)
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Per-user EWMA as a stateful streaming operator — the STREAMING
+    twin of the batch ``ewma_user_value`` query (queries/analytics.py):
+    identical dyadic-weight arithmetic (α = 1/2, 16-tap truncation,
+    value×10⁴ bigints, one final division), with the per-user
+    15-value tail held in streaming state instead of a window frame.
+    Twin parity (bitwise) is pinned by tests/test_stateful.py.
+
+    State is O(16 bigints) per user (an array column in the state
+    row); partitioning is the groupBy hash — exactly the shuffle the
+    batch window needs. Rows are processed in (ts, event_id) order
+    WITHIN each micro-batch; cross-batch order follows arrival, the
+    streaming contract (the batch twin totally orders by event time —
+    parity holds when feeds are in-order, e.g. replayed logs).
+
+    Input columns: ``user_id``, ``event_id``, ``ts``, ``value``.
+    """
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        tail = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                vc = int(round(float(val) * 10000))
+                window = (tail + [vc])[-16:]
+                m = len(window)
+                scaled = sum(x << (16 - m + i) for i, x in enumerate(window))
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "event_id": int(eid),
+                        "value": vc / 10000.0,
+                        "ewma": scaled / 655360000.0,
+                    }
+                )
+                tail = window[-15:]
+        state.update((tail,))
+        yield pd.DataFrame(out, columns=[f.name for f in EWMA_OUTPUT_SCHEMA])
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=T.StructType(
+                [T.StructField("tail", T.ArrayType(T.LongType()))]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_ewma_tws(events: DataFrame) -> DataFrame:
+    """The SAME operator on Spark 4's ``transformWithStateInPandas``
+    — the successor API with typed state handles (value/list/map), so
+    the bounded tail is a first-class LIST STATE instead of an array
+    inside one state tuple. Requires the RocksDB state-store provider
+    AND the ``google.protobuf`` package (the API's driver worker
+    speaks protobuf to the JVM), which this container lacks — the
+    test skips on that ImportError and :func:`streaming_ewma` above
+    is the working twin. Kept because the arithmetic and state
+    contract are identical, so on a protobuf-equipped cluster this is
+    a drop-in swap."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tail = handle.getListState(
+                "tail", T.StructType([T.StructField("vc", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            tail = [int(r[0]) for r in self._tail.get()]
+            out = []
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                vc = int(round(float(val) * 10000))
+                window = (tail + [vc])[-16:]
+                m = len(window)
+                scaled = sum(x << (16 - m + i) for i, x in enumerate(window))
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "event_id": int(eid),
+                        "value": vc / 10000.0,
+                        "ewma": scaled / 655360000.0,
+                    }
+                )
+                tail = window[-15:]
+            self._tail.put([(v,) for v in tail])
+            yield pd.DataFrame(out, columns=[f.name for f in EWMA_OUTPUT_SCHEMA])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=EwmaProcessor(),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

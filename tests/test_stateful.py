@@ -161,3 +161,90 @@ def test_streak_state_survives_restart(spark, tmp_path):
     assert [(r.user_id, r.streak_len, r.machine_timestamp) for r in rows] == [
         ("u1", 3, "1002")
     ]
+
+
+def _run_ewma_twin(spark, tmp_path, op):
+    """Feed the real sf0.001 events across TWO micro-batches split on
+    event time (in-order feed — the condition under which stream ==
+    batch) and return {(user, event): (value, ewma)} plus the
+    first-batch row count, so the 15-value tail provably carries
+    across the state-store boundary."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    name = f"ewma_twin_{op.__name__}"
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql(f"SELECT * FROM {name}").count()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.event_id): (r.value, r.ewma)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+    return got, n_first
+
+
+def test_streaming_ewma_twin_parity_and_batch_boundary(spark, tmp_path):
+    """The applyInPandasWithState EWMA must equal the batch
+    ewma_user_value query bitwise (same integer fold, same single
+    division), including rows whose 16-tap window spans the
+    micro-batch boundary."""
+    from iot_sparkstreaming_spark.queries.analytics import ewma_user_value
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_ewma
+
+    got, n_first = _run_ewma_twin(spark, tmp_path, streaming_ewma)
+    want = {
+        (r.user_id, r.event_id): (r.value, r.ewma)
+        for r in ewma_user_value(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert 0 < n_first < len(want)
+    assert len(got) == len(want)
+    assert got == want
+
+
+def test_streaming_ewma_tws_variant(spark, tmp_path):
+    """Same contract on Spark 4's transformWithStateInPandas — skipped
+    where the API's protobuf dependency is absent (this container)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState driver worker needs protobuf"
+    )
+    from iot_sparkstreaming_spark.queries.analytics import ewma_user_value
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_ewma_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got, _ = _run_ewma_twin(spark, tmp_path, streaming_ewma_tws)
+        want = {
+            (r.user_id, r.event_id): (r.value, r.ewma)
+            for r in ewma_user_value(spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

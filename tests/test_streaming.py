@@ -703,3 +703,41 @@ def test_streaming_corpus_ingest(spark, tmp_path):
         q.stop()
     assert [r.doc_id for r in out] == [1, 5]
     assert "<EMAIL>" in out[0].text and "@" not in out[0].text.replace("<EMAIL>", "")
+
+
+def test_dedup_events_stream_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin of the dedup family: an
+    at-least-once feed (the same events file delivered twice, second
+    delivery re-stamped slightly) must come out exactly once."""
+    from iot_sparkstreaming_spark.streaming.pipelines import dedup_events_stream
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    n_distinct = ev.count()
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "d0.parquet"))
+    # replay: same ids, timestamps nudged 1s (a retry re-stamp) —
+    # still inside the 1h dedup horizon
+    ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")).coalesce(
+        1
+    ).write.parquet(str(src / "d1.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        dedup_events_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    assert len(out) == n_distinct
+    assert len({r.event_id for r in out}) == n_distinct
