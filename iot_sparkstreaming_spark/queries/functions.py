@@ -665,3 +665,91 @@ def hll_union_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("merged_within_rsd"),
         (col("merged_est") == col("direct_est")).alias("merge_lossless"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles with provable rank bounds (GK sketch)
+# ---------------------------------------------------------------------------
+
+APPROX_Q_ACC = 1000  # GK accuracy parameter: rank error ≤ n / ACC
+
+APPROX_QUANTILE_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  CAST(MAX(n) AS BIGINT) AS n_events,
+  MAX(CASE WHEN rn = GREATEST(CAST(FLOOR(0.5 * n) - CEIL(CAST(n AS DOUBLE) / {APPROX_Q_ACC}) AS BIGINT), 1)
+       THEN value END) AS lower_bound,
+  MAX(CASE WHEN rn = LEAST(CAST(CEIL(0.5 * n) + CEIL(CAST(n AS DOUBLE) / {APPROX_Q_ACC}) AS BIGINT), n)
+       THEN value END) AS upper_bound,
+  TRUE AS approx_in_bounds
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("approx_quantile_bounds", oracle=APPROX_QUANTILE_ORACLE)
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald–Khanna sketch) with its
+    guarantee made CHECKABLE: the sketch promises a median whose rank
+    sits within n/accuracy of the true rank, so the output carries
+    the exact order statistics at ranks 0.5·n ∓ ⌈n/acc⌉ and a boolean
+    asserting the approximate median lies between them. The boolean
+    is stable under ANY partition/merge order — the bound is what the
+    algorithm guarantees, unlike the raw estimate, which mergers may
+    legitimately move — so the row is hash-comparable while still
+    failing loudly if the sketch ever broke its contract.
+
+    100-TB story mirrors approx_distinct_sketch: the exact windowed
+    rank path shuffles every row per group; the sketch keeps
+    O(acc·log n) state per group, merges associatively map-side, and
+    is the only way a 10¹² -row percentile fits an executor."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    eps = F.ceil(col("n").cast("double") / APPROX_Q_ACC)
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max(
+            F.when(
+                col("rn")
+                == F.greatest(
+                    (F.floor(0.5 * col("n")) - eps).cast("bigint"), F.lit(1)
+                ),
+                col("value"),
+            )
+        ).alias("lower_bound"),
+        F.max(
+            F.when(
+                col("rn")
+                == F.least((F.ceil(0.5 * col("n")) + eps).cast("bigint"), col("n")),
+                col("value"),
+            )
+        ).alias("upper_bound"),
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, APPROX_Q_ACC).alias("approx_median")
+    )
+    return bounds.join(approx, "event_type").select(
+        "event_type",
+        "n_events",
+        "lower_bound",
+        "upper_bound",
+        (
+            (col("approx_median") >= col("lower_bound"))
+            & (col("approx_median") <= col("upper_bound"))
+        ).alias("approx_in_bounds"),
+    )

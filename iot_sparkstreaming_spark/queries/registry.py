@@ -116,15 +116,15 @@ _PRIORITY_PREFIX = [
     "dedup_embedding_cosine",
     "dedup_components",
     "semdedup_cluster_prune",
-    "knn_bruteforce_cosine",
     "ann_lsh_cosine",
     "ann_ivf_cosine",
     "multimodal_features",
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
     # int8, dedup_exact, dedup_canonical_docs/passages/containment,
-    # multimodal_manifest: all map-only or single-agg shapes,
-    # unchanged since their green rows)
+    # multimodal_manifest, knn_bruteforce_cosine: all map-only,
+    # single-agg, or broadcast-crossjoin shapes, unchanged since
+    # their green rows)
     "audio_wav_features",
     "triangle_count_parts",
     "anomaly_zscore_events",
@@ -132,6 +132,7 @@ _PRIORITY_PREFIX = [
     "bigram_lift_topk",
     "hll_union_region_suppliers",
     "zorder_locality_events",
+    "approx_quantile_bounds",
 ]
 
 _MODULE_ORDER = [
