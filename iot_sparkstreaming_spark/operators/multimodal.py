@@ -6,11 +6,14 @@ image/audio/video are **opaque ``binary`` columns** with a typed
 ``meta`` struct; decode / feature-extract / resize / frame-sample run
 as ``mapInPandas`` over Arrow batches — the only Python-boundary
 operators in the engine, placed where built-ins genuinely cannot go
-(real codecs). The container has no image/audio libraries, so the
-codec step is STUBBED: ``decode_asset`` raises ``NotImplementedError``
-unless the optional dependency imports, while every piece of Spark
-plumbing around it — schema, Arrow batch shape, partitioning,
-UDF signature — is real and tested.
+(real codecs). Two modalities have REAL stdlib codecs (no third-party
+libraries needed): PCM16 WAV audio via ``wave`` and uncompressed
+24-bit BMP images via ``struct`` — both run full
+encode→binary→decode→features round-trips, oracle-checked against
+closed-form signal/pixel definitions. Video decode remains stubbed
+(``decode_asset`` raises ``NotImplementedError``; the Spark plumbing
+— schema, Arrow batch shape, partitioning, UDF signature — is real
+and tested).
 
 Scale posture: payload bytes never shuffle for metadata-only queries
 (column pruning drops ``payload`` at the parquet scan); feature
@@ -173,22 +176,26 @@ decode_wav = _make_wav_decode()
 
 
 def decode_asset(payload: bytes, modality: str):
-    """Codec dispatch. ``audio`` is a REAL decode path (stdlib
-    ``wave``), so the full encode→binary→decode→features round-trip
-    runs in this container. ``image``/``video`` remain stubs (PIL/av
-    absent): the Spark-side plumbing (schema, batching, partitioning)
-    is exercised with ``extract_features``; swap a real pixel decoder
-    in here when the libraries exist."""
+    """Codec dispatch. ``audio`` (PCM16 WAV via stdlib ``wave``) and
+    ``image`` (uncompressed 24-bit BMP via stdlib ``struct``, defined
+    below) are REAL decode paths, so both run the full
+    encode→binary→decode→features round-trip in this container;
+    non-BMP images fall through to PIL when it exists. ``video``
+    remains a stub (no pure-stdlib container parser is worth faking):
+    its Spark-side plumbing is exercised by ``extract_features`` and
+    ``frame_sample_stub``."""
     if modality == "audio":
         return decode_wav(payload)
-    try:
-        if modality == "image":
+    if modality == "image":
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        try:
             from PIL import Image  # type: ignore
             import io
 
             return Image.open(io.BytesIO(payload))
-    except ImportError:
-        pass
+        except ImportError:
+            pass
     raise NotImplementedError(
         f"decode for modality={modality!r} requires codec libraries "
         "not present in this environment"
@@ -354,3 +361,150 @@ def frame_sample_stub(
         "asset_id", col("meta.duration_ms").alias("duration_ms")
     )
     return flat.mapInPandas(gen, schema=out_schema)
+
+
+# The BMP codec helpers use the same by-value factory pattern as the
+# WAV pair above (see that comment for why).
+def _make_bmp_synth():
+    def synthesize_bmp(asset_id: int) -> bytes:
+        """Deterministic 24-bit uncompressed BMP for ``asset_id``: a
+        real BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded
+        pixel rows, written with stdlib ``struct``. Dimensions and
+        every channel value are closed-form in (id, x, y, channel), so
+        a SQL oracle can recompute decoded statistics without parsing
+        the container: w = 4 + id%13, h = 3 + id%7,
+        channel c at (x,y) = (id + 7x + 13y + 31c) mod 256 with
+        c ∈ {0,1,2} = (blue, green, red) in file order."""
+        import struct
+
+        w = 4 + asset_id % 13
+        h = 3 + asset_id % 7
+        row_pad = (-3 * w) % 4
+        rows = []
+        for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+            row = bytearray()
+            for x in range(w):
+                for c in range(3):  # B, G, R
+                    row.append((asset_id + 7 * x + 13 * y + 31 * c) % 256)
+            row.extend(b"\x00" * row_pad)
+            rows.append(bytes(row))
+        pixel_data = b"".join(rows)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+        )
+        header = struct.pack(
+            "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+        )
+        return header + dib + pixel_data
+
+    return synthesize_bmp
+
+
+def _make_bmp_decode():
+    def decode_bmp(payload: bytes) -> dict:
+        """REAL image decode for uncompressed 24-bit BMP: stdlib
+        ``struct`` parses both headers, rows are un-padded and
+        re-ordered top-down, pixels come back as (b, g, r) tuples."""
+        import struct
+
+        magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        (hdr_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )[:6]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP is decoded")
+        row_stride = 3 * w + ((-3 * w) % 4)
+        rows = []
+        for yi in range(abs(h)):
+            base = offset + yi * row_stride
+            row = [
+                struct.unpack_from("<BBB", payload, base + 3 * x)
+                for x in range(w)
+            ]
+            rows.append(row)
+        if h > 0:
+            rows.reverse()  # bottom-up file order → top-down
+        return {"width": w, "height": abs(h), "pixels": rows}
+
+    return decode_bmp
+
+
+synthesize_bmp = _make_bmp_synth()
+decode_bmp = _make_bmp_decode()
+
+
+#: schema of the decoded-image feature output (stable contract)
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("max_channel", T.LongType()),
+    ]
+)
+
+
+def bmp_image_assets(docs: DataFrame) -> DataFrame:
+    """Image-modality asset table with REAL BMP payloads (same
+    doc_id % 3 == 0 modality assignment as
+    :func:`assets_from_documents`), encoded in a map-only Arrow
+    pass."""
+    import pandas as pd  # noqa: F811
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    synth = synthesize_bmp  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": pdf["asset_id"].map(lambda a: synth(int(a))),
+                }
+            )
+
+    flat = docs.filter(col("doc_id") % 3 == 0).select(col("doc_id").alias("asset_id"))
+    return flat.mapInPandas(gen, schema=out_schema)
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """Decode real BMP payloads and emit integer pixel statistics —
+    the image twin of :func:`audio_features`. Map-only; payloads die
+    inside the batch."""
+    import pandas as pd  # noqa: F811
+
+    decode = decode_bmp  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode(bytes(payload))
+                flat = [v for row in d["pixels"] for px in row for v in px]
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_pixels": d["width"] * d["height"],
+                        "sum_rgb": int(sum(flat)),
+                        "max_channel": int(max(flat)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            ).astype("int64")
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        gen, schema=IMAGE_FEATURES_SCHEMA
+    )

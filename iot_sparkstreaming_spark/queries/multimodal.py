@@ -135,3 +135,56 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a few ints per asset."""
     docs = load_table(spark, sf_dir, "documents")
     return audio_features(wav_audio_assets(docs))
+
+
+# Closed-form BMP fixture (operators/multimodal.py synthesize_bmp):
+# w = 4 + id%13, h = 3 + id%7, channel c at (x, y) =
+# (id + 7x + 13y + 31c) mod 256. The oracle recomputes the DECODED
+# pixel statistics from that formula alone — it never parses the BMP
+# container — so a hash match proves header framing, row padding,
+# bottom-up row order, and BGR unpacking are all lossless.
+IMAGE_BMP_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT asset_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM f
+),
+pxy AS (
+  SELECT asset_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px
+),
+pxyc AS (
+  SELECT asset_id, w, h, x, y, unnest([0, 1, 2]) AS c FROM pxy
+)
+SELECT asset_id,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(SUM((asset_id + 7 * x + 13 * y + 31 * c) % 256) AS BIGINT) AS sum_rgb,
+  CAST(MAX((asset_id + 7 * x + 13 * y + 31 * c) % 256) AS BIGINT) AS max_channel
+FROM pxyc
+GROUP BY asset_id, w, h
+"""
+
+
+@register("image_bmp_features", oracle=IMAGE_BMP_ORACLE)
+def image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path (no stub): every image-modality document
+    becomes a genuine uncompressed 24-bit BMP (stdlib ``struct``
+    encode in one mapInPandas pass), which a second pass parses back
+    — headers, row padding, bottom-up order, BGR channels — and
+    reduces to integer pixel statistics checked against the
+    closed-form pixel definition. The image twin of
+    ``audio_wav_features``: two of the three modalities now run full
+    encode→decode round-trips with zero third-party codecs.
+
+    Scale shape: identical to the audio path — two chained map-only
+    Arrow passes, no shuffle, payloads never leave the pipeline."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        bmp_image_assets,
+        image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_features(bmp_image_assets(docs))

@@ -112,7 +112,6 @@ _PRIORITY_PREFIX = [
     #    multimodal (2)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
     "semdedup_cluster_prune",
@@ -122,7 +121,7 @@ _PRIORITY_PREFIX = [
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
     # int8, dedup_exact, dedup_canonical_docs/passages/containment,
-    # multimodal_manifest, knn_bruteforce_cosine: all map-only,
+    # multimodal_manifest, knn_bruteforce_cosine, dedup_simhash: map-only,
     # single-agg, or broadcast-crossjoin shapes, unchanged since
     # their green rows)
     "audio_wav_features",
@@ -133,6 +132,7 @@ _PRIORITY_PREFIX = [
     "hll_union_region_suppliers",
     "zorder_locality_events",
     "approx_quantile_bounds",
+    "image_bmp_features",
 ]
 
 _MODULE_ORDER = [

@@ -62,9 +62,12 @@ def test_thumbnail_stub_bounds(assets):
 
 
 def test_decode_stub_raises():
-    # video (and image, PIL absent) stay stubbed; audio is real now
+    # video stays stubbed; audio (WAV) and image (BMP) are real now
     with pytest.raises(NotImplementedError):
         decode_asset(b"\x00\x01", "video")
+    # a non-BMP image payload without PIL is also a NotImplementedError
+    with pytest.raises(NotImplementedError):
+        decode_asset(b"\x89PNG\r\n", "image")
 
 
 def test_wav_codec_roundtrip():
@@ -125,3 +128,23 @@ def test_frame_sample_stub_contract(assets):
         assert [r.frame_index for r in frames] == [
             i * 10 for i in range(len(frames))
         ]
+
+
+def test_bmp_codec_roundtrip():
+    """Real image codec: synthesize_bmp writes a genuine 24-bit BMP
+    (headers, bottom-up padded rows) and decode_asset parses it back
+    to the closed-form pixels."""
+    from iot_sparkstreaming_spark.operators.multimodal import synthesize_bmp
+
+    aid = 57  # w = 4 + 57%13 = 9 → 27-byte rows + 1 pad byte: pad path on
+    payload = synthesize_bmp(aid)
+    assert payload[:2] == b"BM"
+    d = decode_asset(payload, "image")
+    w, h = 4 + aid % 13, 3 + aid % 7
+    assert (d["width"], d["height"]) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            b, g, r = d["pixels"][y][x]
+            assert b == (aid + 7 * x + 13 * y) % 256
+            assert g == (aid + 7 * x + 13 * y + 31) % 256
+            assert r == (aid + 7 * x + 13 * y + 62) % 256

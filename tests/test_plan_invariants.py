@@ -24,7 +24,12 @@ REGISTRY = load_all()
 ALL = sorted(REGISTRY)
 
 #: operators sanctioned to cross into (Arrow-batched) Python
-ARROW_ALLOWED = {"multimodal_features", "udaf_iqr_pandas", "audio_wav_features"}
+ARROW_ALLOWED = {
+    "multimodal_features",
+    "udaf_iqr_pandas",
+    "audio_wav_features",
+    "image_bmp_features",
+}
 
 
 @pytest.fixture(scope="module")
