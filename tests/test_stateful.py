@@ -248,3 +248,58 @@ def test_streaming_ewma_tws_variant(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_ewma_state_survives_restart(spark, tmp_path):
+    """Kill the EWMA query between micro-batches and restart from the
+    same checkpoint: the restored 15-value tail must make the second
+    incarnation's outputs equal the batch computation over the FULL
+    feed — restart must be invisible in the numbers."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import ewma_user_value
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_ewma
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+        return (
+            streaming_ewma(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.event_id): (r.value, r.ewma)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.event_id): (r.value, r.ewma)
+        for r in ewma_user_value(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want

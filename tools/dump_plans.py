@@ -38,6 +38,8 @@ SHOWCASE = [
     ("anomaly_zscore_events", "all three trailing-window aggregates (n, sum, sum-of-squares) share ONE user_id exchange and ONE window pass"),
     ("ewma_user_value", "bounded 16-row collect_list + HOF fold on ONE user_id exchange — no Python, no unbounded state"),
     ("bigram_lift_topk", "unigram/bigram counts with map-side partial combine; 1-row corpus total broadcast; top-50 via TakeOrderedAndProject"),
+    ("hll_union_region_suppliers", "leaf HLL sketches partial-agg map-side; union is a register-max merge, never a fact re-scan"),
+    ("triangle_count_parts", "degree-ordered orientation: wedge self-join + closing-edge join, per-order pair derivation bounded by order size"),
 ]
 
 
