@@ -64,9 +64,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   external row is red (8 analytics red in r3's events crash and not
 #   re-windowed in r4, plus q12 to prove the cast fix), the 8
 #   reference-pipeline queries (core contract, continuously checked),
-#   and the r2-only-checked dedup (10) / similarity (5) / multimodal
-#   (2) families: 16 + 9 + 8 + 17 = exactly the 50-query window. After
-#   this round every registered query has ≥1 green external row.
+#   the 8 most complex r2-only-checked dedup/similarity/multimodal
+#   queries, and the 9 queries NEW in round 5:
+#   16 + 9 + 8 + 8 + 9 = exactly the 50-query window. After this
+#   round every registered query has ≥1 external row (r1-r4 green
+#   rows cover everything displaced).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
