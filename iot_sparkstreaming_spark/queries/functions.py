@@ -753,3 +753,131 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (col("approx_median") <= col("upper_bound"))
         ).alias("approx_in_bounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT ingestion over events.props (Spark 4 semi-structured type)
+# ---------------------------------------------------------------------------
+
+VARIANT_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(*) AS n_valid_variant,
+  CAST(COUNT(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL THEN 1 END) AS BIGINT) AS n_k_typed,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10)
+       AS BIGINT) AS n_k_decades
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_events_typed", oracle=VARIANT_ORACLE)
+def variant_events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads:
+    ``try_parse_json`` decodes the JSON string into the binary
+    VARIANT encoding once, then ``try_variant_get`` does TYPED
+    extraction (bigint) straight from the encoded form. Versus
+    per-path ``get_json_object`` (``json_extract_events``), the
+    parse happens once per row regardless of how many paths are read,
+    the binary form is what a 100-TB bronze table would persist (and
+    shred into columns at the storage layer), and the try_ variants
+    degrade malformed rows to NULL instead of failing the task —
+    the bad-record path the reference lacks entirely (SURVEY.md §1.2
+    "a malformed CSV line throws and would kill the task").
+
+    Plan shape: scan -> project (variant decode) -> partial agg ->
+    final agg; no shuffle beyond the 5-group rollup. The oracle
+    mirrors the typed extraction with DuckDB JSON + TRY_CAST (every
+    fixture row is valid JSON, so n_valid_variant == n_events on
+    both sides — asserted by value, not assumed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json(col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(v).alias("n_valid_variant"),
+        F.count(k).alias("n_k_typed"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(F.floor(k / 10)).alias("n_k_decades"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter counts (HLL's frequency twin)
+# ---------------------------------------------------------------------------
+
+#: sketch geometry: 4 rows x 1024 buckets = 4 KiB of counters per
+#: (grain, row) — small enough to broadcast, mergeable by cell-wise add.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+CMS_ORACLE = """
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS true_clicks,
+  TRUE AS cms_ge_true
+FROM events
+WHERE event_type = 'click'
+GROUP BY user_id
+ORDER BY true_clicks DESC, user_id
+LIMIT 20
+"""
+
+
+@register("cms_heavy_hitters", oracle=CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over click counts per user — the frequency
+    counterpart of the HLL family (``hll_union_region_suppliers``):
+    a fixed 4x1024 grid of counters where cell (j, h_j(key)) sums
+    every occurrence hashing there, and the estimate for a key is the
+    MIN over its 4 cells. Like HLL registers the grid is mergeable
+    (cell-wise ADD across partitions/days), so at 100 TB the sketch
+    is built once per ingest grain as a partial agg (the groupBy
+    below is map-side combined into at most d*w = 4096 rows per
+    partition) and heavy-hitter queries never re-scan the fact table.
+
+    Hashing is ``xxhash64(key, row_index) mod width`` — Spark's
+    built-in 64-bit hash, JVM-side, no UDF. DuckDB cannot reproduce
+    xxhash64, so (house sketch contract) the oracle checks the exact
+    top-20 counts and the sketch's DETERMINISTIC invariant — the CMS
+    estimate never undercounts (each of the key's cells contains the
+    key's own occurrences plus non-negative collision mass) — as a
+    boolean the Spark side computes from the real sketch.
+
+    The top-20 selection orders by (true count desc, user_id) so the
+    cut is total and both engines agree on ties.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(col("event_type") == "click").select("user_id")
+
+    rows_ = clicks.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j"),
+    ).withColumn("bucket", F.pmod(F.xxhash64(col("user_id"), col("j")), F.lit(CMS_WIDTH)))
+    sketch = rows_.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+
+    true_counts = clicks.groupBy("user_id").agg(F.count("*").alias("true_clicks"))
+    probes = true_counts.select(
+        "user_id",
+        "true_clicks",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j"),
+    ).withColumn("bucket", F.pmod(F.xxhash64(col("user_id"), col("j")), F.lit(CMS_WIDTH)))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "true_clicks")
+        .agg(F.min("c").alias("est_clicks"))
+    )
+    return (
+        est.select(
+            "user_id",
+            col("true_clicks").cast("bigint").alias("true_clicks"),
+            (col("est_clicks") >= col("true_clicks")).alias("cms_ge_true"),
+        )
+        .orderBy(col("true_clicks").desc(), "user_id")
+        .limit(20)
+    )

@@ -64,11 +64,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   external row is red (8 analytics red in r3's events crash and not
 #   re-windowed in r4, plus q12 to prove the cast fix), the 8
 #   reference-pipeline queries (core contract, continuously checked),
-#   the 8 most complex r2-only-checked dedup/similarity/multimodal
-#   queries, and the 9 queries NEW in round 5:
-#   16 + 9 + 8 + 8 + 9 = exactly the 50-query window. After this
+#   the 6 most complex r2-only-checked dedup/similarity queries, and
+#   the 11 queries NEW in round 5:
+#   16 + 9 + 8 + 6 + 11 = exactly the 50-query window. After this
 #   round every registered query has ≥1 external row (r1-r4 green
-#   rows cover everything displaced).
+#   rows cover everything displaced — incl. multimodal_features and
+#   dedup_components, whose families stay in-window via the codec
+#   and graph queries).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
@@ -110,16 +112,13 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- r2-only-checked families: dedup (10), similarity (5),
-    #    multimodal (2)
+    # -- r2-only-checked families: dedup / similarity (6)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "dedup_components",
     "semdedup_cluster_prune",
     "ann_lsh_cosine",
     "ann_ivf_cosine",
-    "multimodal_features",
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
     # int8, dedup_exact, dedup_canonical_docs/passages/containment,
@@ -135,6 +134,8 @@ _PRIORITY_PREFIX = [
     "zorder_locality_events",
     "approx_quantile_bounds",
     "image_bmp_features",
+    "variant_events_typed",
+    "cms_heavy_hitters",
 ]
 
 _MODULE_ORDER = [

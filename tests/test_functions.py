@@ -176,3 +176,40 @@ def test_approx_distinct_within_rsd(spark):
         F.countDistinct("l_suppkey").alias("e"),
     ).first()
     assert abs(row.a - row.e) <= max(0.05 * row.e, 2), row
+
+
+def test_cms_never_undercounts_and_error_bounded(spark):
+    """Count-min invariants on the real fixture: the estimate is a
+    certain upper bound (every cell holds the key's own mass plus
+    non-negative collision mass), and the measured overestimate stays
+    within a generous multiple of the expected collision mass N/W
+    (Markov bound; deterministic here since data and xxhash seeds are
+    fixed)."""
+    from iot_sparkstreaming_spark.queries.functions import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_heavy_hitters,
+    )
+    from iot_sparkstreaming_spark.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    out = cms_heavy_hitters(spark, SF_DIR).collect()
+    assert out and all(r.cms_ge_true for r in out)
+
+    # re-derive the full (unlimited) estimate table to measure error
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    n_total = clicks.count()
+    probe = clicks.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    ).withColumn("bucket", F.pmod(F.xxhash64(F.col("user_id"), F.col("j")), F.lit(CMS_WIDTH)))
+    sketch = probe.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    est = (
+        probe.join(sketch, ["j", "bucket"])
+        .groupBy("user_id")
+        .agg((F.min("c") - F.count("*") / CMS_DEPTH).alias("overestimate"))
+    )
+    max_over = est.agg(F.max("overestimate")).first()[0]
+    assert max_over >= 0
+    assert max_over <= max(5.0, 4.0 * n_total / CMS_WIDTH)
