@@ -46,6 +46,7 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "ann_lsh_cosine",
     "ann_ivf_cosine",
+    "ann_pq_adc",
     "doc_token_stats",
     "tfidf_top_terms",
     "pack_token_sequences",

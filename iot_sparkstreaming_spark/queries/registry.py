@@ -64,13 +64,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   external row is red (8 analytics red in r3's events crash and not
 #   re-windowed in r4, plus q12 to prove the cast fix), the 8
 #   reference-pipeline queries (core contract, continuously checked),
-#   the 6 most complex r2-only-checked dedup/similarity queries, and
-#   the 11 queries NEW in round 5:
-#   16 + 9 + 8 + 6 + 11 = exactly the 50-query window. After this
+#   the 5 most complex r2-only-checked dedup/similarity queries, and
+#   the 12 queries NEW in round 5:
+#   16 + 9 + 8 + 5 + 12 = exactly the 50-query window. After this
 #   round every registered query has ≥1 external row (r1-r4 green
-#   rows cover everything displaced — incl. multimodal_features and
-#   dedup_components, whose families stay in-window via the codec
-#   and graph queries).
+#   rows cover everything displaced — incl. multimodal_features,
+#   dedup_components and ann_lsh_cosine, whose families stay
+#   in-window via the codec, graph, and banded-LSH dedup queries).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
@@ -117,7 +117,6 @@ _PRIORITY_PREFIX = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "semdedup_cluster_prune",
-    "ann_lsh_cosine",
     "ann_ivf_cosine",
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
@@ -136,6 +135,7 @@ _PRIORITY_PREFIX = [
     "image_bmp_features",
     "variant_events_typed",
     "cms_heavy_hitters",
+    "ann_pq_adc",
 ]
 
 _MODULE_ORDER = [

@@ -588,3 +588,171 @@ def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(RP_DIM)
     ]
     return e.select("vec_id", *projections)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (the compressed scale path)
+# ---------------------------------------------------------------------------
+
+PQ_M = 32  # subspaces (64 dims -> 32 slices of 2)
+PQ_DSUB = DIM // PQ_M
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_SEED_BASE = 10  # codebook seeds: vec_id in [10, 26) (disjoint from queries)
+
+#: squared L2 via dot products — ONE expression text on both engines,
+#: so the doubles are bit-identical (same IEEE ops on same inputs).
+_D2_SQL = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}))"
+    " + list_dot_product({b}, {b})"
+)
+
+
+def _d2(u: Column, w: Column) -> Column:
+    return (_dot(u, u) - F.lit(2.0) * _dot(u, w)) + _dot(w, w)
+
+
+PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+js AS (SELECT unnest(range(0, {PQ_M})) AS j),
+cb AS (
+  SELECT e.vec_id - {PQ_SEED_BASE} AS c_id, js.j,
+         list_slice(e.v, js.j * {PQ_DSUB} + 1, js.j * {PQ_DSUB} + {PQ_DSUB}) AS cent
+  FROM e CROSS JOIN js
+  WHERE e.vec_id >= {PQ_SEED_BASE} AND e.vec_id < {PQ_SEED_BASE + PQ_K}
+),
+sub AS (
+  SELECT e.vec_id, js.j,
+         list_slice(e.v, js.j * {PQ_DSUB} + 1, js.j * {PQ_DSUB} + {PQ_DSUB}) AS u
+  FROM e CROSS JOIN js
+),
+codes AS (
+  SELECT vec_id, j, c_id FROM (
+    SELECT sub.vec_id, sub.j, cb.c_id,
+      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j
+        ORDER BY {_D2_SQL.format(a="sub.u", b="cb.cent")}, cb.c_id) AS rk
+    FROM sub JOIN cb ON sub.j = cb.j
+  ) WHERE rk = 1
+),
+recon AS (
+  SELECT codes.vec_id, flatten(list(cb.cent ORDER BY codes.j)) AS r
+  FROM codes JOIN cb ON codes.j = cb.j AND codes.c_id = cb.c_id
+  GROUP BY codes.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ne.label AS neighbor_label,
+         ROUND({_D2_SQL.format(a="q.v", b="n.r")}, 6) AS adc_d2
+  FROM e q
+  JOIN recon n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+  JOIN e ne ON ne.vec_id = n.vec_id
+)
+SELECT query_id, neighbor_id, neighbor_label, adc_d2, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_pq_adc", oracle=PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance: each corpus
+    vector is compressed to ``PQ_M`` 4-bit codes (nearest of 16
+    centroids per 2-dim subspace), and queries are scored against the
+    RECONSTRUCTION (concatenated centroids) — exactly the ADC
+    estimate, since the asymmetric distance IS d(q, recon(code)).
+    This is the memory-side scale lever the IVF/LSH variants don't
+    cover: 64 floats (256 B) become 16 bytes per vector, the form a
+    100-TB corpus actually keeps hot (IVF prunes WHICH vectors are
+    scored; PQ shrinks WHAT is stored/scanned — production systems
+    compose them as IVF-PQ). Geometry (32×2-dim, measured recall 0.40
+    vs exact-L2 top-5 on the clusterless random fixture) was chosen
+    over 8×8-dim (0.14) — finer subspaces quantize unstructured data
+    far better; on clustered real embeddings both improve.
+
+    Codebooks are deterministic data subvectors (seeds ``vec_id`` in
+    [10, 26), the same trained-centroids-change-recall-not-the-plan
+    stance as ``ann_ivf_cosine``). Encoding is one broadcast join
+    (codebook = 128 tiny rows) + a hash-aggregated argmin — a single
+    map-side pass over the corpus, shuffled only by (vec_id, j) for
+    the argmin; the code table is the build-once artifact and is
+    session-memoized like the IVF assignment. Distances everywhere
+    use the dot-product identity in ONE shared expression string
+    (`_D2_SQL`), so Spark and DuckDB fold bit-identical doubles;
+    reconstruction order is pinned by sorting the (j, centroid)
+    structs. Recall vs the exact baseline is measured in
+    tests/test_similarity_ops.py; this oracle proves the compressed
+    plan computes exactly what it claims."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    e = _vectors(spark, sf_dir)
+    jseq = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
+
+    def subslice(v: Column, j: Column) -> Column:
+        return F.slice(v, j * PQ_DSUB + 1, PQ_DSUB)
+
+    cb = (
+        e.filter((col("vec_id") >= PQ_SEED_BASE) & (col("vec_id") < PQ_SEED_BASE + PQ_K))
+        .select((col("vec_id") - PQ_SEED_BASE).alias("c_id"), "v", jseq)
+        .select("c_id", "j", subslice(col("v"), col("j")).alias("cent"))
+    )
+
+    def build_recon() -> DataFrame:
+        sub = e.select("vec_id", "v", jseq).select(
+            "vec_id", "j", subslice(col("v"), col("j")).alias("u")
+        )
+        codes = (
+            sub.join(F.broadcast(cb), "j")
+            .select(
+                "vec_id",
+                "j",
+                "c_id",
+                _d2(col("u"), col("cent")).alias("d2"),
+            )
+            .groupBy("vec_id", "j")
+            .agg(
+                F.min(F.struct(col("d2").alias("d"), col("c_id").alias("c"))).alias("m")
+            )
+            .select("vec_id", "j", col("m.c").alias("c_id"))
+        )
+        return (
+            codes.join(F.broadcast(cb), ["j", "c_id"])
+            .groupBy("vec_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(col("j"), col("cent")))),
+                        lambda s: s["cent"],
+                    )
+                ).alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    recon = session_memo(spark, ("pq_recon", sf_dir), build_recon)
+
+    q = e.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("query_id"), col("v").alias("qv")
+    )
+    scored = (
+        recon.join(e.select("vec_id", "label"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .filter(col("query_id") != col("vec_id"))
+        .select(
+            "query_id",
+            col("vec_id").alias("neighbor_id"),
+            col("label").alias("neighbor_label"),
+            F.round(_d2(col("qv"), col("r")), 6).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(col("adc_d2").asc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "adc_d2", col("rk").cast("bigint").alias("rk"))
+    )
