@@ -188,3 +188,52 @@ def image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return image_features(bmp_image_assets(docs))
+
+
+# Thumbnail oracle: target pixel (xt, yt) of a tw x th = 2x2 thumb
+# samples source ((xt*w)//2, (yt*h)//2); channel value is the same
+# closed-form (id + 7sx + 13sy + 31c) mod 256 — recomputed without
+# parsing the BMP, so a hash match proves decode AND the NN index
+# mapping are exact.
+IMAGE_THUMB_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+tx AS (SELECT asset_id, w, h, unnest([0, 1]) AS xt FROM f),
+txy AS (SELECT asset_id, w, h, xt, unnest([0, 1]) AS yt FROM tx),
+txyc AS (
+  SELECT asset_id, w, h,
+         (xt * w) // 2 AS sx, (yt * h) // 2 AS sy,
+         unnest([0, 1, 2]) AS c
+  FROM txy
+)
+SELECT asset_id,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(2 AS BIGINT) AS thumb_w,
+  CAST(2 AS BIGINT) AS thumb_h,
+  CAST(SUM((asset_id + 7 * sx + 13 * sy + 31 * c) % 256) AS BIGINT)
+    AS thumb_sum_rgb,
+  CAST(MAX((asset_id + 7 * sx + 13 * sy + 31 * c) % 256) AS BIGINT)
+    AS thumb_max_channel
+FROM txyc
+GROUP BY asset_id, w, h
+"""
+
+
+@register("image_bmp_thumbnail", oracle=IMAGE_THUMB_ORACLE)
+def image_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize path: encode → decode → nearest-neighbor
+    2×2 downsample → integer statistics of the resized pixels,
+    closing the decode / feature-extract / RESIZE / frame-sample
+    multimodal quartet with a third genuinely-executed transform
+    (operators/multimodal.py image_thumbnails). Map-only like the
+    codec paths; only thumbnail-sized data survives the pass."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        bmp_image_assets,
+        image_thumbnails,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_thumbnails(bmp_image_assets(docs))

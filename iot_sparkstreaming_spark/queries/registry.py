@@ -64,13 +64,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   external row is red (8 analytics red in r3's events crash and not
 #   re-windowed in r4, plus q12 to prove the cast fix), the 8
 #   reference-pipeline queries (core contract, continuously checked),
-#   the 5 most complex r2-only-checked dedup/similarity queries, and
-#   the 12 queries NEW in round 5:
-#   16 + 9 + 8 + 5 + 12 = exactly the 50-query window. After this
+#   the 4 most complex r2-only-checked dedup/similarity queries, and
+#   the 13 queries NEW in round 5:
+#   16 + 9 + 8 + 4 + 13 = exactly the 50-query window. After this
 #   round every registered query has ≥1 external row (r1-r4 green
 #   rows cover everything displaced — incl. multimodal_features,
-#   dedup_components and ann_lsh_cosine, whose families stay
-#   in-window via the codec, graph, and banded-LSH dedup queries).
+#   dedup_components, ann_lsh_cosine and dedup_ngram_jaccard, whose
+#   families stay in-window via the codec, graph, banded-LSH dedup,
+#   and inverted-index winnowing queries).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
@@ -112,8 +113,7 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- r2-only-checked families: dedup / similarity (6)
-    "dedup_ngram_jaccard",
+    # -- r2-only-checked families: dedup / similarity (4)
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "semdedup_cluster_prune",
@@ -136,6 +136,7 @@ _PRIORITY_PREFIX = [
     "variant_events_typed",
     "cms_heavy_hitters",
     "ann_pq_adc",
+    "image_bmp_thumbnail",
 ]
 
 _MODULE_ORDER = [
