@@ -40,6 +40,10 @@ SHOWCASE = [
     ("bigram_lift_topk", "unigram/bigram counts with map-side partial combine; 1-row corpus total broadcast; top-50 via TakeOrderedAndProject"),
     ("hll_union_region_suppliers", "leaf HLL sketches partial-agg map-side; union is a register-max merge, never a fact re-scan"),
     ("triangle_count_parts", "degree-ordered orientation: wedge self-join + closing-edge join, per-order pair derivation bounded by order size"),
+    ("ann_pq_adc", "128-row codebook broadcast; hash-agg argmin encoding; ADC scoring against memoized reconstructions, queries broadcast"),
+    ("cms_heavy_hitters", "sketch build as map-side partial agg into <=4096 cells; broadcast sketch probe join"),
+    ("variant_events_typed", "single variant decode per row inside codegen; scan -> partial agg, no extra shuffle"),
+    ("image_bmp_thumbnail", "two chained map-only Arrow passes (encode, decode+resize); no shuffle, payloads die in-batch"),
 ]
 
 
