@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_lsh_cosine",
     "ann_ivf_cosine",
     "ann_pq_adc",
+    "ann_ivf_pq",
     "doc_token_stats",
     "tfidf_top_terms",
     "pack_token_sequences",

@@ -64,14 +64,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   external row is red (8 analytics red in r3's events crash and not
 #   re-windowed in r4, plus q12 to prove the cast fix), the 8
 #   reference-pipeline queries (core contract, continuously checked),
-#   the 4 most complex r2-only-checked dedup/similarity queries, and
-#   the 13 queries NEW in round 5:
-#   16 + 9 + 8 + 4 + 13 = exactly the 50-query window. After this
+#   the 3 most complex r2-only-checked dedup/similarity queries, and
+#   the 14 queries NEW in round 5:
+#   16 + 9 + 8 + 3 + 14 = exactly the 50-query window. After this
 #   round every registered query has ≥1 external row (r1-r4 green
 #   rows cover everything displaced — incl. multimodal_features,
-#   dedup_components, ann_lsh_cosine and dedup_ngram_jaccard, whose
-#   families stay in-window via the codec, graph, banded-LSH dedup,
-#   and inverted-index winnowing queries).
+#   dedup_components, ann_lsh_cosine, dedup_ngram_jaccard and
+#   ann_ivf_cosine, whose families stay in-window via the codec,
+#   graph, banded-LSH dedup, inverted-index winnowing, and the
+#   ann_ivf_pq composition that consumes the same memoized IVF
+#   assignment artifact).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
@@ -113,11 +115,10 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- r2-only-checked families: dedup / similarity (4)
+    # -- r2-only-checked families: dedup / similarity (3)
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "semdedup_cluster_prune",
-    "ann_ivf_cosine",
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
     # int8, dedup_exact, dedup_canonical_docs/passages/containment,
@@ -137,6 +138,7 @@ _PRIORITY_PREFIX = [
     "cms_heavy_hitters",
     "ann_pq_adc",
     "image_bmp_thumbnail",
+    "ann_ivf_pq",
 ]
 
 _MODULE_ORDER = [

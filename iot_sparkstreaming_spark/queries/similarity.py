@@ -436,38 +436,18 @@ WHERE rk <= {TOP_K}
 """
 
 
-@register("ann_ivf_cosine", oracle=IVF_ORACLE)
-def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: corpus vectors are assigned to their nearest
-    centroid (inverted lists); a query probes only its ``N_PROBE``
-    nearest centroids' lists, scoring ~nprobe/C of the corpus.
-
-    Centroids here are a deterministic arithmetic subset of the
-    corpus (``vec_id % 30 == 10``) rather than k-means output — the
-    operator mechanics (assignment pass, probe pruning, exact
-    re-ranking) are identical and oracle-checkable; swapping in
-    trained centroids changes recall, not the plan.
-
-    Scale shape: centroid set is tiny → broadcast cross join + argmax
-    window makes assignment one map-side pass over the corpus. At
-    100 TB the assigned corpus would be written
-    ``partitionBy("cid")`` so a search reads only the probed
-    partitions (partition pruning on cid); the candidate join is an
-    equi-join on cid with bounded fan-in. Recall vs the exact
-    baseline is checked in tests/test_similarity_ops.py; THIS oracle
-    proves the pruned plan computes exactly what it claims."""
-    e = _vectors(spark, sf_dir)
-    cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
-        col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
-    )
-
-    # inverted-list assignment: one broadcast + hash-aggregated argmax
-    # (max of (ccos, -cid) structs == highest cosine, lowest cid on
-    # ties — identical pick to the oracle's ROW_NUMBER, but a partial-
-    # aggregating hash agg instead of a sort window: no per-partition
-    # sort of the corpus×C pair stream at scale). The assignment IS
-    # the IVF index — the build-once artifact (written partitionBy(cid)
-    # in production) — so it is materialized + session-memoized.
+def _ivf_assigned(
+    spark: SparkSession, sf_dir: str, e: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """Inverted-list assignment: one broadcast + hash-aggregated
+    argmax (max of (ccos, -cid) structs == highest cosine, lowest cid
+    on ties — identical pick to the oracle's ROW_NUMBER, but a
+    partial-aggregating hash agg instead of a sort window: no
+    per-partition sort of the corpus×C pair stream at scale). The
+    assignment IS the IVF index — the build-once artifact (written
+    partitionBy(cid) in production) — so it is materialized +
+    session-memoized and SHARED by every consumer (`ann_ivf_cosine`,
+    `ann_ivf_pq`)."""
     from iot_sparkstreaming_spark.tables import session_memo
 
     def build_assigned() -> DataFrame:
@@ -494,7 +474,35 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    assigned = session_memo(spark, ("ivf_assigned", sf_dir), build_assigned)
+    return session_memo(spark, ("ivf_assigned", sf_dir), build_assigned)
+
+
+@register("ann_ivf_cosine", oracle=IVF_ORACLE)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    centroid (inverted lists); a query probes only its ``N_PROBE``
+    nearest centroids' lists, scoring ~nprobe/C of the corpus.
+
+    Centroids here are a deterministic arithmetic subset of the
+    corpus (``vec_id % 30 == 10``) rather than k-means output — the
+    operator mechanics (assignment pass, probe pruning, exact
+    re-ranking) are identical and oracle-checkable; swapping in
+    trained centroids changes recall, not the plan.
+
+    Scale shape: centroid set is tiny → broadcast cross join + argmax
+    window makes assignment one map-side pass over the corpus. At
+    100 TB the assigned corpus would be written
+    ``partitionBy("cid")`` so a search reads only the probed
+    partitions (partition pruning on cid); the candidate join is an
+    equi-join on cid with bounded fan-in. Recall vs the exact
+    baseline is checked in tests/test_similarity_ops.py; THIS oracle
+    proves the pruned plan computes exactly what it claims."""
+    e = _vectors(spark, sf_dir)
+    cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
+        col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
+    )
+
+    assigned = _ivf_assigned(spark, sf_dir, e, cent)
 
     probes = (
         e.filter(col("vec_id") < N_QUERIES)
@@ -659,52 +667,36 @@ WHERE rk <= {TOP_K}
 """
 
 
-@register("ann_pq_adc", oracle=PQ_ORACLE)
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance: each corpus
-    vector is compressed to ``PQ_M`` 4-bit codes (nearest of 16
-    centroids per 2-dim subspace), and queries are scored against the
-    RECONSTRUCTION (concatenated centroids) — exactly the ADC
-    estimate, since the asymmetric distance IS d(q, recon(code)).
-    This is the memory-side scale lever the IVF/LSH variants don't
-    cover: 64 floats (256 B) become 16 bytes per vector, the form a
-    100-TB corpus actually keeps hot (IVF prunes WHICH vectors are
-    scored; PQ shrinks WHAT is stored/scanned — production systems
-    compose them as IVF-PQ). Geometry (32×2-dim, measured recall 0.40
-    vs exact-L2 top-5 on the clusterless random fixture) was chosen
-    over 8×8-dim (0.14) — finer subspaces quantize unstructured data
-    far better; on clustered real embeddings both improve.
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(j, c_id, cent) — PQ_M × PQ_K subvector centroids from the
+    deterministic seed vectors; 128 tiny rows, always broadcast."""
+    jseq = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
+    return (
+        e.filter(
+            (col("vec_id") >= PQ_SEED_BASE) & (col("vec_id") < PQ_SEED_BASE + PQ_K)
+        )
+        .select((col("vec_id") - PQ_SEED_BASE).alias("c_id"), "v", jseq)
+        .select(
+            "c_id", "j", F.slice(col("v"), col("j") * PQ_DSUB + 1, PQ_DSUB).alias("cent")
+        )
+    )
 
-    Codebooks are deterministic data subvectors (seeds ``vec_id`` in
-    [10, 26), the same trained-centroids-change-recall-not-the-plan
-    stance as ``ann_ivf_cosine``). Encoding is one broadcast join
-    (codebook = 128 tiny rows) + a hash-aggregated argmin — a single
-    map-side pass over the corpus, shuffled only by (vec_id, j) for
-    the argmin; the code table is the build-once artifact and is
-    session-memoized like the IVF assignment. Distances everywhere
-    use the dot-product identity in ONE shared expression string
-    (`_D2_SQL`), so Spark and DuckDB fold bit-identical doubles;
-    reconstruction order is pinned by sorting the (j, centroid)
-    structs. Recall vs the exact baseline is measured in
-    tests/test_similarity_ops.py; this oracle proves the compressed
-    plan computes exactly what it claims."""
+
+def _pq_recon(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """(vec_id, r) — PQ reconstructions (concatenated nearest
+    centroids per subspace). The codes table is the build-once
+    compression artifact; materialized + session-memoized and SHARED
+    by every consumer (`ann_pq_adc`, `ann_ivf_pq`)."""
     from iot_sparkstreaming_spark.tables import session_memo
 
-    e = _vectors(spark, sf_dir)
+    cb = _pq_codebook(e)
     jseq = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
-
-    def subslice(v: Column, j: Column) -> Column:
-        return F.slice(v, j * PQ_DSUB + 1, PQ_DSUB)
-
-    cb = (
-        e.filter((col("vec_id") >= PQ_SEED_BASE) & (col("vec_id") < PQ_SEED_BASE + PQ_K))
-        .select((col("vec_id") - PQ_SEED_BASE).alias("c_id"), "v", jseq)
-        .select("c_id", "j", subslice(col("v"), col("j")).alias("cent"))
-    )
 
     def build_recon() -> DataFrame:
         sub = e.select("vec_id", "v", jseq).select(
-            "vec_id", "j", subslice(col("v"), col("j")).alias("u")
+            "vec_id",
+            "j",
+            F.slice(col("v"), col("j") * PQ_DSUB + 1, PQ_DSUB).alias("u"),
         )
         codes = (
             sub.join(F.broadcast(cb), "j")
@@ -734,7 +726,40 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    recon = session_memo(spark, ("pq_recon", sf_dir), build_recon)
+    return session_memo(spark, ("pq_recon", sf_dir), build_recon)
+
+
+@register("ann_pq_adc", oracle=PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance: each corpus
+    vector is compressed to ``PQ_M`` 4-bit codes (nearest of 16
+    centroids per 2-dim subspace), and queries are scored against the
+    RECONSTRUCTION (concatenated centroids) — exactly the ADC
+    estimate, since the asymmetric distance IS d(q, recon(code)).
+    This is the memory-side scale lever the IVF/LSH variants don't
+    cover: 64 floats (256 B) become 16 bytes per vector, the form a
+    100-TB corpus actually keeps hot (IVF prunes WHICH vectors are
+    scored; PQ shrinks WHAT is stored/scanned — production systems
+    compose them as IVF-PQ). Geometry (32×2-dim, measured recall 0.40
+    vs exact-L2 top-5 on the clusterless random fixture) was chosen
+    over 8×8-dim (0.14) — finer subspaces quantize unstructured data
+    far better; on clustered real embeddings both improve.
+
+    Codebooks are deterministic data subvectors (seeds ``vec_id`` in
+    [10, 26), the same trained-centroids-change-recall-not-the-plan
+    stance as ``ann_ivf_cosine``). Encoding is one broadcast join
+    (codebook = 128 tiny rows) + a hash-aggregated argmin — a single
+    map-side pass over the corpus, shuffled only by (vec_id, j) for
+    the argmin; the code table is the build-once artifact and is
+    session-memoized like the IVF assignment. Distances everywhere
+    use the dot-product identity in ONE shared expression string
+    (`_D2_SQL`), so Spark and DuckDB fold bit-identical doubles;
+    reconstruction order is pinned by sorting the (j, centroid)
+    structs. Recall vs the exact baseline is measured in
+    tests/test_similarity_ops.py; this oracle proves the compressed
+    plan computes exactly what it claims."""
+    e = _vectors(spark, sf_dir)
+    recon = _pq_recon(spark, sf_dir, e)
 
     q = e.filter(col("vec_id") < N_QUERIES).select(
         col("vec_id").alias("query_id"), col("v").alias("qv")
@@ -755,4 +780,149 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "adc_d2", col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: probe pruning composed with compressed scoring
+# ---------------------------------------------------------------------------
+
+IVF_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cvec FROM e
+  WHERE vec_id % {CENT_STRIDE} = {CENT_OFFSET}
+),
+assigned AS (
+  SELECT vec_id, label, cid FROM (
+    SELECT e.vec_id, e.label, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS_SQL.format(a="e.v", b="cent.cvec")} DESC, cent.cid) AS crk
+    FROM e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT query_id, cid, qv FROM (
+    SELECT e.vec_id AS query_id, cent.cid, e.v AS qv,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS_SQL.format(a="e.v", b="cent.cvec")} DESC, cent.cid) AS prk
+    FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
+  ) WHERE prk <= {N_PROBE}
+),
+js AS (SELECT unnest(range(0, {PQ_M})) AS j),
+cb AS (
+  SELECT e.vec_id - {PQ_SEED_BASE} AS c_id, js.j,
+         list_slice(e.v, js.j * {PQ_DSUB} + 1, js.j * {PQ_DSUB} + {PQ_DSUB}) AS cent
+  FROM e CROSS JOIN js
+  WHERE e.vec_id >= {PQ_SEED_BASE} AND e.vec_id < {PQ_SEED_BASE + PQ_K}
+),
+sub AS (
+  SELECT e.vec_id, js.j,
+         list_slice(e.v, js.j * {PQ_DSUB} + 1, js.j * {PQ_DSUB} + {PQ_DSUB}) AS u
+  FROM e CROSS JOIN js
+),
+codes AS (
+  SELECT vec_id, j, c_id FROM (
+    SELECT sub.vec_id, sub.j, cb.c_id,
+      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j
+        ORDER BY {_D2_SQL.format(a="sub.u", b="cb.cent")}, cb.c_id) AS rk
+    FROM sub JOIN cb ON sub.j = cb.j
+  ) WHERE rk = 1
+),
+recon AS (
+  SELECT codes.vec_id, flatten(list(cb.cent ORDER BY codes.j)) AS r
+  FROM codes JOIN cb ON codes.j = cb.j AND codes.c_id = cb.c_id
+  GROUP BY codes.vec_id
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+         ROUND({_D2_SQL.format(a="p.qv", b="n.r")}, 6) AS adc_d2
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid
+  JOIN recon n ON n.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, adc_d2, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_ivf_pq", oracle=IVF_PQ_ORACLE)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production composition the two scale paths exist
+    for: IVF probe pruning decides WHICH vectors are scored
+    (~nprobe/C of the corpus), PQ codes decide WHAT is read per
+    candidate (16 B reconstructions instead of 256 B raw vectors).
+    At 100 TB this is the standard big-ANN architecture (inverted
+    lists partition-pruned on cid; each list stores only codes).
+
+    Both build-once artifacts are REUSED, not rebuilt: the query
+    joins the session-memoized IVF assignment (`ivf_assigned`) with
+    the session-memoized PQ reconstructions (`pq_recon`) — the
+    artifact-sharing that makes index cost amortize across every
+    query type that consumes it. Candidate scoring is ADC (exact L2
+    to the reconstruction), bit-identical to the oracle via the
+    shared `_D2_SQL` expression."""
+    # rebuilding via the registered queries hits the same session
+    # memos (keys ("ivf_assigned", sf_dir) / ("pq_recon", sf_dir)),
+    # so these two calls are cheap after either parent query ran.
+    from iot_sparkstreaming_spark.tables import session_memo  # noqa: F401
+
+    e = _vectors(spark, sf_dir)
+    cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
+        col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
+    )
+    assigned = _ivf_assigned(spark, sf_dir, e, cent).select("vec_id", "label", "cid")
+    recon = _pq_recon(spark, sf_dir, e)
+
+    probes = (
+        e.filter(col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            col("vec_id").alias("query_id"),
+            col("v").alias("qv"),
+            "cid",
+            _cosine_pre(col("v"), col("cvec"), col("nv"), col("cn")).alias("ccos"),
+        )
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(col("ccos").desc(), col("cid"))
+            ),
+        )
+        .filter(col("prk") <= N_PROBE)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(col("vec_id") != col("query_id"))
+        .join(recon, "vec_id")
+        .select(
+            "query_id",
+            col("vec_id").alias("neighbor_id"),
+            col("label").alias("neighbor_label"),
+            F.round(_d2(col("qv"), col("r")), 6).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(col("adc_d2").asc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "adc_d2",
+            col("rk").cast("bigint").alias("rk"),
+        )
     )
