@@ -570,3 +570,24 @@ def image_thumbnails(assets: DataFrame, tw: int = 2, th: int = 2) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         gen, schema=THUMBNAIL_FEATURES_SCHEMA
     )
+
+
+def assets_from_binary_files(spark, path: str, glob: str = "*.bmp") -> DataFrame:
+    """Directory-of-assets ingest via Spark's built-in ``binaryFile``
+    source — the shape a real 100-TB multimodal corpus arrives in
+    (object-store prefixes of image/audio files), as opposed to the
+    pre-packed binary columns the other asset builders synthesize.
+    ``pathGlobFilter`` prunes non-matching files at listing time and
+    the source parallelizes by file; asset_id is recovered from the
+    file stem, so downstream decode/feature/resize passes are
+    IDENTICAL to the packed path (the pipeline cannot tell how the
+    bytes arrived)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    stem = F.regexp_extract(F.col("path"), r"([0-9]+)\.[a-z0-9]+$", 1)
+    return files.select(
+        stem.cast("long").alias("asset_id"), F.col("content").alias("payload")
+    )

@@ -148,3 +148,34 @@ def test_bmp_codec_roundtrip():
             assert b == (aid + 7 * x + 13 * y) % 256
             assert g == (aid + 7 * x + 13 * y + 31) % 256
             assert r == (aid + 7 * x + 13 * y + 62) % 256
+
+
+def test_binaryfile_ingest_matches_packed_path(spark, tmp_path):
+    """Writing real BMPs to a directory and ingesting them through
+    format('binaryFile') must produce byte-identical features to the
+    packed binary-column path — the bytes' arrival mode is invisible
+    downstream."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        assets_from_binary_files,
+        image_features,
+        synthesize_bmp,
+    )
+
+    ids = [0, 3, 6, 9, 12]
+    for aid in ids:
+        (tmp_path / f"{aid}.bmp").write_bytes(synthesize_bmp(aid))
+    (tmp_path / "ignore.txt").write_text("not an image")
+
+    assets = assets_from_binary_files(spark, str(tmp_path))
+    got = {r.asset_id: r for r in image_features(assets).collect()}
+    assert set(got) == set(ids)
+    for aid in ids:
+        r = got[aid]
+        assert (r.width, r.height) == (4 + aid % 13, 3 + aid % 7)
+        expect_sum = sum(
+            (aid + 7 * x + 13 * y + 31 * c) % 256
+            for x in range(r.width)
+            for y in range(r.height)
+            for c in range(3)
+        )
+        assert r.sum_rgb == expect_sum
