@@ -32,6 +32,15 @@ def get_spark(app_name: str = "iot_sparkstreaming_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # runtime bloom-filter join pruning (off by default in OSS
+        # Spark): when a selective dim-side survives its filters under
+        # 10 MB and the fact side is a >10 GB shuffle-join scan — the
+        # exact 100-TB star-join shape — inject a bloom filter of the
+        # dim keys into the fact scan so non-joining rows die before
+        # the exchange. Size thresholds are the stock ones, so this is
+        # dormant at test SFs (plan-shape proven by an explicit
+        # threshold-lowered test) and active exactly where it pays.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: vectorized reader + pushdown are on by default;
         # cap split size so a 100 TB scan yields sane task counts.

@@ -29,6 +29,7 @@ ARROW_ALLOWED = {
     "udaf_iqr_pandas",
     "audio_wav_features",
     "image_bmp_features",
+    "image_bmp_thumbnail",
 }
 
 
@@ -105,3 +106,44 @@ def test_funnel_stage_filters_push_to_scan(plans):
         seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
     ]
     assert any("event_type" in seg for seg in pushed_sections), pushed_sections
+
+
+def test_runtime_bloom_filter_injects_on_selective_star_join(spark):
+    """The session enables runtime bloom-filter join pruning (stock
+    size thresholds keep it dormant at test SFs). With the
+    application-side threshold lowered, a selective dim filter over a
+    shuffle join must inject bloom_filter_agg on the dim keys into
+    the fact side — the 100-TB star-join shape where non-joining fact
+    rows die before the exchange."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
