@@ -50,6 +50,11 @@ SHOWCASE = [
     ("audio_wav_features", "Arrow codec round-trip"),
     ("hll_union_region_suppliers", "sketch build + union"),
     ("zorder_locality_events", "map-only bit interleave"),
+    ("ann_pq_adc", "PQ-ADC compressed scoring"),
+    ("ann_ivf_pq", "IVF×PQ probe + ADC"),
+    ("cms_heavy_hitters", "count-min sketch probe"),
+    ("variant_events_typed", "VARIANT decode agg"),
+    ("image_bmp_thumbnail", "Arrow decode + NN resize"),
 ]
 
 
