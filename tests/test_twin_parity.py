@@ -202,3 +202,61 @@ def test_activity_twin_payload_parity(spark):
     )
     assert len(batch_payloads) > 0
     assert stream_payloads == batch_payloads
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(TWIN_SF_DIR), reason="sf0.1 testdata not present"
+)
+def test_session_window_twin_parity(spark):
+    """session_activity is one computation on both rails: run the
+    SAME transform over the batch events table and as a real
+    readStream (append mode, availableNow). Streaming emits exactly
+    the watermark-finalized subset, and every emitted session must be
+    row-identical to its batch twin; sessions strictly older than the
+    final watermark (1 s safety margin for the close boundary) must
+    all have been emitted."""
+    from iot_sparkstreaming_spark.streaming.pipelines import session_activity
+
+    def shaped(df):
+        return df.withColumnRenamed("event_dt_str", "event_datetime")
+
+    batch = {
+        (r.session_start, r.session_end, r.user_id): r.n_readings
+        for r in session_activity(
+            shaped(derive_telemetry(load_table(spark, TWIN_SF_DIR, "events")))
+        ).collect()
+    }
+    assert batch
+
+    q = (
+        session_activity(shaped(derive_telemetry(events_stream(spark, TWIN_SF_DIR))))
+        .writeStream.format("memory")
+        .queryName("twin_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wm_str = (q.lastProgress or {}).get("eventTime", {}).get("watermark")
+    finally:
+        q.stop()
+    stream = {
+        (r.session_start, r.session_end, r.user_id): r.n_readings
+        for r in spark.sql("SELECT * FROM twin_sessions").collect()
+    }
+    assert stream
+    # every streamed session is the exact batch session
+    assert all(batch.get(k) == v for k, v in stream.items())
+
+    # completeness against the ACTUAL final watermark the query
+    # reported: every session it finalized must have been emitted
+    # exactly once (1 s margin on the close boundary).
+    import datetime
+
+    assert wm_str, "query reported no watermark"
+    wm = datetime.datetime.strptime(wm_str, "%Y-%m-%dT%H:%M:%S.%fZ")
+    must_emit = {k for k in batch if k[1] < wm - datetime.timedelta(seconds=1)}
+    missing = must_emit - set(stream)
+    assert not missing, f"{len(missing)} finalized sessions not emitted"
+    assert len(stream) >= len(must_emit) > 0
