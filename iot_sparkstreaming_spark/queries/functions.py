@@ -881,3 +881,55 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("true_clicks").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (DLT-style audit)
+# ---------------------------------------------------------------------------
+
+EXPECTATIONS_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS viol_ts_not_null,
+  CAST(SUM(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+    AS viol_user_id_nonneg,
+  CAST(SUM(CASE WHEN event_type IN
+        ('click', 'view', 'purchase', 'signup', 'error')
+        THEN 0 ELSE 1 END) AS BIGINT) AS viol_known_event_type,
+  CAST(SUM(CASE WHEN value >= 0.0 AND value < 500.0 THEN 0 ELSE 1 END)
+    AS BIGINT) AS viol_value_in_range,
+  CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS viol_props_k_typed
+FROM events
+"""
+
+
+@register("expectations_audit_events", oracle=EXPECTATIONS_ORACLE)
+def expectations_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/quality.py):
+    five named pass-predicates audited in ONE scan with map-side
+    partial aggregation — each rule is a SUM of a 0/1 cast, so the
+    audit costs a single pass regardless of rule count, and the SAME
+    predicates drive the clean/quarantine split (`enforce`, unit-
+    tested). The engine-wide bad-record path the reference lacked:
+    its parser threw on any malformed line (SURVEY.md §1.2); here
+    malformed rows are counted, named, and quarantined instead of
+    killing the task. The value-range rule is intentionally violable
+    on this data (events.value has an over-500 tail), so the audit is
+    proven to COUNT, not just pass."""
+    from iot_sparkstreaming_spark.operators.quality import audit
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = {
+        "ts_not_null": col("ts").isNotNull(),
+        "user_id_nonneg": col("user_id") >= 0,
+        "known_event_type": col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "value_in_range": (col("value") >= 0.0) & (col("value") < 500.0),
+        "props_k_typed": F.get_json_object(col("props"), "$.k")
+        .cast("bigint")
+        .isNotNull(),
+    }
+    return audit(ev, rules)

@@ -213,3 +213,32 @@ def test_cms_never_undercounts_and_error_bounded(spark):
     max_over = est.agg(F.max("overestimate")).first()[0]
     assert max_over >= 0
     assert max_over <= max(5.0, 4.0 * n_total / CMS_WIDTH)
+
+
+def test_expectations_enforce_quarantines_and_names_rules(spark):
+    """enforce() splits exactly by the audited predicates and the
+    quarantine rows name every violated rule; NULL predicate results
+    fail (an unevaluable expectation did not pass)."""
+    from pyspark.sql import functions as F
+
+    from iot_sparkstreaming_spark.operators.quality import audit, enforce
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -3.0, "a"), (3, None, "b"), (4, 700.0, None)],
+        ["id", "value", "tag"],
+    )
+    rules = {
+        "value_in_range": (F.col("value") >= 0.0) & (F.col("value") < 500.0),
+        "tag_known": F.col("tag").isin("a", "b"),
+    }
+    a = audit(df, rules).first()
+    assert a.n_rows == 4 and a.viol_value_in_range == 3 and a.viol_tag_known == 1
+
+    clean, quarantine = enforce(df, rules)
+    assert [r.id for r in clean.collect()] == [1]
+    q = {r.id: sorted(r.failed_rules) for r in quarantine.collect()}
+    assert q == {
+        2: ["value_in_range"],
+        3: ["value_in_range"],
+        4: ["tag_known", "value_in_range"],
+    }
