@@ -61,7 +61,9 @@ def record_line(i: int) -> str:
         return f"sales,2016-11-{day:02d},{i % 500}"
     # fitbit (FIXTURES.md §1.1)
     uid = (i * 7) % 1000
-    user = f"u{uid}" if uid % 20 != 13 else f"ghost{uid}"  # ~5% unknown users
+    # uid % 20 == 11 ⇔ i ≡ 13 (mod 20), which is always a fitbit slot
+    # (i % 10 == 3) — so the unknown users genuinely occur, ~5%
+    user = f"u{uid}" if uid % 20 != 11 else f"ghost{uid}"
     age = (38, 39, 40, 41, 42, 25, 55, 70)[i % 8]  # breakpoint coverage
     pulse_whole = 60 + (i * 13) % 160
     frac = (0, 5)[i % 2]  # .0 / .5 — half-up rounding coverage

@@ -86,3 +86,47 @@ def test_streaming_source_feeds_microbatches(spark, tmp_path):
 def test_source_name_and_schema():
     assert IotRecordsDataSource.name() == "iot_records"
     assert IotRecordsDataSource({}).schema() == "value string"
+
+
+def test_streaming_observe_expectation_metrics(spark, tmp_path):
+    """Data-quality rules as STREAMING metrics: df.observe() counts
+    rule violations inside each micro-batch (no extra pass, no extra
+    query), surfaced through the progress observedMetrics — the
+    monitoring half of operators/quality.py on the streaming rail."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    lines = (
+        spark.readStream.format("iot_records").option("rowsPerBatch", 80).load()
+    )
+    fitbit = parse_csv_records(lines, FITBIT_SCHEMA, "fitbit")
+    observed = fitbit.observe(
+        "quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("pulse") >= 0, 0).otherwise(1)).alias("viol_pulse_nonneg"),
+        F.sum(F.when(F.col("user_id").rlike("^u[0-9]+$"), 0).otherwise(1)).alias(
+            "viol_known_user"
+        ),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        metrics = None
+        deadline = time.time() + 60
+        while time.time() < deadline and metrics is None:
+            p = q.lastProgress
+            if p and p.get("observedMetrics", {}).get("quality"):
+                metrics = p["observedMetrics"]["quality"]
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert metrics is not None
+    assert metrics["n_rows"] > 0
+    assert metrics["viol_pulse_nonneg"] == 0
+    assert metrics["viol_known_user"] > 0  # the ~5% ghost users
