@@ -1015,3 +1015,89 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy dedup (record-linkage blocking + levenshtein)
+# ---------------------------------------------------------------------------
+
+EDIT_MAX = 4  # levenshtein threshold
+TITLE_LEN = 40
+BLOCK_LEN = 8
+
+EDIT_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, substr(lower(text), 1, {TITLE_LEN}) AS title FROM documents
+),
+blocks AS (
+  SELECT doc_id, title, 0 AS side, substr(title, 1, {BLOCK_LEN}) AS bkey FROM t
+  UNION ALL
+  SELECT doc_id, title, 1 AS side,
+         substr(title, {TITLE_LEN - BLOCK_LEN + 1}, {BLOCK_LEN}) AS bkey FROM t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.title AS ta, b.title AS tb
+  FROM blocks a JOIN blocks b
+    ON a.side = b.side AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance
+FROM cand
+WHERE levenshtein(ta, tb) <= {EDIT_MAX}
+"""
+
+
+@register("dedup_edit_distance", oracle=EDIT_DEDUP_ORACLE)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy dedup — the record-linkage family the
+    token/LSH variants can't express (they see word multisets; this
+    sees typos): candidate pairs from TWO blocking passes (8-char
+    title prefix and suffix blocks — one shared typo region can't
+    hide a near-duplicate from both ends), then exact ``levenshtein``
+    rescoring at ≤ 4. Both engines implement the classic DP edit
+    distance, so the integer distances oracle-check exactly
+    (cross-engine agreement also unit-tested on synthetic typos,
+    tests/test_functions.py).
+
+    Scale shape: blocking keys move 8-char strings, the join is an
+    equi-join on (side, bkey), and only candidates pay the O(L²) DP —
+    the same two-stage economics as the banded-LSH families. This
+    fixture's random word-salad titles have no near-miss tail
+    (distances jump 0 → 14), so qualifying pairs here are the
+    25 identical-prefix ones; the typo path is proven by the unit
+    test, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.substring(F.lower(col("text")), 1, TITLE_LEN).alias("title")
+    )
+    blocks = t.select(
+        "doc_id",
+        "title",
+        F.lit(0).alias("side"),
+        F.substring("title", 1, BLOCK_LEN).alias("bkey"),
+    ).unionAll(
+        t.select(
+            "doc_id",
+            "title",
+            F.lit(1).alias("side"),
+            F.substring("title", TITLE_LEN - BLOCK_LEN + 1, BLOCK_LEN).alias("bkey"),
+        )
+    )
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["side", "bkey"])
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(
+            col("a.doc_id").alias("doc_a"),
+            col("b.doc_id").alias("doc_b"),
+            col("a.title").alias("ta"),
+            col("b.title").alias("tb"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(col("ta"), col("tb"))
+    return cand.select(
+        "doc_a", "doc_b", dist.cast("bigint").alias("edit_distance")
+    ).filter(col("edit_distance") <= EDIT_MAX)

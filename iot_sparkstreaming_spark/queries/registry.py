@@ -64,9 +64,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   external row is red (8 analytics red in r3's events crash and not
 #   re-windowed in r4, plus q12 to prove the cast fix), the 8
 #   reference-pipeline queries (core contract, continuously checked),
-#   the 2 most complex r2-only-checked dedup/similarity queries, and
-#   the 15 queries NEW in round 5:
-#   16 + 9 + 8 + 2 + 15 = exactly the 50-query window. After this
+#   the most complex r2-only-checked dedup query, and
+#   the 16 queries NEW in round 5:
+#   16 + 9 + 8 + 1 + 16 = exactly the 50-query window. After this
 #   round every registered query has ≥1 external row (r1-r4 green
 #   rows cover everything displaced — incl. multimodal_features,
 #   dedup_components, ann_lsh_cosine, dedup_ngram_jaccard and
@@ -115,9 +115,8 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- r2-only-checked families: dedup / similarity (2)
+    # -- r2-only-checked families: dedup / similarity (1)
     "dedup_embedding_cosine",
-    "semdedup_cluster_prune",
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
     # int8, dedup_exact, dedup_canonical_docs/passages/containment,
@@ -139,6 +138,7 @@ _PRIORITY_PREFIX = [
     "image_bmp_thumbnail",
     "ann_ivf_pq",
     "expectations_audit_events",
+    "dedup_edit_distance",
 ]
 
 _MODULE_ORDER = [

@@ -242,3 +242,31 @@ def test_expectations_enforce_quarantines_and_names_rules(spark):
         3: ["value_in_range"],
         4: ["tag_known", "value_in_range"],
     }
+
+
+def test_levenshtein_cross_engine_on_typos(spark, duck):
+    """The edit-distance rescore path on ACTUAL near-misses (the
+    corpus has none): Spark and DuckDB levenshtein must agree with
+    each other and with hand-computed distances for substitutions,
+    insertions, deletions, transpositions, and the just-over-threshold
+    case."""
+    pairs = [
+        ("the quick brown fox", "the quick brown fox", 0),
+        ("the quick brown fox", "the quick brwon fox", 2),  # transposition = 2 ops
+        ("the quick brown fox", "the quikc brown fx", 3),
+        ("data pipeline v2", "data pipeline v3", 1),
+        ("data pipeline v2", "data  pipeline v2", 1),  # insertion
+        ("warehouse", "warehous", 1),  # deletion
+        ("abcdefgh", "hgfedcba", 8),
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b", "expected"])
+    from pyspark.sql import functions as F
+
+    for r in df.select(
+        "a", "b", "expected", F.levenshtein("a", "b").alias("d")
+    ).collect():
+        assert r.d == r.expected, (r.a, r.b, r.d, r.expected)
+    con = duck()
+    for a, b, expected in pairs:
+        got = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got == expected, (a, b, got, expected)
