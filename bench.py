@@ -72,6 +72,12 @@ HEADLINE = [
     "anomaly_zscore_events",
     "ewma_user_value",
     "bigram_lift_topk",
+    # round 5: sketch / variant / codec / linkage / quality additions
+    "cms_heavy_hitters",
+    "variant_events_typed",
+    "image_bmp_thumbnail",
+    "dedup_edit_distance",
+    "expectations_audit_events",
 ]
 
 

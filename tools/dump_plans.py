@@ -44,6 +44,8 @@ SHOWCASE = [
     ("cms_heavy_hitters", "sketch build as map-side partial agg into <=4096 cells; broadcast sketch probe join"),
     ("variant_events_typed", "single variant decode per row inside codegen; scan -> partial agg, no extra shuffle"),
     ("image_bmp_thumbnail", "two chained map-only Arrow passes (encode, decode+resize); no shuffle, payloads die in-batch"),
+    ("dedup_edit_distance", "8-char blocking keys shuffle, not titles; candidates-only levenshtein rescore"),
+    ("expectations_audit_events", "all rules audited in ONE scan with map-side partial agg; no shuffle beyond the 1-row rollup"),
 ]
 
 
