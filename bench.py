@@ -78,6 +78,7 @@ HEADLINE = [
     "image_bmp_thumbnail",
     "dedup_edit_distance",
     "expectations_audit_events",
+    "rolling_median_value",
 ]
 
 

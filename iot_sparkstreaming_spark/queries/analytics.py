@@ -1284,3 +1284,55 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (col("vc").cast("double") / 10000.0).alias("value"),
         (scaled.cast("bigint") / F.lit(655360000.0)).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (order statistics over a sliding frame)
+# ---------------------------------------------------------------------------
+
+ROLL_MEDIAN_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+    median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS roll_median,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, roll_median FROM e WHERE rn >= 15
+"""
+
+
+@register("rolling_median_value", oracle=ROLL_MEDIAN_ORACLE)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of event values over a 15-row trailing
+    frame per user — the robust-statistics twin of the trailing-mean
+    z-score: medians shrug off the exact outliers
+    ``anomaly_zscore_events`` exists to flag, which is why monitoring
+    pipelines ship both. Spark has no exact-median window aggregate,
+    so the frame is materialized (``collect_list`` over a BOUNDED
+    15-row frame — O(15) state per row), sorted, and indexed at its
+    middle; with the frame always full and odd-length, element 8 IS
+    the median, bitwise equal to DuckDB's exact ``median`` window
+    (both pick the same stored double; no interpolation on odd
+    counts). Partial leading frames (even lengths would interpolate
+    differently) are excluded by the same row_number that shares the
+    ONE user_id sort — the whole query is a single exchange + a
+    single window pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.array_sort(F.collect_list("value").over(w)).alias("arr"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(col("rn") >= 15)
+        .select("user_id", "event_id", F.element_at(col("arr"), 8).alias("roll_median"))
+    )

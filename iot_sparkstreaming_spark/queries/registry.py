@@ -64,16 +64,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   external row is red (8 analytics red in r3's events crash and not
 #   re-windowed in r4, plus q12 to prove the cast fix), the 8
 #   reference-pipeline queries (core contract, continuously checked),
-#   the most complex r2-only-checked dedup query, and
-#   the 16 queries NEW in round 5:
-#   16 + 9 + 8 + 1 + 16 = exactly the 50-query window. After this
-#   round every registered query has ≥1 external row (r1-r4 green
-#   rows cover everything displaced — incl. multimodal_features,
-#   dedup_components, ann_lsh_cosine, dedup_ngram_jaccard and
-#   ann_ivf_cosine, whose families stay in-window via the codec,
-#   graph, banded-LSH dedup, inverted-index winnowing, and the
-#   ann_ivf_pq composition that consumes the same memoized IVF
-#   assignment artifact).
+#   and the 17 queries NEW in round 5:
+#   16 + 9 + 8 + 17 = exactly the 50-query window. After this
+#   round every registered query has ≥1 external row: every r5-new
+#   query is in-window, and everything displaced to make room
+#   (multimodal_features, dedup_components, ann_lsh_cosine,
+#   dedup_ngram_jaccard, dedup_minhash_lsh, semdedup_cluster_prune,
+#   dedup_embedding_cosine, ann_ivf_cosine) carries a green r2 row,
+#   with its family still in-window via the codec, graph,
+#   inverted-index winnowing, edit-distance dedup, and IVF/PQ
+#   composition queries that consume the same shared machinery and
+#   memoized artifacts.
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
@@ -115,8 +116,6 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- r2-only-checked families: dedup / similarity (1)
-    "dedup_embedding_cosine",
     # new in r5 — brand-new code takes the slots of the simplest
     # r2-green fillers (rp_project_embeddings, quantize_embeddings_
     # int8, dedup_exact, dedup_canonical_docs/passages/containment,
@@ -139,6 +138,7 @@ _PRIORITY_PREFIX = [
     "ann_ivf_pq",
     "expectations_audit_events",
     "dedup_edit_distance",
+    "rolling_median_value",
 ]
 
 _MODULE_ORDER = [
