@@ -437,3 +437,42 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     df = spark.createDataFrame(canon, ["u", "v"])
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "zz"])),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_quality_audit_enforce_partition(spark, rows):
+    """For ANY data and the rule set, audit/enforce are consistent:
+    clean + quarantine partition the input, the per-rule audit counts
+    equal the per-rule quarantine tallies, and rows pass iff they
+    violate zero rules (NULLs fail)."""
+    from pyspark.sql import functions as F
+
+    from iot_sparkstreaming_spark.operators.quality import audit, enforce
+
+    df = spark.createDataFrame(
+        [(i, v, t) for i, (v, t) in enumerate(rows)], "id long, value double, tag string"
+    )
+    rules = {
+        "value_nonneg": F.col("value") >= 0.0,
+        "tag_known": F.col("tag").isin("a", "b"),
+    }
+    a = audit(df, rules).first()
+    clean, quarantine = enforce(df, rules)
+    qrows = quarantine.collect()
+    assert a.n_rows == len(rows)
+    assert clean.count() + len(qrows) == len(rows)
+    assert a.viol_value_nonneg == sum(
+        1 for r in qrows if "value_nonneg" in r.failed_rules
+    )
+    assert a.viol_tag_known == sum(1 for r in qrows if "tag_known" in r.failed_rules)
+    assert all(len(r.failed_rules) > 0 for r in qrows)

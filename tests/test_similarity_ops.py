@@ -157,3 +157,31 @@ def test_pq_recall_vs_exact_l2(spark):
     hits = sum(len(pq.get(qid, set()) & nbrs) for qid, nbrs in exact.items())
     total = sum(len(nbrs) for nbrs in exact.values())
     assert hits / total >= 0.25
+
+
+def test_pq_seed_vectors_reconstruct_exactly(spark):
+    """PQ identity invariant: a codebook seed vector's nearest
+    centroid in every subspace is its own subvector (distance 0), so
+    its reconstruction must be bitwise the original vector."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from iot_sparkstreaming_spark.queries.similarity import (
+        PQ_K,
+        PQ_SEED_BASE,
+        _pq_recon,
+        _vectors,
+    )
+
+    e = _vectors(spark, SF_DIR_ORACLE)
+    recon = _pq_recon(spark, SF_DIR_ORACLE, e)
+    seeds = (
+        e.filter(
+            (col("vec_id") >= PQ_SEED_BASE) & (col("vec_id") < PQ_SEED_BASE + PQ_K)
+        )
+        .join(recon, "vec_id")
+        .select("vec_id", (col("v") == col("r")).alias("identical"))
+        .collect()
+    )
+    assert len(seeds) == PQ_K
+    assert all(r.identical for r in seeds)
