@@ -697,3 +697,216 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("lift").desc(), col("ngram"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (ratio-form IDF for cross-engine exactness)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+
+BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+tt AS (SELECT COUNT(*) AS total_tokens FROM tok),
+avg AS (
+  SELECT CAST((SELECT total_tokens FROM tt) AS DOUBLE)
+         / (SELECT n_docs FROM stats) AS avgdl
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ('spark', 'join', 'window')
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE token IN ('spark', 'join', 'window')
+  GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id,
+    ROUND(
+      ((CAST((SELECT n_docs FROM stats) - df.df AS DOUBLE) + 0.5)
+        / (CAST(df.df AS DOUBLE) + 0.5))
+      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         / (CAST(tf.tf AS DOUBLE)
+            + (1.2 * (0.25 + ((0.75 * CAST(dl.dl AS DOUBLE))
+                              / (SELECT avgdl FROM avg)))))),
+      6) AS term_score
+  FROM tf
+  JOIN df USING (token)
+  JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(s AS DOUBLE) AS bm25,
+  CAST(c AS BIGINT) AS n_terms, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id,
+    SUM(CAST(term_score AS DECIMAL(38,6))) AS s,
+    COUNT(*) AS c,
+    ROW_NUMBER() OVER (
+      ORDER BY SUM(CAST(term_score AS DECIMAL(38,6))) DESC, doc_id) AS rk
+  FROM scored GROUP BY doc_id
+)
+WHERE rk <= 15
+"""
+
+
+@register("bm25_topk_docs", oracle=BM25_ORACLE)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-15 documents for a fixed query term set —
+    the lexical-search scorer behind contamination lookup and
+    retrieval-augmented corpus curation (k1 = 1.2, b = 0.75).
+
+    Exactness discipline: the classic ``ln((N - df + .5)/(df + .5))``
+    IDF is replaced by its ratio form (log is monotone, so ranking is
+    unchanged; libm log is not bitwise-portable across engines — same
+    trick as ``tfidf_top_terms``), every per-term score is a fixed
+    tree of individually-rounded IEEE ops (deterministic on any
+    engine), rounded to 6 dp, and the per-doc sum accumulates in
+    exact decimal, so the hash matches DuckDB bit-for-bit.
+
+    Scale shape: one tokenize+explode feeds tf, df, and dl as three
+    aggregates; tf/df filter to the bounded query-term set *before*
+    shuffling (the posting list for 3 terms, not the corpus); dl is
+    the doc-length table every BM25 index stores. Scalars (N, avgdl)
+    are driver literals, not joined. Final top-k is a
+    TakeOrderedAndProject, never a global sort. At 100 TB the dl and
+    df tables are index artifacts built once and reused per query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(col("text"))).alias("token"))
+    n_docs = docs.count()
+    total_tokens = tok.count()
+    avgdl = total_tokens / n_docs  # IEEE double division, same op as the oracle
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qt = tok.filter(col("token").isin(*_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = qt.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = ((F.lit(n_docs) - col("df")).cast("double") + F.lit(0.5)) / (
+        col("df").cast("double") + F.lit(0.5)
+    )
+    tf_d = col("tf").cast("double")
+    norm = tf_d + (
+        F.lit(1.2)
+        * (F.lit(0.25) + ((F.lit(0.75) * col("dl").cast("double")) / F.lit(avgdl)))
+    )
+    scored = (
+        tf.join(broadcast(df), "token")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(idf * ((tf_d * F.lit(2.2)) / norm), 6).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(col("term_score").cast("decimal(38,6)")).alias("s"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
+    w = Window.orderBy(col("s").desc(), col("doc_id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 15)
+        .select("doc_id", col("s").cast("double").alias("bm25"), "n_terms", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM likelihood scoring (CCNet-style perplexity filter, log-free)
+# ---------------------------------------------------------------------------
+
+LM_LIKELIHOOD_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v FROM (
+    SELECT unnest(tk) AS t FROM tok
+  )
+),
+bi AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(tk) >= 2
+      THEN list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])
+      ELSE [] END) AS bg
+  FROM tok
+),
+model AS (
+  SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg
+),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM model GROUP BY w1
+),
+p AS (
+  SELECT bi.doc_id,
+    ROUND(CAST(model.c12 + 1 AS DOUBLE)
+          / CAST(ctx.c1 + (SELECT v FROM vocab) AS DOUBLE), 12) AS p
+  FROM bi
+  JOIN model USING (bg)
+  JOIN ctx ON ctx.w1 = split_part(bi.bg, ' ', 1)
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS avg_likelihood,
+  (CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) >= 0.001 AS keep
+FROM p
+GROUP BY doc_id
+"""
+
+
+@register("lm_bigram_likelihood", oracle=LM_LIKELIHOOD_ORACLE)
+def lm_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: train an add-one-smoothed bigram
+    model on the corpus, score every document by its mean conditional
+    likelihood, and gate on a threshold. (CCNet scores with KenLM
+    perplexity — the geometric mean of the same conditionals; the
+    arithmetic mean used here needs no log/exp, so the score is exact
+    cross-engine: each conditional is ONE IEEE division of two
+    integers, rounded to 12 dp, and the per-doc mean accumulates in
+    exact decimal — aggregation-order-independent.)
+
+    Scale shape: tokenize once; the model is a bigram hash-aggregate
+    (map-side combined) keyed by the same shingle key the dedup
+    family shuffles on; context counts roll up FROM the model table
+    (|distinct bigrams| rows), not from the corpus. Scoring re-joins
+    doc bigrams to the model on the bigram key — at 100 TB the model
+    is built once, persisted, and optionally pruned to top-K rows and
+    broadcast. Per-doc reduce is one decimal-sum aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(col("text")).alias("tk"))
+    vocab_size = (
+        tk.select(F.explode(col("tk")).alias("t")).select("t").distinct().count()
+    )
+    bi = tk.filter(F.size(col("tk")) >= 2).select(
+        "doc_id", F.explode(word_shingles(col("tk"), 2)).alias("bg")
+    )
+    model = bi.groupBy("bg").agg(F.count("*").alias("c12"))
+    ctx = (
+        model.select(F.split_part(col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("bigint").alias("c1"))
+    )
+    p = (
+        bi.join(model, "bg")
+        .join(ctx, F.split_part(col("bg"), F.lit(" "), F.lit(1)) == ctx.w1)
+        .select(
+            "doc_id",
+            F.round(
+                (col("c12") + F.lit(1)).cast("double")
+                / (col("c1") + F.lit(vocab_size)).cast("double"),
+                12,
+            ).alias("p"),
+        )
+    )
+    mean = F.sum(col("p").cast("decimal(38,12)")).cast("double") / F.count("*")
+    return p.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        mean.alias("avg_likelihood"),
+        (mean >= F.lit(0.001)).alias("keep"),
+    )

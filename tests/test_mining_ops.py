@@ -94,3 +94,30 @@ def test_ngram_topk_sorted_and_bounded(spark):
     counts = [r.n_occurrences for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(" " in r.ngram for r in rows)  # bigrams, not unigrams
+
+
+def test_bm25_rank_consistent_and_bounded(spark):
+    from iot_sparkstreaming_spark.queries.mining import bm25_topk_docs
+
+    rows = bm25_topk_docs(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 15
+    # rk is 1..n with score non-increasing and doc_id tiebreak
+    rows = sorted(rows, key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.bm25 > b.bm25 or (a.bm25 == b.bm25 and a.doc_id < b.doc_id)
+    # every hit matched between 1 and |query| terms
+    assert all(1 <= r.n_terms <= 3 for r in rows)
+
+
+def test_lm_likelihood_bounds_and_gate(spark):
+    from iot_sparkstreaming_spark.queries.mining import lm_bigram_likelihood
+
+    df = lm_bigram_likelihood(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "corpus has multi-token docs"
+    for r in rows:
+        # smoothed conditional probabilities are in (0, 1]
+        assert 0.0 < r.avg_likelihood <= 1.0
+        assert r.n_bigrams >= 1
+        assert r.keep == (r.avg_likelihood >= 0.001)
