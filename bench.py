@@ -79,6 +79,9 @@ HEADLINE = [
     "dedup_edit_distance",
     "expectations_audit_events",
     "rolling_median_value",
+    # round 5 late additions: lexical retrieval + LM quality filter
+    "bm25_topk_docs",
+    "lm_bigram_likelihood",
 ]
 
 

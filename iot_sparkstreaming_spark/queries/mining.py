@@ -769,13 +769,18 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine), rounded to 6 dp, and the per-doc sum accumulates in
     exact decimal, so the hash matches DuckDB bit-for-bit.
 
-    Scale shape: one tokenize+explode feeds tf, df, and dl as three
-    aggregates; tf/df filter to the bounded query-term set *before*
-    shuffling (the posting list for 3 terms, not the corpus); dl is
-    the doc-length table every BM25 index stores. Scalars (N, avgdl)
-    are driver literals, not joined. Final top-k is a
-    TakeOrderedAndProject, never a global sort. At 100 TB the dl and
-    df tables are index artifacts built once and reused per query.
+    Scale shape: tf and df both filter to the bounded query-term set
+    *before* shuffling (the posting list for 3 terms, not the
+    corpus); each aggregate re-derives its token stream map-only
+    from the columnar scan rather than caching the exploded corpus
+    (re-reading two pruned parquet columns beats materializing a
+    row-per-token frame at scale — same trade tfidf_top_terms makes).
+    dl is the doc-length table every BM25 index stores; at 100 TB dl
+    and df are index artifacts built once and reused per query.
+    Scalars (N, avgdl) are driver literals, not joined. The final
+    top-k compiles to a TakeOrderedAndProject (Catalyst rewrites the
+    rank-then-filter window through LimitPushDownThroughWindow — see
+    docs/PLANS.md), never a full global sort.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(col("text"))).alias("token"))
@@ -859,6 +864,44 @@ GROUP BY doc_id
 """
 
 
+def _lm_bigram_model(spark: SparkSession, sf_dir: str):
+    """Corpus bigram-LM artifacts: (model, ctx, vocab_size).
+
+    ``model`` is (bg, c12) — add-one numerators; ``ctx`` is (w1, c1)
+    — context totals rolled up from the materialized model table
+    (|distinct bigrams| rows, never the corpus); ``vocab_size`` is
+    |distinct tokens|. Built once per (session, sf_dir) behind the
+    same ``session_memo`` the similarity indexes use: training is
+    the expensive corpus pass, scoring should pay for it once."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        tk = docs.select(tokens(col("text")).alias("tk"))
+        vocab_size = (
+            tk.select(F.explode(col("tk")).alias("t")).distinct().count()
+        )
+        bi = tk.filter(F.size(col("tk")) >= 2).select(
+            F.explode(word_shingles(col("tk"), 2)).alias("bg")
+        )
+        model = (
+            bi.groupBy("bg")
+            .agg(F.count("*").alias("c12"))
+            .localCheckpoint(eager=True)
+        )
+        ctx = (
+            model.select(
+                F.split_part(col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
+            )
+            .groupBy("w1")
+            .agg(F.sum("c12").cast("bigint").alias("c1"))
+            .localCheckpoint(eager=True)
+        )
+        return model, ctx, vocab_size
+
+    return session_memo(spark, ("lm_bigram_model", sf_dir), build)
+
+
 @register("lm_bigram_likelihood", oracle=LM_LIKELIHOOD_ORACLE)
 def lm_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: train an add-one-smoothed bigram
@@ -870,27 +913,24 @@ def lm_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, rounded to 12 dp, and the per-doc mean accumulates in
     exact decimal — aggregation-order-independent.)
 
-    Scale shape: tokenize once; the model is a bigram hash-aggregate
-    (map-side combined) keyed by the same shingle key the dedup
-    family shuffles on; context counts roll up FROM the model table
-    (|distinct bigrams| rows), not from the corpus. Scoring re-joins
-    doc bigrams to the model on the bigram key — at 100 TB the model
-    is built once, persisted, and optionally pruned to top-K rows and
-    broadcast. Per-doc reduce is one decimal-sum aggregate.
+    Scale shape: the trained model (bigram counts, context counts,
+    vocab size) is an INDEX ARTIFACT — built once per (session,
+    sf_dir) and materialized via the same session-memo the ANN/LSH
+    index tables use, so the context rollup genuinely reads the
+    |distinct bigrams|-row model table, not a corpus re-scan, and
+    every scoring call (and the train/score split of a real
+    pipeline) reuses one materialization. The model build itself is
+    one map-side-combined hash aggregate on the shingle key the
+    dedup family already shuffles on. Scoring re-derives doc bigrams
+    map-only and joins them to the model on the bigram key (broadcast
+    here; shuffle-join or top-K-pruned broadcast at 100 TB). Per-doc
+    reduce is one decimal-sum aggregate.
     """
+    model, ctx, vocab_size = _lm_bigram_model(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", tokens(col("text")).alias("tk"))
-    vocab_size = (
-        tk.select(F.explode(col("tk")).alias("t")).select("t").distinct().count()
-    )
     bi = tk.filter(F.size(col("tk")) >= 2).select(
         "doc_id", F.explode(word_shingles(col("tk"), 2)).alias("bg")
-    )
-    model = bi.groupBy("bg").agg(F.count("*").alias("c12"))
-    ctx = (
-        model.select(F.split_part(col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12")
-        .groupBy("w1")
-        .agg(F.sum("c12").cast("bigint").alias("c1"))
     )
     p = (
         bi.join(model, "bg")

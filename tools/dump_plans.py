@@ -46,6 +46,8 @@ SHOWCASE = [
     ("image_bmp_thumbnail", "two chained map-only Arrow passes (encode, decode+resize); no shuffle, payloads die in-batch"),
     ("dedup_edit_distance", "8-char blocking keys shuffle, not titles; candidates-only levenshtein rescore"),
     ("expectations_audit_events", "all rules audited in ONE scan with map-side partial agg; no shuffle beyond the 1-row rollup"),
+    ("bm25_topk_docs", "tf/df filter to the 3-term query set BEFORE shuffling; tiny df broadcast; scalar N/avgdl as literals; top-15 via TakeOrderedAndProject"),
+    ("lm_bigram_likelihood", "bigram model via map-side-combined hash agg; context counts roll up from the model table, not the corpus; scoring join on the shingle key"),
 ]
 
 
