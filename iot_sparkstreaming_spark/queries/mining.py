@@ -786,7 +786,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens(col("text"))).alias("token"))
     n_docs = docs.count()
     total_tokens = tok.count()
-    avgdl = total_tokens / n_docs  # IEEE double division, same op as the oracle
+    # IEEE double division, same op as the oracle; the empty-corpus
+    # guard is value-irrelevant (no docs -> no rows downstream) but
+    # keeps the plan constructible.
+    avgdl = total_tokens / n_docs if n_docs else 1.0
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     qt = tok.filter(col("token").isin(*_BM25_TERMS))
     tf = qt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -950,3 +953,118 @@ def lm_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("avg_likelihood"),
         (mean >= F.lit(0.001)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate token-span extraction (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 8  # minimum duplicated run, in tokens
+DUP_SPAN_MAX_DF = 50  # stop-gram cutoff (viral boilerplate grams)
+
+DUP_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+    ('0x' || substr(md5(array_to_string(tk[i:i+{DUP_SPAN_K}-1], ' ')), 1, 8))::BIGINT AS gh
+  FROM toks, unnest(generate_series(1, len(tk) - {DUP_SPAN_K} + 1)) AS t(i)
+),
+kept AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY gh) AS df FROM grams
+  ) WHERE df <= {DUP_SPAN_MAX_DF}
+),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kept a JOIN kept b USING (gh)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, pa, pb,
+    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isle
+  FROM hits
+)
+SELECT doc_a, doc_b,
+  CAST(MIN(pa) AS BIGINT) AS start_a,
+  CAST(MIN(pb) AS BIGINT) AS start_b,
+  CAST(COUNT(*) + {DUP_SPAN_K} - 1 AS BIGINT) AS span_tokens
+FROM runs
+GROUP BY doc_a, doc_b, pa - pb, isle
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
+@register("dup_token_spans", oracle=DUP_SPAN_ORACLE)
+def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring extraction: every maximal token span
+    of >= {K} tokens shared verbatim between two documents, reported
+    as (doc_a, doc_b, 1-based start positions, span length). This is
+    the substring-level dedup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    winnowing answers "do these docs overlap?" approximately; this
+    answers "WHICH spans are copied?" exactly, which is what a
+    remove-the-duplicate-span cleaner consumes. (Reference scope:
+    ``workingTest.scala`` has no corpus ops at all — SURVEY.md S2.8
+    training-data-pipeline category.)
+
+    Construction: every {K}-gram position is hashed (hash64 — the
+    cross-engine md5-prefix hash; 32-bit collisions are accepted and
+    IDENTICAL on both engines, the same trade winnowing makes), a
+    df <= {DF} stop-gram cutoff drops viral boilerplate grams (one
+    viral gram is a df^2 pair blow-up at scale — same guard as
+    ``winnowing_overlap_pairs``), the inverted-index self-join yields
+    matching (pos_a, pos_b) anchors, and gaps-and-islands along each
+    (doc_a, doc_b, pos_a - pos_b) DIAGONAL merges runs of consecutive
+    anchors into maximal spans: j consecutive matching {K}-grams ==
+    one duplicated span of j + {K} - 1 tokens.
+
+    Scale shape: shuffle 1 moves (doc_id, pos, gh) triples hashed by
+    gh — 16 bytes/row, never gram text — with posting lists bounded
+    by the df cutoff; shuffle 2 repartitions the anchor pairs by
+    (doc_a, doc_b, diag) for the row_number window, and the final
+    groupBy keys (doc_a, doc_b, diag, isle) are a superset of that
+    window partitioning, so Catalyst reuses the exchange (one
+    shuffle, not two — see docs/PLANS.md). Within a diagonal pos_a is
+    unique, so row_number is deterministic without a tie-break
+    column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(tokens(col("text")), DUP_SPAN_K)).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        (col("pos0") + 1).alias("pos"),  # oracle positions are 1-based
+        hash64(col("g")).alias("gh"),
+    )
+    kept = (
+        grams.withColumn("df", F.count("*").over(Window.partitionBy("gh")))
+        .filter(col("df") <= DUP_SPAN_MAX_DF)
+        .drop("df")
+    )
+    a = kept.select(col("doc_id").alias("doc_a"), col("pos").alias("pa"), "gh")
+    b = kept.select(col("doc_id").alias("doc_b"), col("pos").alias("pb"), "gh")
+    hits = (
+        a.join(b, "gh")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("diag", col("pa") - col("pb"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = hits.withColumn("isle", col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "isle")
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
+            (F.count("*") + F.lit(DUP_SPAN_K - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    )
+
+
+dup_token_spans.__doc__ = dup_token_spans.__doc__.replace("{K}", str(DUP_SPAN_K)).replace(
+    "{DF}", str(DUP_SPAN_MAX_DF)
+)
