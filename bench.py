@@ -79,9 +79,12 @@ HEADLINE = [
     "dedup_edit_distance",
     "expectations_audit_events",
     "rolling_median_value",
-    # round 5 late additions: lexical retrieval + LM quality filter
+    # round 5 late additions: lexical retrieval + LM quality filter,
+    # exact duplicate-span extraction, serial autocorrelation
     "bm25_topk_docs",
     "lm_bigram_likelihood",
+    "dup_token_spans",
+    "acf_user_value",
 ]
 
 

@@ -1336,3 +1336,116 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rn") >= 15)
         .select("user_id", "event_id", F.element_at(col("arr"), 8).alias("roll_median"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lag-k Pearson per user series)
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+ACF_ORACLE = """
+WITH led AS (
+  SELECT user_id, value AS x,
+    lead(value, 1) OVER w AS y1,
+    lead(value, 2) OVER w AS y2,
+    lead(value, 3) OVER w AS y3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pairs AS (
+  SELECT user_id, 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+  UNION ALL SELECT user_id, 2 AS lag, x, y2 AS y FROM led WHERE y2 IS NOT NULL
+  UNION ALL SELECT user_id, 3 AS lag, x, y3 AS y FROM led WHERE y3 IS NOT NULL
+),
+m AS (
+  SELECT user_id, lag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sy2
+  FROM pairs GROUP BY user_id, lag
+)
+SELECT user_id, lag, CAST(n AS BIGINT) AS n_pairs,
+  (n * sxy - sx * sy)
+    / NULLIF(sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 0) AS acf
+FROM m
+ORDER BY user_id, lag
+"""
+
+
+@register("acf_user_value", oracle=ACF_ORACLE)
+def acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each user's event-value series at
+    lags 1..3 — the seasonality/persistence diagnostic every
+    time-series monitoring stack computes before fitting a forecast
+    model (``workingTest.scala`` has no statistics at all — SURVEY.md
+    S2.8 absent-category; complements ``stats_correlation``'s
+    cross-variable Pearson with the serial, per-series form).
+
+    Exactness: same discipline as ``stats_correlation`` — moment sums
+    (n, Sx, Sy, Sxy, Sx2, Sy2) accumulate in EXACT decimal so the
+    value is independent of aggregation order, then ONE identical
+    double-arithmetic closed form on both engines; the denominator is
+    NULLIF-guarded so a zero-variance series is NULL on both (Spark's
+    non-ANSI x/0 is NULL, DuckDB's is inf — unguarded they diverge).
+
+    Scale shape: a single exchange on user_id serves the lead()
+    window (lags read forward in the SAME sorted pass — one sort, not
+    one per lag), the stacked (lag, x, y) pairs stay in the same
+    partitions, and the groupBy(user_id, lag) reuses the exchange
+    (partitioning on user_id satisfies the clustered distribution).
+    Per-user series are bounded (one device's history), so the window
+    partition never skews the way a global-sort ACF would.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    led = ev.select(
+        "user_id",
+        col("value").alias("x"),
+        *[F.lead("value", k).over(w).alias(f"y{k}") for k in ACF_LAGS],
+    )
+    pairs = led.select(
+        "user_id",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), col(f"y{k}").alias("y"))
+                    for k in ACF_LAGS
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", col("p.lag").alias("lag"), "x", col("p.y").alias("y")).filter(
+        col("y").isNotNull()
+    )
+    m = pairs.groupBy("user_id", "lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(col("x").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum(col("y").cast("decimal(38,4)")).cast("double").alias("sy"),
+        F.sum(col("x").cast("decimal(19,4)") * col("y").cast("decimal(19,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(col("x").cast("decimal(19,4)") * col("x").cast("decimal(19,4)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum(col("y").cast("decimal(19,4)") * col("y").cast("decimal(19,4)"))
+        .cast("double")
+        .alias("sy2"),
+    )
+    return m.select(
+        "user_id",
+        "lag",
+        col("n").cast("bigint").alias("n_pairs"),
+        (
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+            / F.nullif(
+                F.sqrt(
+                    (col("n") * col("sx2") - col("sx") * col("sx"))
+                    * (col("n") * col("sy2") - col("sy") * col("sy"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("acf"),
+    ).orderBy("user_id", "lag")

@@ -48,6 +48,8 @@ SHOWCASE = [
     ("expectations_audit_events", "all rules audited in ONE scan with map-side partial agg; no shuffle beyond the 1-row rollup"),
     ("bm25_topk_docs", "tf/df filter to the 3-term query set BEFORE shuffling; tiny df broadcast; scalar N/avgdl as literals; top-15 via TakeOrderedAndProject"),
     ("lm_bigram_likelihood", "bigram model via map-side-combined hash agg; context counts roll up from the model table, not the corpus; scoring join on the shingle key"),
+    ("dup_token_spans", "hashed 8-gram inverted-index self-join (16-byte keys, df cutoff); window + groupBy share ONE (doc_a,doc_b,diag) exchange"),
+    ("acf_user_value", "all three lags lead() off ONE user_id sort; stacked pairs and the moment groupBy reuse the same exchange"),
 ]
 
 
