@@ -85,6 +85,9 @@ HEADLINE = [
     "lm_bigram_likelihood",
     "dup_token_spans",
     "acf_user_value",
+    "dedup_span_scrub",
+    "vocab_coverage_curve",
+    "value_histogram_events",
 ]
 
 

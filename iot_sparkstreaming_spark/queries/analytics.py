@@ -1449,3 +1449,64 @@ def acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("acf"),
     ).orderBy("user_id", "lag")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (distributed binning)
+# ---------------------------------------------------------------------------
+
+HIST_BIN_WIDTH = 5.0
+HIST_N_BINS = 20  # values land in [0, 100); the last bin absorbs the tail
+
+HISTOGRAM_ORACLE = f"""
+WITH binned AS (
+  SELECT event_type, value,
+    CAST(LEAST(GREATEST(FLOOR(value / {HIST_BIN_WIDTH}), 0), {HIST_N_BINS - 1}) AS BIGINT) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+  CAST(bin * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM binned
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+
+@register("value_histogram_events", oracle=HISTOGRAM_ORACLE)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event type — the
+    distribution profile behind dashboards and drift monitors
+    (``workingTest.scala`` aggregates nothing — SURVEY.md S2.8
+    absent-category). Fixed bin width with clamped edge bins, so the
+    bin function is a pure per-row expression.
+
+    Scale shape: binning is map-side arithmetic fused into the scan;
+    the aggregate has (event_type x 20) groups, so the map-side
+    partial combine collapses each partition to at most a few hundred
+    rows before the shuffle — the classic low-cardinality
+    hash-aggregate that costs one exchange of group rows, never data
+    rows. Exact decimal sum keeps the per-bin mass order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bin_c = F.least(
+        F.greatest(F.floor(col("value") / HIST_BIN_WIDTH), F.lit(0)),
+        F.lit(HIST_N_BINS - 1),
+    ).cast("bigint")
+    return (
+        ev.select("event_type", "value", bin_c.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (col("bin") * HIST_BIN_WIDTH).cast("double").alias("bin_lo"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 from pyspark.sql.window import Window
 
-from iot_sparkstreaming_spark.functions.text import hash64, tokens, word_shingles
+from iot_sparkstreaming_spark.functions.text import (
+    fingerprint,
+    hash64,
+    tokens,
+    word_shingles,
+)
 from iot_sparkstreaming_spark.queries.registry import register
 from iot_sparkstreaming_spark.tables import load_table
 
@@ -1068,3 +1073,123 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 dup_token_spans.__doc__ = dup_token_spans.__doc__.replace("{K}", str(DUP_SPAN_K)).replace(
     "{DF}", str(DUP_SPAN_MAX_DF)
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span scrub (the remove step consuming dup_token_spans)
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+    ('0x' || substr(md5(array_to_string(tk[i:i+{DUP_SPAN_K}-1], ' ')), 1, 8))::BIGINT AS gh
+  FROM toks, unnest(generate_series(1, len(tk) - {DUP_SPAN_K} + 1)) AS t(i)
+),
+kept AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY gh) AS df FROM grams
+  ) WHERE df <= {DUP_SPAN_MAX_DF}
+),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kept a JOIN kept b USING (gh)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, pa, pb,
+    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isle
+  FROM hits
+),
+spans AS (
+  SELECT doc_a, doc_b,
+    MIN(pa) AS start_a, MIN(pb) AS start_b,
+    COUNT(*) + {DUP_SPAN_K} - 1 AS span_tokens
+  FROM runs
+  GROUP BY doc_a, doc_b, pa - pb, isle
+)
+"""
+
+SPAN_SCRUB_ORACLE = (
+    _DUP_SPAN_CTES
+    + """,
+rem AS (
+  SELECT doc_b AS doc_id,
+    list_distinct(flatten(list(generate_series(start_b, start_b + span_tokens - 1)))) AS rem
+  FROM spans GROUP BY doc_b
+),
+scrubbed AS (
+  SELECT toks.doc_id, tk,
+    list_transform(
+      list_filter(generate_series(1, len(tk)),
+                  i -> NOT list_contains(COALESCE(rem.rem, CAST([] AS BIGINT[])), i)),
+      i -> tk[i]) AS scrub
+  FROM toks LEFT JOIN rem ON toks.doc_id = rem.doc_id
+)
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(tk) - len(scrub) AS BIGINT) AS n_removed,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(scrub, t2 -> ('0x' || substr(md5(t2), 1, 8))::BIGINT)),
+    (acc, h) -> (acc * 31 + h) % 1000000007) AS scrubbed_fp
+FROM scrubbed
+ORDER BY doc_id
+"""
+)
+
+
+@register("dedup_span_scrub", oracle=SPAN_SCRUB_ORACLE)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE step of substring-level dedup: scrub every
+    duplicated span found by ``dup_token_spans`` from the
+    higher-doc_id copy (the lower doc_id keeps its text — a
+    deterministic canonical-copy rule, same convention as
+    ``dedup_canonical_docs``), and emit per-document before/after
+    token counts plus the rolling fingerprint of the scrubbed stream
+    (order-sensitive, so the oracle proves WHICH tokens survived and
+    in what order, not just how many). Together the pair implements
+    Lee et al. 2022's dedup loop: detect exact duplicated substrings,
+    then cut them out of all-but-one occurrence.
+
+    Scale shape: the spans frame is tiny relative to the corpus (only
+    duplicated material), so the removal-set build aggregates a few
+    positions per affected doc; the corpus-side work is ONE left join
+    on doc_id plus a map-only higher-order-function filter over the
+    token array — no explode of the corpus, no per-token shuffle. The
+    whole-doc token arrays never leave their partitions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dup_token_spans(spark, sf_dir)
+    rem = (
+        spans.select(
+            col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(col("start_b"), col("start_b") + col("span_tokens") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("rem"))
+    )
+    tk = docs.select("doc_id", tokens(col("text")).alias("tk"))
+    joined = tk.join(rem, "doc_id", "left").select(
+        "doc_id",
+        "tk",
+        F.coalesce(col("rem"), F.array().cast("array<bigint>")).alias("rem"),
+    )
+    scrub = F.filter(
+        col("tk"),
+        lambda t, i: ~F.array_contains(col("rem"), (i + F.lit(1)).cast("bigint")),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            (F.size("tk") - F.size(scrub)).cast("bigint").alias("n_removed"),
+            fingerprint(scrub).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id")
+    )

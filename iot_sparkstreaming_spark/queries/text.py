@@ -674,3 +674,92 @@ def doc_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("df").cast("bigint").alias("rarest_df"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer-budget planning)
+# ---------------------------------------------------------------------------
+
+VOCAB_CUTS = (5, 10, 20, 50)
+
+VOCAB_COVERAGE_ORACLE = (
+    TOKS_CTE
+    + f""",
+freq AS (
+  SELECT unnest(tk) AS t FROM toks
+),
+ranked AS (
+  SELECT t, COUNT(*) AS n,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+  FROM freq GROUP BY t
+),
+cum AS (
+  SELECT rk, SUM(n) OVER (ORDER BY rk) AS cum_n FROM ranked
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_n FROM freq),
+cuts AS (SELECT unnest([{", ".join(str(c) for c in VOCAB_CUTS)}]) AS cut)
+SELECT cut,
+  CAST(MAX(rk) AS BIGINT) AS vocab_used,
+  CAST(MAX(cum_n) AS BIGINT) AS covered,
+  total_n AS total_tokens,
+  CAST(MAX(cum_n) AS DOUBLE) / total_n AS coverage
+FROM cuts JOIN cum ON cum.rk <= cuts.cut CROSS JOIN total
+GROUP BY cut, total_n
+ORDER BY cut
+"""
+)
+
+
+@register("vocab_coverage_curve", oracle=VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning curve: what fraction of all token
+    OCCURRENCES does a frequency-ranked vocabulary of size k cover,
+    for k in {5, 10, 20, 50}? This is the measurement that sizes a
+    vocabulary (or decides an OOV policy) before committing to a
+    tokenizer — the cumulative complement of ``oov_rate_per_doc``'s
+    fixed top-100 choice.
+
+    Scale shape: the corpus-sized work is ONE exploded hash-aggregate
+    with map-side partial combine (one row per distinct token
+    crosses the shuffle). Everything after operates on the VOCABULARY
+    (distinct tokens), which is bounded and tiny relative to the
+    corpus — the global rank/cumsum window runs single-partition over
+    that bounded frame by design (a web-scale vocab is ~10^7 rows =
+    one executor's work; the corpus never rides this window). The cut
+    table is a 4-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(col("n").desc(), col("t"))
+    ranked = freq.select(
+        "n",
+        F.row_number().over(w).alias("rk"),
+    ).select("rk", "n", F.sum("n").over(Window.orderBy("rk")).alias("cum_n"))
+    total = freq.agg(F.sum("n").cast("bigint").alias("total_tokens"))
+    cuts = spark.range(len(VOCAB_CUTS)).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in VOCAB_CUTS]), (col("id") + 1).cast("int")
+        ).alias("cut")
+    )
+    return (
+        F.broadcast(cuts)
+        .join(ranked, ranked.rk <= col("cut"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("cut", "total_tokens")
+        .agg(
+            F.max("rk").cast("bigint").alias("vocab_used"),
+            F.max("cum_n").cast("bigint").alias("covered"),
+        )
+        .select(
+            "cut",
+            "vocab_used",
+            "covered",
+            "total_tokens",
+            (col("covered").cast("double") / col("total_tokens")).alias("coverage"),
+        )
+        .orderBy("cut")
+    )

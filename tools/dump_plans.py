@@ -50,6 +50,9 @@ SHOWCASE = [
     ("lm_bigram_likelihood", "bigram model via map-side-combined hash agg; context counts roll up from the model table, not the corpus; scoring join on the shingle key"),
     ("dup_token_spans", "hashed 8-gram inverted-index self-join (16-byte keys, df cutoff); window + groupBy share ONE (doc_a,doc_b,diag) exchange"),
     ("acf_user_value", "all three lags lead() off ONE user_id sort; stacked pairs and the moment groupBy reuse the same exchange"),
+    ("dedup_span_scrub", "span removal-sets aggregate the tiny spans frame; corpus side is one doc_id join + map-only HOF filter, no corpus explode"),
+    ("vocab_coverage_curve", "corpus work is one map-side-combined token agg; rank/cumsum windows run over the bounded vocabulary only"),
+    ("value_histogram_events", "binning fused into the scan; low-cardinality hash agg with map-side combine"),
 ]
 
 

@@ -55,6 +55,12 @@ SHOWCASE = [
     ("cms_heavy_hitters", "count-min sketch probe"),
     ("variant_events_typed", "VARIANT decode agg"),
     ("image_bmp_thumbnail", "Arrow decode + NN resize"),
+    ("bm25_topk_docs", "bounded-term posting join"),
+    ("dup_token_spans", "8-gram inverted self-join + islands"),
+    ("dedup_span_scrub", "span join + HOF filter"),
+    ("acf_user_value", "one-sort multi-lag moments"),
+    ("vocab_coverage_curve", "vocab-bounded rank/cumsum"),
+    ("value_histogram_events", "fused binning hash-agg"),
 ]
 
 
