@@ -88,6 +88,8 @@ HEADLINE = [
     "dedup_span_scrub",
     "vocab_coverage_curve",
     "value_histogram_events",
+    "kcore_trade_graph",
+    "event_transition_matrix",
 ]
 
 

@@ -310,3 +310,59 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    iterations: int,
+    src: str = "a",
+    dst: str = "b",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration k-core peeling over an UNDIRECTED edge list
+    (stored one row per edge): repeatedly delete every node whose
+    degree in the surviving subgraph is < k, ``iterations`` times;
+    returns ``(node, deg)`` — the degree of each surviving node
+    inside the final subgraph.
+
+    A FIXED round count, not a convergence loop, is the cross-engine
+    contract (same trick as :func:`pagerank`): both engines unroll
+    the identical number of peels, so results agree bit-for-bit even
+    on inputs where the fixpoint is further than ``iterations`` away.
+    Degree peeling is monotone (the survivor set only shrinks), so
+    any round count >= the true peel depth yields the exact k-core;
+    tests assert the fixture converges well inside the default.
+
+    Plan per round: one degree aggregate over both endpoint
+    projections (map-side combined) and one double semi-join of the
+    edge list against the survivor set — the same
+    shuffle-on-the-node-key skeleton as :func:`connected_components`.
+    Rounds chain lazily (no driver action), so AQE plans each
+    exchange with runtime statistics; a periodic ``localCheckpoint``
+    bounds plan depth for high iteration counts.
+    """
+    e = edges.select(col(src).alias("a"), col(dst).alias("b"))
+    for i in range(iterations):
+        und = e.select(col("a").alias("node")).unionAll(
+            e.select(col("b").alias("node"))
+        )
+        keep = (
+            und.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .filter(col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+            .select("a", "b")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            e = e.localCheckpoint(eager=True)
+    return (
+        e.select(col("a").alias("node"))
+        .unionAll(e.select(col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 from pyspark.sql.window import Window
 
+from iot_sparkstreaming_spark.operators.graph import kcore
 from iot_sparkstreaming_spark.operators.joins import asof_join, range_join
 from iot_sparkstreaming_spark.queries.registry import register
 from iot_sparkstreaming_spark.tables import load_table
@@ -1510,3 +1511,159 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the trade graph (degree peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 40
+KCORE_ITERS = 4
+
+
+def _kcore_oracle(k: int, iters: int) -> str:
+    # AS MATERIALIZED on every CTE: each round references its
+    # predecessor 4x, so DuckDB's default inlining would expand the
+    # chain EXPONENTIALLY (4^iters scans of the base tables — observed
+    # as fd exhaustion); materialization makes it linear, which is
+    # also exactly what the Spark side's per-round dataframes do.
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""u{i} AS MATERIALIZED (
+  SELECT a FROM (SELECT a FROM e{i - 1} UNION ALL SELECT b AS a FROM e{i - 1})
+  GROUP BY a HAVING COUNT(*) >= {k}
+)"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e{i - 1}.a, e{i - 1}.b FROM e{i - 1}
+  JOIN u{i} x ON e{i - 1}.a = x.a
+  JOIN u{i} y ON e{i - 1}.b = y.a
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+  CAST(node // 2 AS BIGINT) AS entity_key,
+  CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM e{iters} UNION ALL SELECT b AS node FROM e{iters})
+GROUP BY node
+ORDER BY entity, entity_key
+"""
+    )
+
+
+KCORE_ORACLE = _kcore_oracle(KCORE_K, KCORE_ITERS)
+
+
+@register("kcore_trade_graph", oracle=KCORE_ORACLE)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = 40) of the undirected customer -
+    supplier trade graph — the dense-backbone extraction used for
+    community mining and for pruning low-engagement nodes before
+    expensive graph algorithms (completes the graph family:
+    components, PageRank, triangles, and now coreness; the reference
+    has no graph surface at all — SURVEY.md S2.8 absent-category).
+
+    Node encoding matches ``pagerank_trade_graph`` (customer 2c,
+    supplier 2s+1, so the bipartite id spaces cannot collide); the
+    result decodes back to (entity, entity_key, core_degree).
+
+    Exactness: degree peeling is pure integer arithmetic; the FIXED
+    4-round unroll is the cross-engine contract (see
+    ``operators.graph.kcore``) — the fixture reaches its fixpoint in
+    <= 3 peels (asserted in tests), and peeling is monotone, so 6
+    rounds IS the exact 40-core.
+
+    Scale shape: each round is a map-side-combined degree aggregate
+    plus a double LEFT SEMI join of edges against survivors — the
+    survivor set only shrinks, so per-round cost is non-increasing;
+    AQE re-plans each round's exchange with the observed (shrinking)
+    sizes and flips the semi-joins to broadcast as the core
+    collapses. The edge list shuffles on its endpoint keys, never on
+    pair payloads.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (col("o_custkey") * 2).alias("a"),
+            (col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    core = kcore(edges, KCORE_K, KCORE_ITERS)
+    return core.select(
+        F.when(col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("entity"),
+        F.expr("node div 2").cast("bigint").alias("entity_key"),
+        col("deg").cast("bigint").alias("core_degree"),
+    ).orderBy("entity", "entity_key")
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov behavior model)
+# ---------------------------------------------------------------------------
+
+TRANSITION_ORACLE = """
+WITH nxt AS (
+  SELECT user_id, event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nxt WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM c
+ORDER BY from_type, to_type
+"""
+
+
+@register("event_transition_matrix", oracle=TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (from_type, to_type) pair, how often does one
+    follow the other within a user's timeline, and with what
+    conditional probability? The behavioral model behind
+    next-action prediction and anomalous-session detection
+    (``workingTest.scala`` never orders events at all — SURVEY.md
+    S2.8 absent-category; shares the one-sort-per-user skeleton with
+    ``acf_user_value``).
+
+    Exactness: counts are integers; p is ONE bigint-to-double
+    division against a window SUM of bigints, identical on both
+    engines (no float accumulation). Deterministic sequence order via
+    the (ts, event_id) tie-break.
+
+    Scale shape: one exchange on user_id for the lead() window, then
+    a (|types|^2)-group hash aggregate that collapses map-side — the
+    shuffle moves at most a few hundred rows per partition. The
+    normalizing window runs over the tiny aggregated matrix, never
+    the events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(col("to_type").isNotNull())
+    c = nxt.groupBy("from_type", "to_type").agg(F.count("*").cast("bigint").alias("n"))
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (col("n").cast("double") / F.sum("n").over(Window.partitionBy("from_type"))).alias("p"),
+    ).orderBy("from_type", "to_type")

@@ -334,3 +334,79 @@ def streaming_ewma_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transitions as a stateful streaming
+    operator — the STREAMING twin of the pair-derivation stage inside
+    the batch ``event_transition_matrix`` query
+    (queries/analytics.py): each arriving event emits one
+    (from_type, to_type) row against the user's PREVIOUS event, with
+    the previous type held in streaming state across micro-batch
+    boundaries. Downstream the pairs aggregate exactly like the batch
+    matrix (a trivial windowless count); parity over real events data
+    is pinned by tests/test_stateful.py.
+
+    State is O(1) per user — a single string — which is the whole
+    point: the batch query needs a full per-user sort to derive
+    pairs, while the stream derives them incrementally and never
+    re-reads history. Rows are processed in (ts, event_id) order
+    WITHIN each micro-batch; cross-batch order follows arrival (the
+    in-order-feed contract, same as ``streaming_ewma``).
+
+    ``event_id`` of the arriving (``to``) event rides along so every
+    emitted pair is uniquely keyed — replay-safe joins and exact
+    test comparison, not just count parity.
+
+    Input columns: ``user_id``, ``event_id``, ``ts``, ``event_type``.
+    """
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, et in zip(pdf["event_id"], pdf["event_type"]):
+                if last is not None:
+                    out.append(
+                        {
+                            "user_id": int(user_id),
+                            "from_type": last,
+                            "to_type": et,
+                            "event_id": int(eid),
+                        }
+                    )
+                last = et
+        state.update((last,))
+        yield pd.DataFrame(out, columns=[f.name for f in TRANSITION_OUTPUT_SCHEMA])
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=T.StructType(
+                [T.StructField("last_type", T.StringType())]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

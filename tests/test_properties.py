@@ -476,3 +476,65 @@ def test_quality_audit_enforce_partition(spark, rows):
     )
     assert a.viol_tag_known == sum(1 for r in qrows if "tag_known" in r.failed_rules)
     assert all(len(r.failed_rules) > 0 for r in qrows)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 5),
+)
+def test_kcore_matches_python_peel(spark, edges, k):
+    """Fixed-iteration k-core with enough rounds must equal pure-Python
+    peel-to-fixpoint on random multigraphs (self-loops add 2 to their
+    node's degree, multi-edges count per occurrence — both engines see
+    one row per edge). 16 rounds always suffices on a 16-node universe
+    (each non-final peel removes at least one node)."""
+    from iot_sparkstreaming_spark.operators.graph import kcore
+
+    cur = list(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = [(a, b) for a, b in cur if a in keep and b in keep]
+        if len(nxt) == len(cur):
+            break
+        cur = nxt
+    expected: dict[int, int] = {}
+    for a, b in cur:
+        expected[a] = expected.get(a, 0) + 1
+        expected[b] = expected.get(b, 0) + 1
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.deg for r in kcore(df, k, 16).collect()}
+    assert got == expected
+
+
+def test_kcore_fixture_converges_inside_default_rounds(spark):
+    """The 40-core of the sf0.01 trade graph must reach its fixpoint
+    within the registered query's KCORE_ITERS rounds — one more peel
+    changes nothing. Guards the docstring's exactness claim if the
+    fixture drifts denser."""
+    from iot_sparkstreaming_spark.operators.graph import kcore
+    from iot_sparkstreaming_spark.queries.analytics import KCORE_ITERS, KCORE_K
+    from iot_sparkstreaming_spark.tables import load_table
+    from pyspark.sql.functions import col
+
+    sf = "/root/testdata/sf0.01"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select((col("o_custkey") * 2).alias("a"), (col("l_suppkey") * 2 + 1).alias("b"))
+        .distinct()
+    )
+    at_default = sorted(map(tuple, kcore(edges, KCORE_K, KCORE_ITERS).collect()))
+    one_more = sorted(map(tuple, kcore(edges, KCORE_K, KCORE_ITERS + 1).collect()))
+    assert at_default == one_more
+    assert len(at_default) > 0  # the fixture actually has a 40-core

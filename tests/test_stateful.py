@@ -303,3 +303,60 @@ def test_streaming_ewma_state_survives_restart(spark, tmp_path):
         for r in ewma_user_value(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+def test_streaming_transitions_twin_parity(spark, tmp_path):
+    """The stateful transition stream must emit exactly the pairs the
+    batch event_transition_matrix derives with its lead() window —
+    including the pair that SPANS the micro-batch boundary (held as
+    O(1) last-type state)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_transitions
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT * FROM transitions_twin").count()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.from_type, r.to_type, r.event_id)
+            for r in spark.sql("SELECT * FROM transitions_twin").collect()
+        }
+    finally:
+        q.stop()
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.from_type, r.to_type, r.event_id)
+        for r in ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            F.lead("event_id").over(w).alias("event_id"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .collect()
+    }
+    assert 0 < n_first < len(want)  # the boundary actually split pairs
+    assert got == want

@@ -53,6 +53,8 @@ SHOWCASE = [
     ("dedup_span_scrub", "span removal-sets aggregate the tiny spans frame; corpus side is one doc_id join + map-only HOF filter, no corpus explode"),
     ("vocab_coverage_curve", "corpus work is one map-side-combined token agg; rank/cumsum windows run over the bounded vocabulary only"),
     ("value_histogram_events", "binning fused into the scan; low-cardinality hash agg with map-side combine"),
+    ("kcore_trade_graph", "per-round degree agg + double left-semi survivor join; AQE re-plans each shrinking round"),
+    ("event_transition_matrix", "one user_id exchange for lead(); matrix agg collapses map-side; normalizing window over the tiny matrix only"),
 ]
 
 

@@ -61,6 +61,8 @@ SHOWCASE = [
     ("acf_user_value", "one-sort multi-lag moments"),
     ("vocab_coverage_curve", "vocab-bounded rank/cumsum"),
     ("value_histogram_events", "fused binning hash-agg"),
+    ("kcore_trade_graph", "4-round degree peeling"),
+    ("event_transition_matrix", "one-sort Markov pair agg"),
 ]
 
 
