@@ -90,6 +90,7 @@ HEADLINE = [
     "value_histogram_events",
     "kcore_trade_graph",
     "event_transition_matrix",
+    "rolling_trend_slope",
 ]
 
 

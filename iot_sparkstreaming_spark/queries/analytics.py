@@ -1667,3 +1667,103 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (col("n").cast("double") / F.sum("n").over(Window.partitionBy("from_type"))).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS trend slope (bounded-frame exact regression)
+# ---------------------------------------------------------------------------
+
+TREND_FRAME = 10  # trailing frame length (full frames only)
+#: n·Σx² − (Σx)² for n consecutive integer x positions: n²(n²−1)/12
+_TREND_DENOM = TREND_FRAME * TREND_FRAME * (TREND_FRAME * TREND_FRAME - 1) // 12
+
+TREND_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+    CAST(ROUND(value * 10000) AS BIGINT) AS vc,
+    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, value, rn,
+    CAST(SUM(rn) OVER f AS BIGINT) AS sx,
+    CAST(SUM(vc) OVER f AS BIGINT) AS sy,
+    CAST(SUM(rn * vc) OVER f AS BIGINT) AS sxy,
+    CAST(SUM(rn * rn) OVER f AS BIGINT) AS sx2
+  FROM o
+  WINDOW f AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {TREND_FRAME - 1} PRECEDING AND CURRENT ROW
+  )
+)
+SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+  CAST({TREND_FRAME} * sxy - sx * sy AS DOUBLE) / {_TREND_DENOM * 10000}.0 AS trend_slope
+FROM s WHERE rn >= {TREND_FRAME}
+"""
+
+
+@register("rolling_trend_slope", oracle=TREND_ORACLE)
+def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: the least-squares slope of each user's last
+    {N} values against their sequence position — the per-entity trend
+    detector monitoring stacks pair with ``anomaly_zscore_events``
+    (level breaks) and ``ewma_user_value`` (smoothing). Slope is
+    shift-invariant in x, so the absolute row_number serves as the
+    regressor; over a FULL frame of {N} consecutive positions the
+    denominator n·Σx² − (Σx)² is the constant n²(n²−1)/12, leaving
+
+        slope = (n·Σxy − Σx·Σy) / (n²(n²−1)/12 · scale)
+
+    — an all-bigint numerator (value×10⁴ integers, window sums far
+    inside int64) made a double by ONE final division, bit-identical
+    across engines; partial leading frames are excluded by the same
+    row_number that shares the sort.
+
+    Scale shape: ONE user_id exchange and ONE sort serve both window
+    passes — the frame window orders by the same (ts, event_id) key
+    as the row_number pass, so the second Window node rides the
+    first's sort with no re-sort; O(frame) state per row, everything
+    else per-row arithmetic in codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(col("value") * 10000).cast("bigint")
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        vc.alias("vc"),
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+    )
+    # frame window keyed by the SAME (ts, event_id) order as the
+    # row_number pass (rn order is identical by construction), so both
+    # Window nodes share one sort — no partition-local re-sort.
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(TREND_FRAME - 1), 0)
+    )
+    s = o.select(
+        "user_id",
+        "event_id",
+        "value",
+        "rn",
+        F.sum("rn").over(f).cast("bigint").alias("sx"),
+        F.sum("vc").over(f).cast("bigint").alias("sy"),
+        F.sum(col("rn") * col("vc")).over(f).cast("bigint").alias("sxy"),
+        F.sum(col("rn") * col("rn")).over(f).cast("bigint").alias("sx2"),
+    )
+    return s.filter(col("rn") >= TREND_FRAME).select(
+        "user_id",
+        "event_id",
+        col("value").cast("double").alias("value"),
+        (
+            (F.lit(TREND_FRAME) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / F.lit(float(_TREND_DENOM * 10000))
+        ).alias("trend_slope"),
+    )
+
+
+rolling_trend_slope.__doc__ = rolling_trend_slope.__doc__.replace("{N}", str(TREND_FRAME))

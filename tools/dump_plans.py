@@ -55,6 +55,7 @@ SHOWCASE = [
     ("value_histogram_events", "binning fused into the scan; low-cardinality hash agg with map-side combine"),
     ("kcore_trade_graph", "per-round degree agg + double left-semi survivor join; AQE re-plans each shrinking round"),
     ("event_transition_matrix", "one user_id exchange for lead(); matrix agg collapses map-side; normalizing window over the tiny matrix only"),
+    ("rolling_trend_slope", "ONE user_id exchange, ONE sort: both window passes share the (ts,event_id) ordering — no re-sort between"),
 ]
 
 

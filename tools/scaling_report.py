@@ -63,6 +63,7 @@ SHOWCASE = [
     ("value_histogram_events", "fused binning hash-agg"),
     ("kcore_trade_graph", "4-round degree peeling"),
     ("event_transition_matrix", "one-sort Markov pair agg"),
+    ("rolling_trend_slope", "one-pass frame moment sums"),
 ]
 
 
