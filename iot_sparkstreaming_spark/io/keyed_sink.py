@@ -64,6 +64,7 @@ class _KeyedWriter(DataSourceWriter):
         self.path = options["path"]
         self.key = options.get("key", "key")
         self.version = options.get("version")  # None: version-less LWW by json
+        self.merge = options.get("merge", "lww")  # "lww" | "sum" (additive)
         self.overwrite = overwrite
 
     # -- executor side ----------------------------------------------------
@@ -84,28 +85,56 @@ class _KeyedWriter(DataSourceWriter):
             return (rec[self.version], line)
         return (line,)
 
-    def commit(self, messages: list[KeyedCommitMessage]) -> None:
+    def commit(
+        self, messages: list[KeyedCommitMessage], batch_id: int | None = None
+    ) -> None:
         staging = os.path.join(self.path, STAGING_DIR)
         table = os.path.join(self.path, TABLE_FILE)
         state: dict = {}
-        if not self.overwrite and os.path.exists(table):
+        last_batch = None
+        if os.path.exists(table):
             with open(table) as f:
                 for line in f:
                     rec = json.loads(line)
-                    state[str(rec[self.key])] = rec
+                    if "__meta__" in rec:
+                        last_batch = rec["__meta__"].get("last_batch")
+                        continue
+                    if not self.overwrite:
+                        state[str(rec[self.key])] = rec
+        # exactly-once epoch dedup: a REPLAYED micro-batch (engine
+        # restart re-runs the last batch whose sink commit it cannot
+        # prove) is skipped entirely — without this, merge="sum" would
+        # double-add (LWW happens to be idempotent; addition is not).
+        if batch_id is not None and last_batch is not None and batch_id <= last_batch:
+            for name in os.listdir(staging):
+                os.remove(os.path.join(staging, name))
+            return
         committed = {m.filename for m in messages if m is not None}
         for name in sorted(committed):
             with open(os.path.join(staging, name)) as f:
                 for line in f:
                     rec = json.loads(line)
                     k = str(rec[self.key])
-                    if k not in state or self._rank(rec) >= self._rank(state[k]):
+                    if k not in state:
+                        state[k] = rec
+                    elif self.merge == "sum":
+                        cur = state[k]
+                        nxt = dict(rec)
+                        for fld, v in rec.items():
+                            if fld != self.key and isinstance(v, (int, float)):
+                                old = cur.get(fld)
+                                if isinstance(old, (int, float)):
+                                    nxt[fld] = old + v
+                        state[k] = nxt
+                    elif self._rank(rec) >= self._rank(state[k]):
                         state[k] = rec
         tmp = table + ".tmp"
         with open(tmp, "w") as f:
+            if batch_id is not None:
+                f.write(json.dumps({"__meta__": {"last_batch": batch_id}}) + "\n")
             for k in sorted(state):
                 f.write(json.dumps(state[k], default=str, sort_keys=True) + "\n")
-        os.replace(tmp, table)  # atomic publish
+        os.replace(tmp, table)  # atomic publish: rows + epoch, one rename
         # drop EVERYTHING staged — committed files are merged, orphans
         # (retried tasks that never reported a commit message) are dead
         for name in os.listdir(staging):
@@ -124,12 +153,16 @@ class _KeyedWriter(DataSourceWriter):
 class _KeyedStreamWriter(DataSourceStreamWriter):
     """Streaming flavor: one keyed-upsert commit PER MICRO-BATCH —
     the exact shape of the reference's DStream ``foreachRDD`` →
-    Cassandra writes (``workingTest.scala:103-133``), now with the
-    engine's checkpointed epoch id making the commit idempotent: a
-    replayed batch re-merges the same rows to the same keys (upsert
-    is idempotent by construction), so at-least-once delivery
-    converges to the same table state. Batch and streaming share the
-    commit implementation verbatim.
+    Cassandra writes (``workingTest.scala:103-133``), now
+    TRANSACTIONAL: the committed epoch id is published atomically with
+    the rows (one rename), so a replayed micro-batch — the engine
+    re-runs the last batch whose sink commit it cannot prove — is
+    detected (batchId <= last committed) and skipped. That makes even
+    non-idempotent merges exactly-once: with ``option("merge","sum")``
+    the sink maintains RUNNING PER-KEY AGGREGATES (an incremental
+    materialized view), which plain at-least-once replay would
+    double-add. Batch and streaming share the commit implementation
+    verbatim.
     """
 
     def __init__(self, options: dict) -> None:
@@ -139,7 +172,7 @@ class _KeyedStreamWriter(DataSourceStreamWriter):
         return self._inner.write(iterator)
 
     def commit(self, messages: list[KeyedCommitMessage | None], batchId: int) -> None:
-        self._inner.commit([m for m in messages if m is not None])
+        self._inner.commit([m for m in messages if m is not None], batch_id=batchId)
 
     def abort(self, messages: list[KeyedCommitMessage | None], batchId: int) -> None:
         self._inner.abort([m for m in messages if m is not None])
@@ -171,4 +204,8 @@ def read_table(path: str) -> list[dict]:
     if not os.path.exists(table):
         return []
     with open(table) as f:
-        return [json.loads(line) for line in f]
+        return [
+            rec
+            for rec in (json.loads(line) for line in f)
+            if "__meta__" not in rec
+        ]

@@ -1036,9 +1036,18 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     column.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return duplicate_token_spans(docs)
+
+
+def duplicate_token_spans(
+    docs: DataFrame, k: int = DUP_SPAN_K, max_df: int = DUP_SPAN_MAX_DF
+) -> DataFrame:
+    """Operator core of ``dup_token_spans`` over any (doc_id, text)
+    frame — factored out so property tests can plant known spans in
+    synthetic corpora (tests/test_mining_ops.py)."""
     grams = docs.select(
         "doc_id",
-        F.posexplode(word_shingles(tokens(col("text")), DUP_SPAN_K)).alias("pos0", "g"),
+        F.posexplode(word_shingles(tokens(col("text")), k)).alias("pos0", "g"),
     ).select(
         "doc_id",
         (col("pos0") + 1).alias("pos"),  # oracle positions are 1-based
@@ -1046,7 +1055,7 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         grams.withColumn("df", F.count("*").over(Window.partitionBy("gh")))
-        .filter(col("df") <= DUP_SPAN_MAX_DF)
+        .filter(col("df") <= max_df)
         .drop("df")
     )
     a = kept.select(col("doc_id").alias("doc_a"), col("pos").alias("pa"), "gh")
@@ -1063,7 +1072,7 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("pa").cast("bigint").alias("start_a"),
             F.min("pb").cast("bigint").alias("start_b"),
-            (F.count("*") + F.lit(DUP_SPAN_K - 1)).cast("bigint").alias("span_tokens"),
+            (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
         .orderBy("doc_a", "doc_b", "start_a", "start_b")

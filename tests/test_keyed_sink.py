@@ -118,3 +118,51 @@ def test_streaming_keyed_upsert_per_microbatch(spark, tmp_path):
         q.stop()
     assert mid == {"u1": "rome", "u2": "oslo"}
     assert end == {"u1": ("lima", 2), "u2": ("oslo", 1), "u3": ("kiev", 1)}
+
+
+def _stream_writer(path, merge="lww"):
+    from iot_sparkstreaming_spark.io.keyed_sink import _KeyedStreamWriter
+
+    return _KeyedStreamWriter(
+        {"path": str(path), "key": "user_id", "merge": merge}
+    )
+
+
+def _stage_rows(writer, rows):
+    from pyspark.sql import Row
+
+    return writer.write(iter([Row(**r) for r in rows]))
+
+
+def test_stream_replayed_batch_is_skipped_exactly_once(spark, tmp_path):
+    """Transactional epoch dedup: re-committing the SAME batchId (the
+    engine's replay-after-restart path) must change nothing — even in
+    additive-merge mode, where re-applying would double-add."""
+    w = _stream_writer(tmp_path, merge="sum")
+    m = _stage_rows(w, [{"user_id": "u1", "n": 5}])
+    w.commit([m], 7)
+    # replay of batch 7 (same data re-staged, engine re-ran the batch)
+    m2 = _stage_rows(w, [{"user_id": "u1", "n": 5}])
+    w.commit([m2], 7)
+    got = keyed_sink.read_table(str(tmp_path))
+    assert got == [{"user_id": "u1", "n": 5}]
+
+
+def test_stream_additive_merge_maintains_running_aggregate(spark, tmp_path):
+    """merge='sum': the sink is an incremental materialized view —
+    numeric fields add per key across batches, new keys insert."""
+    w = _stream_writer(tmp_path, merge="sum")
+    w.commit([_stage_rows(w, [{"user_id": "u1", "n": 5}, {"user_id": "u2", "n": 1}])], 0)
+    w.commit([_stage_rows(w, [{"user_id": "u1", "n": 3}, {"user_id": "u3", "n": 2}])], 1)
+    got = {r["user_id"]: r["n"] for r in keyed_sink.read_table(str(tmp_path))}
+    assert got == {"u1": 8, "u2": 1, "u3": 2}
+
+
+def test_stream_additive_merge_within_one_batch(spark, tmp_path):
+    """Two tasks of the SAME batch carrying the same key: their
+    contributions add (partial aggregates per partition)."""
+    w = _stream_writer(tmp_path, merge="sum")
+    m1 = _stage_rows(w, [{"user_id": "u1", "n": 5}])
+    m2 = _stage_rows(w, [{"user_id": "u1", "n": 4}])
+    w.commit([m1, m2], 0)
+    assert keyed_sink.read_table(str(tmp_path)) == [{"user_id": "u1", "n": 9}]

@@ -121,3 +121,40 @@ def test_lm_likelihood_bounds_and_gate(spark):
         assert 0.0 < r.avg_likelihood <= 1.0
         assert r.n_bigrams >= 1
         assert r.keep == (r.avg_likelihood >= 0.001)
+
+
+def test_dup_token_spans_finds_planted_span_exactly(spark):
+    """Plant one 12-token span shared verbatim between two otherwise
+    token-disjoint documents: exactly one maximal span must come back,
+    with exact 1-based starts and exact length — no fragmentation, no
+    extension."""
+    from iot_sparkstreaming_spark.queries.mining import duplicate_token_spans
+
+    shared = " ".join(f"shared{i}" for i in range(12))
+    doc_a = "alpha0 alpha1 alpha2 " + shared + " alpha3 alpha4"
+    doc_b = (
+        "beta0 beta1 beta2 beta3 beta4 beta5 beta6 " + shared + " beta7"
+    )
+    doc_c = " ".join(f"gamma{i}" for i in range(30))  # no overlap
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in duplicate_token_spans(docs, k=8).collect()]
+    # span starts after 3 tokens in doc 1 (position 4) and after 7 in
+    # doc 2 (position 8); length is exactly the 12 shared tokens
+    assert got == [(1, 2, 4, 8, 12)]
+
+
+def test_dup_token_spans_stop_gram_cutoff_drops_viral_grams(spark):
+    """A gram occurring in more than max_df positions is boilerplate:
+    with max_df below the occurrence count the span must vanish."""
+    from iot_sparkstreaming_spark.queries.mining import duplicate_token_spans
+
+    shared = " ".join(f"viral{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(i, f"pre{i} " + shared + f" post{i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    assert duplicate_token_spans(docs, k=8, max_df=5).count() == 0
+    # with the cutoff above the df, all 15 ordered pairs report it
+    assert duplicate_token_spans(docs, k=8, max_df=50).count() == 15

@@ -360,3 +360,67 @@ def test_streaming_transitions_twin_parity(spark, tmp_path):
     }
     assert 0 < n_first < len(want)  # the boundary actually split pairs
     assert got == want
+
+
+def test_streaming_transitions_state_survives_restart(spark, tmp_path):
+    """Kill the transition stream between micro-batches and restart
+    from the same checkpoint: the restored last-type state must make
+    the cross-restart pair identical to the batch derivation over the
+    full feed — restart invisible in the emitted pairs."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_transitions
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+        return (
+            streaming_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.from_type, r.to_type, r.event_id)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    finally:
+        q.stop()
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.from_type, r.to_type, r.event_id)
+        for r in ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            F.lead("event_id").over(w).alias("event_id"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .collect()
+    }
+    assert got == want

@@ -741,3 +741,49 @@ def test_dedup_events_stream_drops_replays(spark, tmp_path):
     out = spark.sql("SELECT event_id FROM dedup_stream").collect()
     assert len(out) == n_distinct
     assert len({r.event_id for r in out}) == n_distinct
+
+
+def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
+    """Sketches on streams: hll_sketch_agg as a streaming aggregation
+    (complete mode) must estimate EXACTLY what the batch aggregate
+    estimates over the same data, even with the input split across
+    micro-batches — HLL register merge is a commutative max, so the
+    estimate is independent of arrival order and batch boundaries.
+    This is the streaming half of hll_union_region_suppliers'
+    pre-aggregated-rollup pattern."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r.event_type: r.est for r in spark.sql("SELECT * FROM hll_stream").collect()}
+    want = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert got == want and len(got) == 5
