@@ -91,6 +91,10 @@ HEADLINE = [
     "kcore_trade_graph",
     "event_transition_matrix",
     "rolling_trend_slope",
+    "basket_pair_rules",
+    "value_equidepth_bins_events",
+    "image_png_features",
+    "video_y4m_frames",
 ]
 
 

@@ -591,3 +591,368 @@ def assets_from_binary_files(spark, path: str, glob: str = "*.bmp") -> DataFrame
     return files.select(
         stem.cast("long").alias("asset_id"), F.col("content").alias("payload")
     )
+
+
+# The PNG codec pair: the third REAL stdlib codec (zlib IDAT + CRC32
+# + per-row scanline filters), same by-value factory pattern.
+def _make_png_synth():
+    def synthesize_png(asset_id: int) -> bytes:
+        """Deterministic 8-bit truecolor PNG for ``asset_id``: real
+        signature, IHDR, one zlib IDAT, IEND — each chunk CRC32'd.
+        Channel c at (x, y) = (id + 7x + 13y + 31c) mod 256 with
+        c ∈ {0,1,2} = (r, g, b) in natural PNG order; w = 4 + id%11,
+        h = 3 + id%5. Scanline filters genuinely vary per row
+        (y mod 3 → None/Sub/Up), so decoding must actually undo
+        filtering, not just inflate."""
+        import struct
+        import zlib
+
+        w = 4 + asset_id % 11
+        h = 3 + asset_id % 5
+        raw = bytearray()
+        prev = bytes(3 * w)
+        for y in range(h):
+            row = bytes(
+                (asset_id + 7 * x + 13 * y + 31 * c) % 256
+                for x in range(w)
+                for c in range(3)
+            )
+            ft = y % 3
+            raw.append(ft)
+            if ft == 0:  # None
+                raw += row
+            elif ft == 1:  # Sub
+                raw += bytes(
+                    (row[i] - (row[i - 3] if i >= 3 else 0)) % 256
+                    for i in range(len(row))
+                )
+            else:  # Up
+                raw += bytes((row[i] - prev[i]) % 256 for i in range(len(row)))
+            prev = row
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    return synthesize_png
+
+
+def _make_png_decode():
+    def decode_png(payload: bytes) -> dict:
+        """REAL PNG decode for 8-bit truecolor RGB: chunk walk with
+        CRC32 verification, multi-IDAT concat, zlib inflate, and all
+        five scanline filters (None/Sub/Up/Average/Paeth) undone
+        per the PNG spec. Pixels come back as (r, g, b) tuples,
+        top-down."""
+        import struct
+        import zlib
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos = 8
+        idat = b""
+        w = h = None
+        while pos < len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in chunk {tag!r}")
+            if tag == b"IHDR":
+                w, h, depth, ctype = struct.unpack_from(">IIBB", data, 0)
+                if depth != 8 or ctype != 2:
+                    raise NotImplementedError("only 8-bit truecolor RGB PNG")
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = 3 * w
+        rows = []
+        prev = bytearray(stride)
+        p = 0
+        for _y in range(h):
+            ft = raw[p]
+            p += 1
+            cur = bytearray(raw[p : p + stride])
+            p += stride
+            if ft == 1:  # Sub
+                for i in range(3, stride):
+                    cur[i] = (cur[i] + cur[i - 3]) % 256
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    cur[i] = (cur[i] + prev[i]) % 256
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    left = cur[i - 3] if i >= 3 else 0
+                    cur[i] = (cur[i] + (left + prev[i]) // 2) % 256
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = cur[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pr) % 256
+            elif ft != 0:
+                raise NotImplementedError(f"unknown PNG filter {ft}")
+            rows.append([tuple(cur[3 * x : 3 * x + 3]) for x in range(w)])
+            prev = cur
+        return {"width": w, "height": h, "pixels": rows}
+
+    return decode_png
+
+
+synthesize_png = _make_png_synth()
+decode_png = _make_png_decode()
+
+
+def png_image_assets(docs: DataFrame) -> DataFrame:
+    """Image-modality asset table with REAL PNG payloads (same
+    doc_id % 3 == 0 assignment), encoded in a map-only Arrow pass."""
+    import pandas as pd  # noqa: F811
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    synth = synthesize_png  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": [synth(int(i)) for i in pdf["doc_id"]],
+                },
+                columns=["asset_id", "payload"],
+            )
+
+    return (
+        docs.filter(docs.doc_id % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=out_schema)
+    )
+
+
+def png_image_features(assets: DataFrame) -> DataFrame:
+    """Decode real PNG payloads (CRC walk + inflate + unfilter) into
+    the same integer pixel statistics as :func:`image_features`."""
+    import pandas as pd  # noqa: F811
+
+    decode = decode_png  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode(bytes(payload))
+                flat = [v for row in d["pixels"] for px in row for v in px]
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_pixels": d["width"] * d["height"],
+                        "sum_rgb": int(sum(flat)),
+                        "max_channel": int(max(flat)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            ).astype("int64")
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        gen, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+# The y4m (YUV4MPEG2) codec pair: the THIRD modality goes real —
+# a genuine public video container (mpv/ffmpeg-compatible), raw
+# YUV420 planes, decodable with the stdlib alone. Same by-value
+# factory pattern as the WAV/BMP/PNG pairs.
+def _make_y4m_synth():
+    def synthesize_y4m(asset_id: int) -> bytes:
+        """Deterministic YUV4MPEG2 stream for ``asset_id``: real
+        `YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C420jpeg` header plus
+        FRAME-delimited raw 4:2:0 planes. Closed-form planes:
+        Y(x,y,f) = (id + 3x + 5y + 17f) mod 256 on the full grid,
+        U(xx,yy,f) = (id + 7xx + 11yy + 23f) mod 256 and
+        V(xx,yy,f) = (id + 13xx + 3yy + 29f) mod 256 on the half-res
+        grid; w = 4 + 2(id%5), h = 4 + 2(id%3) (even, as 4:2:0
+        requires), n_frames = 2 + id%4."""
+        w = 4 + 2 * (asset_id % 5)
+        h = 4 + 2 * (asset_id % 3)
+        n_frames = 2 + asset_id % 4
+        out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode())
+        for f in range(n_frames):
+            out += b"FRAME\n"
+            out += bytes(
+                (asset_id + 3 * x + 5 * y + 17 * f) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            out += bytes(
+                (asset_id + 7 * xx + 11 * yy + 23 * f) % 256
+                for yy in range(h // 2)
+                for xx in range(w // 2)
+            )
+            out += bytes(
+                (asset_id + 13 * xx + 3 * yy + 29 * f) % 256
+                for yy in range(h // 2)
+                for xx in range(w // 2)
+            )
+        return bytes(out)
+
+    return synthesize_y4m
+
+
+def _make_y4m_decode():
+    def decode_y4m(payload: bytes) -> dict:
+        """REAL video decode for YUV4MPEG2 4:2:0: stream-header token
+        parse (W/H/C with the spec's defaults), FRAME-marker walk,
+        plane slicing with an exact-length check. Frames come back as
+        raw Y/U/V plane bytes."""
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode()
+        tokens = header.split(" ")
+        if tokens[0] != "YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 payload")
+        w = h = None
+        colorspace = "C420jpeg"  # spec default is 4:2:0
+        for t in tokens[1:]:
+            if t.startswith("W"):
+                w = int(t[1:])
+            elif t.startswith("H"):
+                h = int(t[1:])
+            elif t.startswith("C"):
+                colorspace = t
+        if w is None or h is None:
+            raise ValueError("missing W/H in stream header")
+        if not colorspace.startswith("C420"):
+            raise NotImplementedError("only 4:2:0 subsampling is decoded")
+        y_size = w * h
+        c_size = (w // 2) * (h // 2)
+        frame_size = y_size + 2 * c_size
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+                raise ValueError("expected FRAME marker")
+            pos = fnl + 1
+            if pos + frame_size > len(payload):
+                raise ValueError("truncated frame")
+            frames.append(
+                {
+                    "y": payload[pos : pos + y_size],
+                    "u": payload[pos + y_size : pos + y_size + c_size],
+                    "v": payload[pos + y_size + c_size : pos + frame_size],
+                }
+            )
+            pos += frame_size
+        return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
+
+    return decode_y4m
+
+
+synthesize_y4m = _make_y4m_synth()
+decode_y4m = _make_y4m_decode()
+
+
+#: schema of the per-sampled-frame video feature output
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_uv", T.LongType()),
+    ]
+)
+
+
+def y4m_video_assets(docs: DataFrame) -> DataFrame:
+    """Video-modality asset table with REAL y4m payloads
+    (doc_id % 3 == 2 — the modality assignment
+    :func:`assets_from_documents` gives video), encoded map-only."""
+    import pandas as pd  # noqa: F811
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    synth = synthesize_y4m  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": [synth(int(i)) for i in pdf["doc_id"]],
+                },
+                columns=["asset_id", "payload"],
+            )
+
+    return (
+        docs.filter(docs.doc_id % 3 == 2)
+        .select("doc_id")
+        .mapInPandas(gen, schema=out_schema)
+    )
+
+
+def y4m_frame_features(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling + decode: every ``every_n``-th frame of
+    each decoded y4m stream reduces to integer plane statistics — the
+    working replacement for :func:`frame_sample_stub`'s
+    metadata-only arithmetic. Map-only; payloads die in-batch."""
+    import pandas as pd  # noqa: F811
+
+    decode = decode_y4m  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode(bytes(payload))
+                for fi in range(0, d["n_frames"], every_n):
+                    fr = d["frames"][fi]
+                    rows.append(
+                        {
+                            "asset_id": int(aid),
+                            "frame_index": fi,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "sum_y": sum(fr["y"]),
+                            "sum_uv": sum(fr["u"]) + sum(fr["v"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            ).astype("int64")
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        gen, schema=VIDEO_FRAME_SCHEMA
+    )

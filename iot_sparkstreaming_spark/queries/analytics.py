@@ -1767,3 +1767,68 @@ def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 rolling_trend_slope.__doc__ = rolling_trend_slope.__doc__.replace("{N}", str(TREND_FRAME))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (quartile buckets by rank, exact)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  CAST(((rn - 1) * 4) // n AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_bucket,
+  MIN(value) AS lo,
+  MAX(value) AS hi
+FROM ranked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@register("value_equidepth_bins_events", oracle=EQUIDEPTH_ORACLE)
+def value_equidepth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: per event type, split the value
+    distribution into four rank-quartile buckets (equal row counts,
+    data-dependent boundaries) and report each bucket's population and
+    [lo, hi] range — the optimizer's-histogram / boxplot companion to
+    ``value_histogram_events``' fixed-width bins. Bucket assignment is
+    pure integer rank arithmetic (floor((rn-1)·4 / n)), exact on both
+    engines, with the same (value, event_id) tie-break that makes the
+    ranking itself deterministic.
+
+    Scale shape: one exchange on event_type for the ranking window
+    (both the row_number and the partition count ride it), then a
+    (types × 4)-group map-side-combined aggregate. Per-type full sort
+    is the cost — the same trade as percentile_event_values, with
+    percentile_approx as the documented sketch path when a type's
+    population exceeds one executor's sort budget.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    return (
+        ranked.select(
+            "event_type",
+            "value",
+            F.expr("((rn - 1) * 4) div n").cast("bigint").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bucket"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -1202,3 +1202,97 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+BASKET_RULES_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM baskets),
+supp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM baskets GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_both,
+  sa.n_p AS n_a, sb.n_p AS n_b,
+  CAST(n_both AS DOUBLE) / sa.n_p AS conf_a_to_b,
+  CAST(n_both AS DOUBLE) / sb.n_p AS conf_b_to_a,
+  CAST(n_both * n_orders AS DOUBLE) / CAST(sa.n_p * sb.n_p AS DOUBLE) AS lift
+FROM pairs
+JOIN supp sa ON part_a = sa.p
+JOIN supp sb ON part_b = sb.p
+CROSS JOIN n
+ORDER BY part_a, part_b
+"""
+
+
+@register("basket_pair_rules", oracle=BASKET_RULES_ORACLE)
+def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: every part
+    pair co-purchased in >= {S} orders, with support, both directed
+    confidences, and lift — the classic a-priori 2-itemset mining
+    that drives recommendations ("customers who bought A...").
+    Complements ``bigram_lift_topk`` (SEQUENTIAL collocation in text)
+    with the SET-BASED flavor over transactions; the reference has no
+    aggregation at all (SURVEY.md S2.8).
+
+    Exactness: all counts are bigints; confidence and lift are single
+    bigint-ratio double divisions, identical on both engines.
+
+    Scale shape: the pair derivation self-joins baskets on the order
+    key, so work per order is C(basket, 2) — bounded by the basket
+    size a transaction physically has (same bounded-derivation
+    argument as ``triangle_count_parts``'s per-order edges). The pair
+    aggregate map-side-combines; the min-support HAVING collapses the
+    long tail BEFORE the two support joins, so only surviving rules
+    shuffle twice more. n_orders is a 1-row broadcast.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(col("l_orderkey").alias("o"), col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = baskets.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    supp = baskets.groupBy("p").agg(F.count("*").cast("bigint").alias("n_p"))
+    a = baskets.select("o", col("p").alias("part_a"))
+    b = baskets.select("o", col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(col("p").alias("part_a"), col("n_p").alias("n_a"))
+    sb = supp.select(col("p").alias("part_b"), col("n_p").alias("n_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (col("n_both").cast("double") / col("n_a")).alias("conf_a_to_b"),
+            (col("n_both").cast("double") / col("n_b")).alias("conf_b_to_a"),
+            (
+                (col("n_both") * col("n_orders")).cast("double")
+                / (col("n_a") * col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+basket_pair_rules.__doc__ = basket_pair_rules.__doc__.replace("{S}", str(BASKET_MIN_SUPPORT))

@@ -237,3 +237,126 @@ def image_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return image_thumbnails(bmp_image_assets(docs))
+
+
+IMAGE_PNG_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 11 AS w, 3 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT asset_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM f
+),
+pxy AS (
+  SELECT asset_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px
+),
+pxyc AS (
+  SELECT asset_id, w, h, x, y, unnest([0, 1, 2]) AS c FROM pxy
+)
+SELECT asset_id,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(SUM((asset_id + 7 * x + 13 * y + 31 * c) % 256) AS BIGINT) AS sum_rgb,
+  CAST(MAX((asset_id + 7 * x + 13 * y + 31 * c) % 256) AS BIGINT) AS max_channel
+FROM pxyc
+GROUP BY asset_id, w, h
+"""
+
+
+@register("image_png_features", oracle=IMAGE_PNG_ORACLE)
+def image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD real codec path: every image-modality document becomes a
+    genuine 8-bit truecolor PNG — zlib-compressed IDAT, CRC32-verified
+    chunks, and per-row scanline filters that VARY (None/Sub/Up), so
+    the decode pass must walk chunks, inflate, and undo filtering
+    before reducing pixels to integer statistics checked against the
+    closed-form definition. With WAV (container + PCM16) and BMP
+    (padding + bottom-up BGR), the codec family now covers a
+    COMPRESSED format end-to-end using only the stdlib.
+
+    Scale shape: identical to the other codec paths — two chained
+    map-only Arrow passes, no shuffle, payloads die in-batch.
+    """
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        png_image_assets,
+        png_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_image_features(png_image_assets(docs))
+
+
+VIDEO_Y4M_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+    4 + 2 * (doc_id % 5) AS w,
+    4 + 2 * (doc_id % 3) AS h,
+    2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT asset_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM a
+),
+sampled AS (SELECT * FROM fr WHERE fi % 2 = 0),
+yg AS (
+  SELECT asset_id, fi, w, h, unnest(generate_series(0, w - 1)) AS x FROM sampled
+),
+ygy AS (
+  SELECT asset_id, fi, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM yg
+),
+ys AS (
+  SELECT asset_id, fi,
+    CAST(SUM((asset_id + 3 * x + 5 * y + 17 * fi) % 256) AS BIGINT) AS sum_y
+  FROM ygy GROUP BY asset_id, fi
+),
+cg AS (
+  SELECT asset_id, fi, w, h, unnest(generate_series(0, w // 2 - 1)) AS xx FROM sampled
+),
+cgy AS (
+  SELECT asset_id, fi, w, h, xx, unnest(generate_series(0, h // 2 - 1)) AS yy FROM cg
+),
+uvs AS (
+  SELECT asset_id, fi,
+    CAST(SUM((asset_id + 7 * xx + 11 * yy + 23 * fi) % 256)
+       + SUM((asset_id + 13 * xx + 3 * yy + 29 * fi) % 256) AS BIGINT) AS sum_uv
+  FROM cgy GROUP BY asset_id, fi
+)
+SELECT s.asset_id,
+  CAST(s.fi AS BIGINT) AS frame_index,
+  CAST(s.w AS BIGINT) AS width,
+  CAST(s.h AS BIGINT) AS height,
+  ys.sum_y, uvs.sum_uv
+FROM sampled s
+JOIN ys ON s.asset_id = ys.asset_id AND s.fi = ys.fi
+JOIN uvs ON s.asset_id = uvs.asset_id AND s.fi = uvs.fi
+ORDER BY s.asset_id, frame_index
+"""
+
+
+@register("video_y4m_frames", oracle=VIDEO_Y4M_ORACLE)
+def video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST modality goes real: every video-modality document
+    becomes a genuine YUV4MPEG2 stream (the mpv/ffmpeg-compatible raw
+    video container) with FRAME-delimited 4:2:0 planes, and the
+    decode pass parses the stream header, walks frame markers, slices
+    Y/U/V planes, SAMPLES every 2nd frame, and reduces each sampled
+    frame to integer plane statistics — checked against the
+    closed-form plane definition. With WAV, BMP and PNG this makes
+    codec coverage audio + image(×2, one compressed) + video, all
+    stdlib-only; `frame_sample_stub`'s metadata-only arithmetic is
+    superseded by this real decode-and-sample path.
+
+    Scale shape: identical to the other codec paths — two chained
+    map-only Arrow passes, no shuffle, payloads die in-batch; output
+    is one row per SAMPLED frame (bounded by n_frames/2 per asset).
+    """
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        y4m_frame_features,
+        y4m_video_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return y4m_frame_features(y4m_video_assets(docs)).orderBy(
+        "asset_id", "frame_index"
+    )

@@ -81,7 +81,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # (bm25_topk_docs, lm_bigram_likelihood, dup_token_spans,
 # acf_user_value, dedup_span_scrub, vocab_coverage_curve and
 # value_histogram_events, kcore_trade_graph, event_transition_matrix
-# and rolling_trend_slope landed after the r5
+# rolling_trend_slope, basket_pair_rules, value_equidepth_bins_events
+# image_png_features and video_y4m_frames landed after the r5
 # window was sized at 50 —
 # they sit outside the prefix this round and are the first candidates
 # for round 6's rotation.)

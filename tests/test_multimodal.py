@@ -179,3 +179,125 @@ def test_binaryfile_ingest_matches_packed_path(spark, tmp_path):
             for c in range(3)
         )
         assert r.sum_rgb == expect_sum
+
+
+def test_png_round_trip_identity():
+    """decode(synthesize(id)) must reproduce the closed-form pixel
+    function exactly — through zlib, CRC, and the three encoder
+    filters (None/Sub/Up by row)."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        decode_png,
+        synthesize_png,
+    )
+
+    for aid in (0, 3, 9, 57, 300):
+        d = decode_png(synthesize_png(aid))
+        w, h = 4 + aid % 11, 3 + aid % 5
+        assert (d["width"], d["height"]) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert d["pixels"][y][x] == tuple(
+                    (aid + 7 * x + 13 * y + 31 * c) % 256 for c in range(3)
+                )
+
+
+def test_png_crc_tamper_detected():
+    import pytest
+
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        decode_png,
+        synthesize_png,
+    )
+
+    payload = bytearray(synthesize_png(9))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="bad CRC"):
+        decode_png(bytes(payload))
+
+
+def test_png_average_and_paeth_filters_decode():
+    """The decoder claims all five filters; the encoder only emits
+    0-2, so prove 3 (Average) and 4 (Paeth) against a hand-filtered
+    image built here."""
+    import struct
+    import zlib
+
+    from iot_sparkstreaming_spark.operators.multimodal import decode_png
+
+    w, h = 4, 3
+    pixels = [
+        [(10 * y + 3 * x + c) % 256 for x in range(w) for c in range(3)]
+        for y in range(h)
+    ]
+    raw = bytearray()
+    prev = [0] * (3 * w)
+    for y, row in enumerate(pixels):
+        ft = (0, 3, 4)[y]
+        raw.append(ft)
+        for i, v in enumerate(row):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c0 = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                raw.append(v % 256)
+            elif ft == 3:
+                raw.append((v - (a + b) // 2) % 256)
+            else:
+                pp = a + b - c0
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c0)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+                raw.append((v - pr) % 256)
+        prev = row
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    for y in range(h):
+        for x in range(w):
+            assert d["pixels"][y][x] == tuple(pixels[y][3 * x : 3 * x + 3])
+
+
+def test_y4m_round_trip_identity():
+    """decode(synthesize(id)) must reproduce every plane byte of the
+    closed-form YUV definition through the real container format."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        decode_y4m,
+        synthesize_y4m,
+    )
+
+    for aid in (2, 8, 23, 116):
+        d = decode_y4m(synthesize_y4m(aid))
+        w, h, nf = 4 + 2 * (aid % 5), 4 + 2 * (aid % 3), 2 + aid % 4
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+        fr = d["frames"][nf - 1]
+        f = nf - 1
+        assert list(fr["y"]) == [
+            (aid + 3 * x + 5 * y + 17 * f) % 256 for y in range(h) for x in range(w)
+        ]
+
+
+def test_y4m_rejects_non_420_and_truncation():
+    import pytest
+
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        decode_y4m,
+        synthesize_y4m,
+    )
+
+    with pytest.raises(NotImplementedError, match="4:2:0"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + bytes(48))
+    payload = synthesize_y4m(5)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(payload[:-3])

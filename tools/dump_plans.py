@@ -56,6 +56,7 @@ SHOWCASE = [
     ("kcore_trade_graph", "per-round degree agg + double left-semi survivor join; AQE re-plans each shrinking round"),
     ("event_transition_matrix", "one user_id exchange for lead(); matrix agg collapses map-side; normalizing window over the tiny matrix only"),
     ("rolling_trend_slope", "ONE user_id exchange, ONE sort: both window passes share the (ts,event_id) ordering — no re-sort between"),
+    ("basket_pair_rules", "per-order bounded pair self-join; min-support HAVING collapses the tail before the two support joins; 1-row n_orders broadcast"),
 ]
 
 

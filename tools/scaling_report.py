@@ -64,6 +64,10 @@ SHOWCASE = [
     ("kcore_trade_graph", "4-round degree peeling"),
     ("event_transition_matrix", "one-sort Markov pair agg"),
     ("rolling_trend_slope", "one-pass frame moment sums"),
+    ("basket_pair_rules", "bounded basket pair self-join"),
+    ("value_equidepth_bins_events", "rank-bucket agg on one sort"),
+    ("image_png_features", "zlib PNG codec round-trip"),
+    ("video_y4m_frames", "y4m decode + frame sample"),
 ]
 
 
