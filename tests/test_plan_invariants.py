@@ -30,6 +30,8 @@ ARROW_ALLOWED = {
     "audio_wav_features",
     "image_bmp_features",
     "image_bmp_thumbnail",
+    "image_png_features",
+    "video_y4m_frames",
 }
 
 
