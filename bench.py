@@ -95,6 +95,11 @@ HEADLINE = [
     "value_equidepth_bins_events",
     "image_png_features",
     "video_y4m_frames",
+    # round 5: sweep-line coverage, contingency/skyline/skew reports
+    "interval_coverage_user",
+    "chi2_contingency_cells",
+    "pareto_frontier_parts",
+    "shuffle_skew_report",
 ]
 
 

@@ -1832,3 +1832,305 @@ def value_equidepth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage (sweep-line over per-user activity windows)
+# ---------------------------------------------------------------------------
+
+COVERAGE_WINDOW_MS = 300 * 1000
+
+COVERAGE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+    epoch_ms(ts) AS s,
+    epoch_ms(ts) + {COVERAGE_WINDOW_MS} AS e
+  FROM events
+),
+sweep AS (
+  SELECT user_id, s, e,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM iv
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+  CAST(SUM(CASE WHEN prev_e IS NULL OR s >= prev_e THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_segments,
+  CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev_e, s)))) AS BIGINT)
+    AS covered_ms
+FROM sweep
+GROUP BY user_id
+"""
+
+
+@register("interval_coverage_user", oracle=COVERAGE_ORACLE)
+def interval_coverage_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping activity intervals per user — each
+    event opens a 5-minute window; the query reports how much
+    wall-clock each user actually covered (plus the merged-segment
+    count), the utilization/SLA measure the reference's per-event
+    stream (`workingTest.scala:56-66` fitbit telemetry) can't answer
+    without interval semantics.
+
+    Classic sweep-line, expressed relationally: sort each user's
+    intervals by start, carry MAX(end) over the strict-past frame, and
+    a new covered stripe is `end - max(start, prev_max_end)` clamped
+    at zero. Everything is exact epoch-millis integer arithmetic.
+
+    Scale shape: ONE exchange on user_id feeding one sort — the
+    window max and the final aggregate both ride it (partial agg
+    map-side). No self-join: the naive interval-overlap formulation
+    is O(n²) per user; the sweep is O(n log n) and per-row state is
+    one bigint, so a 100-TB events table costs exactly its sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_millis(col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.lit(COVERAGE_WINDOW_MS)).alias("e"),
+    )
+    sweep = iv.withColumn("prev_e", F.max("e").over(w))
+    new_seg = col("prev_e").isNull() | (col("s") >= col("prev_e"))
+    stripe = F.greatest(
+        F.lit(0),
+        col("e") - F.greatest(col("s"), F.coalesce(col("prev_e"), col("s"))),
+    )
+    return sweep.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(F.when(new_seg, 1).otherwise(0)).cast("bigint").alias("n_segments"),
+        F.sum(stripe).cast("bigint").alias("covered_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared contingency cells (event_type x value bucket independence)
+# ---------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+    LEAST(4, GREATEST(0, CAST(FLOOR(value / 100.0) AS BIGINT))) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS observed
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, bucket, observed,
+    SUM(observed) OVER (PARTITION BY event_type) AS row_total,
+    SUM(observed) OVER (PARTITION BY bucket) AS col_total,
+    SUM(observed) OVER () AS n
+  FROM cells
+)
+SELECT event_type, bucket, observed,
+  CAST(row_total AS BIGINT) AS row_total,
+  CAST(col_total AS BIGINT) AS col_total,
+  CAST(CAST(observed * n - row_total * col_total AS DECIMAL(19,0))
+       * CAST(observed * n - row_total * col_total AS DECIMAL(19,0)) AS DOUBLE)
+    / CAST(row_total * col_total * n AS DOUBLE) AS chi2_term
+FROM tot
+"""
+
+
+@register("chi2_contingency_cells", oracle=CHI2_ORACLE)
+def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-squared contribution for the event_type x
+    value-bucket contingency table — the independence test behind
+    drift detection and feature-selection over categorical pairs.
+
+    Numeric determinism: the cell term is the exact rational
+    (obs*n - rt*ct)^2 / (rt*ct*n). Numerator diff fits int64 (1e10 at
+    sf0.1) and is cast to DECIMAL(19,0) BEFORE squaring so the square
+    (≤1e20) rides decimal on both engines; one double division at the
+    end is IEEE-correctly-rounded identically. Emitting per-cell rows
+    (not SUM over cells) keeps the hash free of summation order.
+
+    Scale shape: one hash-aggregate to the ~25-cell contingency table,
+    then three window totals over those 25 rows — the marginals are
+    computed on the AGGREGATED cells (constant-size), never on raw
+    events. A 100-TB events table costs one map-side-combined groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(4), F.greatest(F.lit(0), F.floor(col("value") / 100.0))
+    ).cast("bigint")
+    cells = ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("observed"))
+    tot = cells.select(
+        "event_type",
+        "bucket",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("event_type")).alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("bucket")).alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    diff = (col("observed") * col("n") - col("row_total") * col("col_total")).cast(
+        "decimal(19,0)"
+    )
+    return tot.select(
+        "event_type",
+        "bucket",
+        "observed",
+        col("row_total").cast("bigint").alias("row_total"),
+        col("col_total").cast("bigint").alias("col_total"),
+        (
+            (diff * diff).cast("double")
+            / (col("row_total") * col("col_total") * col("n")).cast("double")
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) of parts: cheapest price vs largest size
+# ---------------------------------------------------------------------------
+
+PARETO_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_size,
+    CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+),
+sweep AS (
+  SELECT p_partkey, p_name, p_size, price_cents,
+    MAX(p_size) OVER (ORDER BY price_cents
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS best_cheaper,
+    MAX(p_size) OVER (PARTITION BY price_cents) AS best_same_price
+  FROM p
+)
+SELECT p_partkey, p_name, p_size, price_cents
+FROM sweep
+WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+  AND p_size = best_same_price
+ORDER BY price_cents, p_partkey
+"""
+
+
+@register("pareto_frontier_parts", oracle=PARETO_ORACLE)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (min retail price, max
+    size) — a part is dominated if some other part is no more
+    expensive AND no smaller, with at least one strict. The classic
+    skyline-operator paper shape (Borzsony et al., ICDE'01) reduced to
+    two window functions.
+
+    Dominance splits exactly: (a) a STRICTLY cheaper part with size >=
+    mine — caught by MAX(size) over the value-range frame ending 1
+    cent before mine; (b) an equal-priced part with size strictly
+    above mine — caught by the per-price-group max. Prices ride exact
+    integer cents so the RANGE frame is integer-valued on both
+    engines.
+
+    Scale shape: one global sort by price (range-partitioned at scale)
+    carrying both windows; no self-join — the naive NOT EXISTS
+    dominance test is a quadratic anti-join. Output is the frontier
+    (at most one row per distinct size value), tiny by construction.
+    """
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(col("p_retailprice") * 100).cast("bigint")
+    p = part.select("p_partkey", "p_name", "p_size", cents.alias("price_cents"))
+    w_cheaper = (
+        Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = p.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        "price_cents",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(Window.partitionBy("price_cents")).alias("best_same_price"),
+    )
+    return (
+        sweep.filter(
+            (col("best_cheaper").isNull() | (col("p_size") > col("best_cheaper")))
+            & (col("p_size") == col("best_same_price"))
+        )
+        .select("p_partkey", "p_name", "p_size", "price_cents")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew diagnostics: the key-distribution report an engine
+# operator (or a human) consults before choosing a join strategy
+# ---------------------------------------------------------------------------
+
+SKEW_REPORT_ORACLE = """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cnt,
+    ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rn,
+    COUNT(*) OVER () AS k,
+    SUM(cnt) OVER () AS total
+  FROM per_key
+)
+SELECT
+  CAST(MAX(k) AS BIGINT) AS n_keys,
+  CAST(MAX(total) AS BIGINT) AS n_rows,
+  CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+  CAST(MAX(CASE WHEN rn = (k + 1) // 2 THEN cnt END) AS BIGINT) AS p50_key_rows,
+  CAST(MAX(CASE WHEN rn = k - (k - 1) // 10 THEN cnt END) AS BIGINT) AS p90_key_rows,
+  CAST(MAX(cnt) * MAX(k) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS skew_ratio,
+  CAST(2 * SUM(rn * cnt) - (MAX(k) + 1) * MAX(total) AS DOUBLE)
+    / CAST(MAX(k) * MAX(total) AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
+@register("shuffle_skew_report", oracle=SKEW_REPORT_ORACLE)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew report over events.user_id — the
+    diagnostic a planner (or the engineer sizing
+    ``spark.sql.shuffle.partitions``) reads before picking
+    broadcast/salt/AQE-skew-join for a key: key count, row count,
+    max-key population, exact p50/p90 order statistics, the
+    max/mean skew ratio, and the Gini coefficient of the key
+    histogram (2·Σ rn·cnt − (k+1)·Σcnt) / (k·Σcnt).
+
+    Numeric determinism: every moment is an exact integer; the two
+    doubles are single IEEE divisions of exactly-computed integers.
+    The rank ties break on user_id so rn·cnt is well-defined.
+
+    Scale shape: groupBy(user_id) collapses 100 TB to one row per
+    key (map-side combine); the rank + report run on the collapsed
+    histogram. One row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    ranked = per_key.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt", "user_id")).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("k"),
+        F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    return ranked.agg(
+        F.max("k").cast("bigint").alias("n_keys"),
+        F.max("total").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        F.max(F.when(col("rn") == F.expr("(k + 1) div 2"), col("cnt")))
+        .cast("bigint")
+        .alias("p50_key_rows"),
+        F.max(F.when(col("rn") == col("k") - F.expr("(k - 1) div 10"), col("cnt")))
+        .cast("bigint")
+        .alias("p90_key_rows"),
+        (
+            (F.max("cnt") * F.max("k")).cast("double") / F.max("total").cast("double")
+        ).alias("skew_ratio"),
+        (
+            (
+                F.lit(2) * F.sum(col("rn") * col("cnt"))
+                - (F.max("k") + 1) * F.max("total")
+            ).cast("double")
+            / (F.max("k") * F.max("total")).cast("double")
+        ).alias("gini"),
+    )

@@ -926,3 +926,130 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram / covariance matrix of the embedding corpus (the PCA front half)
+# ---------------------------------------------------------------------------
+
+GRAM_SCALE = 10000  # fixed-point: round(v * 1e4) per dimension
+
+GRAM_ORACLE = f"""
+WITH s AS (
+  SELECT list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {GRAM_SCALE}) AS BIGINT)) AS sv
+  FROM embeddings
+),
+dims AS (
+  SELECT a.r AS i, b.r AS j
+  FROM range(0, {DIM}) a(r), range(0, {DIM}) b(r)
+  WHERE a.r <= b.r
+),
+gram AS (
+  SELECT d.i, d.j,
+    CAST(SUM(sv[d.i + 1] * sv[d.j + 1]) AS DOUBLE) AS gram_scaled
+  FROM s, dims d GROUP BY d.i, d.j
+),
+dsums AS (
+  SELECT t.r AS d,
+    CAST(SUM(sv[t.r + 1]) AS DOUBLE) AS dsum,
+    CAST(COUNT(*) AS DOUBLE) AS n
+  FROM s, range(0, {DIM}) t(r) GROUP BY t.r
+)
+SELECT g.i, g.j,
+  CAST(g.gram_scaled AS DOUBLE) AS gram_scaled,
+  CAST(si.dsum AS DOUBLE) AS sum_i_scaled,
+  CAST(sj.dsum AS DOUBLE) AS sum_j_scaled,
+  CAST(si.n AS BIGINT) AS n_vecs,
+  (g.gram_scaled - si.dsum * sj.dsum / si.n) / (si.n - 1)
+    / {GRAM_SCALE * GRAM_SCALE}.0 AS cov
+FROM gram g
+JOIN dsums si ON si.d = g.i
+JOIN dsums sj ON sj.d = g.j
+"""
+
+
+@register("embedding_gram_matrix", oracle=GRAM_ORACLE)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular Gram + sample-covariance matrix of the
+    embedding corpus — the one-pass sufficient statistic feeding PCA
+    whitening, JL-vs-PCA comparisons, and drift monitors over an
+    embedding column.
+
+    Exactness: dimensions ride fixed-point bigints (round(v·1e4));
+    each partition's Gram contribution is an int64 ``Sᵀ·S`` matmul, so
+    every `gram_scaled` cell is an exact integer (well under 2^53 at
+    any harness scale; per-partition partials stay exact to ~1e6 rows
+    x |s|≤6000 per task). The covariance combines those exact moments
+    in ONE identical double expression on both engines.
+
+    Scale shape: this is the mapInPandas-partial-aggregate pattern —
+    each task folds its rows into a d x d int64 matrix (32 KB) via one
+    vectorized numpy matmul and emits d(d+1)/2 partial rows, so the
+    shuffle moves O(partitions · d²) rows, NEVER O(rows · d²): the
+    explode-and-self-join formulation the oracle uses would shuffle
+    4e12 rows at 1e9 vectors, this moves ~2080 per task. Per-dim sums
+    ride a separate posexplode aggregate (O(rows · d) map-side
+    combined), and the d-row join is broadcast.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scaled = e.select(
+        F.transform(
+            col("embedding"),
+            lambda x: F.round(x.cast("double") * GRAM_SCALE).cast("bigint"),
+        ).alias("s")
+    )
+
+    def gram_partial(batches):
+        import numpy as np
+
+        acc = np.zeros((DIM, DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                m = np.array(pdf["s"].tolist(), dtype=np.int64)
+                acc += m.T @ m
+                seen = True
+        if seen:
+            iu = np.triu_indices(DIM)
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "partial": acc[iu]}
+            )
+
+    gram = (
+        scaled.mapInPandas(gram_partial, "i int, j int, partial long")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").cast("double").alias("gram_scaled"))
+    )
+    dsums = (
+        scaled.select(F.posexplode("s").alias("d", "sv"))
+        .groupBy("d")
+        .agg(
+            F.sum("sv").cast("double").alias("dsum"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    si = dsums.select(col("d").alias("i"), col("dsum").alias("sum_i_scaled"), "n")
+    sj = dsums.select(col("d").alias("j"), col("dsum").alias("sum_j_scaled"))
+    return (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            "gram_scaled",
+            "sum_i_scaled",
+            "sum_j_scaled",
+            col("n").cast("bigint").alias("n_vecs"),
+            (
+                (
+                    col("gram_scaled")
+                    - col("sum_i_scaled") * col("sum_j_scaled") / col("n")
+                )
+                / (col("n") - 1)
+                / float(GRAM_SCALE * GRAM_SCALE)
+            ).alias("cov"),
+        )
+    )

@@ -32,6 +32,7 @@ ARROW_ALLOWED = {
     "image_bmp_thumbnail",
     "image_png_features",
     "video_y4m_frames",
+    "embedding_gram_matrix",
 }
 
 

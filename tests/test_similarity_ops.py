@@ -185,3 +185,32 @@ def test_pq_seed_vectors_reconstruct_exactly(spark):
     )
     assert len(seeds) == PQ_K
     assert all(r.identical for r in seeds)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Distributed partial-Gram accumulation equals a single-machine
+    numpy S^T.S on the same fixed-point matrix, and the derived
+    covariance tracks numpy.cov to float tolerance."""
+    import numpy as np
+
+    from iot_sparkstreaming_spark.queries.similarity import (
+        DIM,
+        GRAM_SCALE,
+        embedding_gram_matrix,
+    )
+    from iot_sparkstreaming_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    s = np.array(
+        [[round(float(x) * GRAM_SCALE) for x in r.embedding] for r in emb],
+        dtype=np.int64,
+    )
+    expected = s.T @ s
+    cov = np.cov(s.astype(np.float64), rowvar=False) / (GRAM_SCALE * GRAM_SCALE)
+    rows = embedding_gram_matrix(spark, SF_DIR).collect()
+    assert len(rows) == DIM * (DIM + 1) // 2
+    for r in rows:
+        assert r.gram_scaled == expected[r.i, r.j]
+        assert r.n_vecs == s.shape[0]
+        assert abs(r.cov - cov[r.i, r.j]) < 1e-9
