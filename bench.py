@@ -95,11 +95,14 @@ HEADLINE = [
     "value_equidepth_bins_events",
     "image_png_features",
     "video_y4m_frames",
-    # round 5: sweep-line coverage, contingency/skyline/skew reports
+    # round 5: sweep-line coverage, contingency/skyline/skew reports,
+    # LPA communities, embedding Gram/covariance
     "interval_coverage_user",
     "chi2_contingency_cells",
     "pareto_frontier_parts",
     "shuffle_skew_report",
+    "label_propagation_communities",
+    "embedding_gram_matrix",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -371,3 +372,57 @@ def kcore(
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (community
+    detection) over a DIRECTED edge list (feed both directions for an
+    undirected graph); returns ``(node, label)`` after ``iterations``
+    rounds.
+
+    Deterministic update rule, exactly mirrorable in unrolled SQL:
+    every node starts labelled with its own id; each round it adopts
+    the most frequent label among its in-neighbours, ties broken by
+    the SMALLEST label (Raghavan et al.'s LPA with the random
+    tie-break replaced by a total order — the same
+    determinism-by-total-order trick as the components min-label
+    loop). A FIXED round count is the cross-engine contract; no
+    convergence check means no per-round driver action, so rounds
+    chain lazily into one job.
+
+    Plan per round: one join of the label frame onto the
+    loop-invariant edge list, one (dst, label) count aggregate, one
+    per-dst argmax window. The edge list is ``repartition(src)`` +
+    ``persist()`` — cached WITH partitioning metadata so every round's
+    join reuses the exchange (see :func:`pagerank` for why
+    localCheckpoint would defeat this). All arithmetic is integer
+    counts; no floats anywhere.
+    """
+    e = edges.select(col(src).alias("a"), col(dst).alias("b"))
+    ed = e.repartition("a").persist()
+    nodes = (
+        e.select(col("a").alias("node"))
+        .union(e.select(col("b").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    labels = nodes.select("node", col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(col("c").desc(), col("label").asc())
+    for _ in range(iterations):
+        cnt = (
+            ed.join(labels, ed.a == labels.node)
+            .groupBy(col("b").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels

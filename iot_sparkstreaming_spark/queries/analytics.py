@@ -2028,18 +2028,51 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents so the RANGE frame is integer-valued on both
     engines.
 
-    Scale shape: one global sort by price (range-partitioned at scale)
-    carrying both windows; no self-join — the naive NOT EXISTS
-    dominance test is a quadratic anti-join. Output is the frontier
-    (at most one row per distinct size value), tiny by construction.
+    Scale shape: two-phase skyline (the distributed-skyline
+    standard): a SALTED local prune first — dominance is checked
+    inside each of 32 hash groups with the identical two windows, and
+    any locally-dominated point is globally dominated, so dropping it
+    is always safe — then the exact global pass runs on the union of
+    local frontiers only. The global window is single-direction
+    (Spark's no-partition window), which is exactly why the pre-prune
+    matters: it sees ~32 x |frontier| candidate rows, not the table.
+    No self-join anywhere — the naive NOT EXISTS dominance test is a
+    quadratic anti-join. Output is the frontier (at most one row per
+    distinct size value), tiny by construction.
     """
     part = load_table(spark, sf_dir, "part")
     cents = F.round(col("p_retailprice") * 100).cast("bigint")
     p = part.select("p_partkey", "p_name", "p_size", cents.alias("price_cents"))
+
+    # phase 1: local skyline inside each salt group (safe prune —
+    # a point dominated by a group-mate is dominated, period)
+    salt = F.pmod(F.hash("p_partkey"), F.lit(32)).alias("salt")
+    w_local = (
+        Window.partitionBy("salt")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        p.select("*", salt)
+        .select(
+            "*",
+            F.max("p_size").over(w_local).alias("lb_cheaper"),
+            F.max("p_size")
+            .over(Window.partitionBy("salt", "price_cents"))
+            .alias("lb_same"),
+        )
+        .filter(
+            (col("lb_cheaper").isNull() | (col("p_size") > col("lb_cheaper")))
+            & (col("p_size") == col("lb_same"))
+        )
+        .select("p_partkey", "p_name", "p_size", "price_cents")
+    )
+
+    # phase 2: exact global skyline over the surviving candidates
     w_cheaper = (
         Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
     )
-    sweep = p.select(
+    sweep = local.select(
         "p_partkey",
         "p_name",
         "p_size",
@@ -2134,3 +2167,96 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("k") * F.max("total")).cast("double")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the trade graph (iterative #5)
+# ---------------------------------------------------------------------------
+
+LP_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-iteration LPA: each round is one plain CTE
+    running the identical argmax update (count DESC, label ASC) the
+    Spark loop runs — the same unroll trick as the PageRank oracle."""
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    for i in range(1, LP_ITERS + 1):
+        sql += f""",
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT e.b AS node, l.label,
+      ROW_NUMBER() OVER (PARTITION BY e.b ORDER BY COUNT(*) DESC, l.label)
+        AS rk
+    FROM edges e JOIN l{i - 1} l ON e.a = l.node
+    GROUP BY e.b, l.label
+  ) WHERE rk = 1
+)"""
+    sql += f"""
+SELECT node AS node_id, node % 2 = 1 AS is_supplier,
+  CAST(label AS BIGINT) AS community,
+  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l{LP_ITERS}
+"""
+    return sql
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the customer–supplier trade graph by
+    synchronous label propagation (3 rounds, deterministic
+    count-then-min-label argmax) — the clustering companion to
+    PageRank's centrality and k-core's density over the same edge
+    list (one edge per distinct trading pair, both directions).
+
+    Determinism: the classic LPA random tie-break is replaced by a
+    total order (count DESC, label ASC), and the round count is fixed
+    — so the result is a pure function of the edge list, and the
+    oracle unrolls the identical update into plain CTEs. All counts
+    are integers; no floats anywhere.
+
+    Scale: each round shuffles the label frame once onto the cached
+    degree-partitioned edge list (operators/graph.py
+    label_propagation — repartition+persist keeps the per-round join
+    exchange-free on the edge side), then one (node,label) count and
+    one per-node argmax window. Hub nodes concentrate label traffic;
+    the (node,label) pre-aggregation combines map-side, so the skew
+    lands on the same AQE-covered argmax the top-k family uses.
+    """
+    from iot_sparkstreaming_spark.operators.graph import label_propagation
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        pairs = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                (col("o_custkey") * 2).alias("a"),
+                (col("l_suppkey") * 2 + 1).alias("b"),
+            )
+            .distinct()
+        )
+        edges = pairs.union(pairs.select(col("b").alias("a"), col("a").alias("b")))
+        labels = label_propagation(edges, iterations=LP_ITERS)
+        # build-once/query-many: the community table is the memoized
+        # artifact (same localCheckpoint pattern as similarity's
+        # _vectors) — the 3-round loop runs once per (session, sf_dir)
+        return labels.select(
+            col("node").alias("node_id"),
+            (col("node") % 2 == 1).alias("is_supplier"),
+            col("label").cast("bigint").alias("community"),
+            F.count("*")
+            .over(Window.partitionBy("label"))
+            .cast("bigint")
+            .alias("community_size"),
+        ).localCheckpoint(eager=True)
+
+    return session_memo(spark, ("label_propagation_communities", sf_dir), build)

@@ -410,3 +410,92 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+COVERAGE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("covered_ms", T.LongType()),
+    ]
+)
+
+
+def streaming_coverage(events: DataFrame, window_ms: int = 300 * 1000) -> DataFrame:
+    """Per-user interval-union coverage as a stateful streaming
+    operator — the STREAMING twin of the batch
+    ``interval_coverage_user`` sweep-line (queries/analytics.py): each
+    event opens a ``window_ms`` activity interval; the operator
+    maintains the running union length incrementally and emits one
+    row per event with the totals SO FAR (the last row per user
+    equals the batch result — pinned by tests/test_stateful.py).
+
+    State is O(1) per user — the open segment's (start, end) plus
+    three running counters — which is the point: the batch twin needs
+    a full per-user sort, the stream folds the same sweep as events
+    arrive and never re-reads history. In-order-feed contract within
+    and across micro-batches, same as ``streaming_ewma``.
+
+    Input columns: ``user_id``, ``event_id``, ``ts``.
+    """
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            cur_s, cur_e, covered, n_iv, n_seg = state.get
+        else:
+            cur_s = cur_e = None
+            covered = n_iv = n_seg = 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts in zip(pdf["event_id"], pdf["ts"]):
+                s = int(ts.value // 1_000_000)  # pandas Timestamp → epoch ms
+                e = s + window_ms
+                if cur_e is None or s >= cur_e:
+                    if cur_e is not None:
+                        covered += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                    n_seg += 1
+                else:
+                    cur_e = max(cur_e, e)
+                n_iv += 1
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "event_id": int(eid),
+                        "n_intervals": n_iv,
+                        "n_segments": n_seg,
+                        "covered_ms": covered + (cur_e - cur_s),
+                    }
+                )
+        state.update((cur_s, cur_e, covered, n_iv, n_seg))
+        yield pd.DataFrame(out, columns=[f.name for f in COVERAGE_OUTPUT_SCHEMA])
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=COVERAGE_OUTPUT_SCHEMA,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("cur_s", T.LongType()),
+                    T.StructField("cur_e", T.LongType()),
+                    T.StructField("covered", T.LongType()),
+                    T.StructField("n_iv", T.LongType()),
+                    T.StructField("n_seg", T.LongType()),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

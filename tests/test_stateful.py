@@ -424,3 +424,54 @@ def test_streaming_transitions_state_survives_restart(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_coverage_twin_parity(spark, tmp_path):
+    """The stateful coverage stream's LAST row per user must equal the
+    batch interval_coverage_user sweep-line exactly — including
+    segments that span the micro-batch boundary (held as O(1) open
+    -segment state)."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import interval_coverage_user
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_coverage
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_coverage(stream)
+        .writeStream.format("memory")
+        .queryName("coverage_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT * FROM coverage_twin").count()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT user_id, n_intervals, n_segments, covered_ms FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_intervals DESC) rk
+                 FROM coverage_twin) WHERE rk = 1"""
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {r.user_id: (r.n_intervals, r.n_segments, r.covered_ms) for r in rows}
+    want = {
+        r.user_id: (r.n_intervals, r.n_segments, r.covered_ms)
+        for r in interval_coverage_user(spark, sf_dir).collect()
+    }
+    assert 0 < n_first < sum(n for n, _, _ in want.values())
+    assert got == want

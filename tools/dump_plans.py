@@ -57,6 +57,12 @@ SHOWCASE = [
     ("event_transition_matrix", "one user_id exchange for lead(); matrix agg collapses map-side; normalizing window over the tiny matrix only"),
     ("rolling_trend_slope", "ONE user_id exchange, ONE sort: both window passes share the (ts,event_id) ordering — no re-sort between"),
     ("basket_pair_rules", "per-order bounded pair self-join; min-support HAVING collapses the tail before the two support joins; 1-row n_orders broadcast"),
+    ("interval_coverage_user", "sweep-line union: ONE user_id exchange carries the sort, the strict-past max window, and the map-side-combined aggregate"),
+    ("chi2_contingency_cells", "one hash-agg collapses events to ~25 cells; all three marginal windows run over the collapsed table only"),
+    ("pareto_frontier_parts", "two-phase skyline: salted local prune (32 hash groups, same two windows) feeds the exact single-direction global pass with ~frontier-sized input"),
+    ("shuffle_skew_report", "groupBy collapses to one row per key; rank + Gini run over the key histogram, not raw rows"),
+    ("embedding_gram_matrix", "mapInPandas int64 partial-Gram per task (d^2 rows out, not rows*d^2); posexplode dim sums map-side combined; d-row joins broadcast"),
+    ("label_propagation_communities", "cache-partitioned edge list: each LPA round joins labels exchange-free on the edge side; (node,label) counts combine map-side"),
 ]
 
 

@@ -68,6 +68,12 @@ SHOWCASE = [
     ("value_equidepth_bins_events", "rank-bucket agg on one sort"),
     ("image_png_features", "zlib PNG codec round-trip"),
     ("video_y4m_frames", "y4m decode + frame sample"),
+    ("interval_coverage_user", "sweep-line union on one sort"),
+    ("chi2_contingency_cells", "collapsed-cell marginals"),
+    ("pareto_frontier_parts", "two-phase salted skyline"),
+    ("shuffle_skew_report", "key-histogram order stats"),
+    ("embedding_gram_matrix", "partial-Gram matmul agg"),
+    ("label_propagation_communities", "3-round LPA argmax joins"),
 ]
 
 
