@@ -103,6 +103,7 @@ HEADLINE = [
     "shuffle_skew_report",
     "label_propagation_communities",
     "embedding_gram_matrix",
+    "dedup_incremental_minhash",
 ]
 
 

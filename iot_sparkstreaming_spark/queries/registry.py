@@ -85,7 +85,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # image_png_features and video_y4m_frames landed after the r5
 # window was sized at 50, as did interval_coverage_user,
 # chi2_contingency_cells, pareto_frontier_parts, shuffle_skew_report,
-# label_propagation_communities, embedding_gram_matrix —
+# label_propagation_communities, embedding_gram_matrix,
+# dedup_incremental_minhash —
 # they sit outside the prefix this round and are the first candidates
 # for round 6's rotation.)
 _PRIORITY_PREFIX = [

@@ -113,3 +113,37 @@ def test_skew_report_matches_bruteforce(spark):
         k * total
     )
     assert abs(r.gini - gini) < 1e-9
+
+
+def test_incremental_minhash_consistent_with_full_selfjoin(spark):
+    """The incremental batch-vs-corpus screen must agree with the full
+    self-join operator wherever they overlap: every dedup_minhash_lsh
+    pair with exactly one batch-side doc makes that batch doc is_dup,
+    and every is_dup verdict carries agreement >= the 0.5 bar."""
+    from iot_sparkstreaming_spark.queries.dedup import (
+        EST_THRESHOLD,
+        INCR_BATCH_MOD,
+        MINHASH_K,
+        dedup_incremental_minhash,
+        dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_DIR_ORACLE
+
+    report = {
+        r.doc_id: r for r in dedup_incremental_minhash(spark, SF_DIR_ORACLE).collect()
+    }
+    for r in report.values():
+        assert (r.n_candidates == 0) == (r.best_match_id is None)
+        if r.is_dup:
+            assert r.best_n_matching >= MINHASH_K * EST_THRESHOLD
+    full = dedup_minhash_lsh(spark, SF_DIR_ORACLE).collect()
+    cross = [
+        p
+        for p in full
+        if (p.doc_a % INCR_BATCH_MOD == 0) != (p.doc_b % INCR_BATCH_MOD == 0)
+    ]
+    assert cross, "fixture must contain at least one batch-corpus dup pair"
+    for p in cross:
+        batch_doc = p.doc_a if p.doc_a % INCR_BATCH_MOD == 0 else p.doc_b
+        assert report[batch_doc].is_dup
+        assert report[batch_doc].best_n_matching >= p.n_matching

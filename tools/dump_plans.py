@@ -63,6 +63,7 @@ SHOWCASE = [
     ("shuffle_skew_report", "groupBy collapses to one row per key; rank + Gini run over the key histogram, not raw rows"),
     ("embedding_gram_matrix", "mapInPandas int64 partial-Gram per task (d^2 rows out, not rows*d^2); posexplode dim sums map-side combined; d-row joins broadcast"),
     ("label_propagation_communities", "cache-partitioned edge list: each LPA round joins labels exchange-free on the edge side; (node,label) counts combine map-side"),
+    ("dedup_incremental_minhash", "batch band rows join the memoized historical index; signatures ride the join; daily cost independent of corpus re-processing"),
 ]
 
 

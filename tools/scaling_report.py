@@ -74,6 +74,7 @@ SHOWCASE = [
     ("shuffle_skew_report", "key-histogram order stats"),
     ("embedding_gram_matrix", "partial-Gram matmul agg"),
     ("label_propagation_communities", "3-round LPA argmax joins"),
+    ("dedup_incremental_minhash", "batch-vs-index band join"),
 ]
 
 
