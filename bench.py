@@ -104,6 +104,11 @@ HEADLINE = [
     "label_propagation_communities",
     "embedding_gram_matrix",
     "dedup_incremental_minhash",
+    "snapshot_diff_orders",
+    "fk_integrity_audit",
+    "scd2_point_in_time_join",
+    "weighted_sample_per_source",
+    "ordered_funnel_users",
 ]
 
 

@@ -2269,3 +2269,114 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         ).localCheckpoint(eager=True)
 
     return session_memo(spark, ("label_propagation_communities", sf_dir), build)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (AS OF) join of facts against an SCD2 dimension
+# ---------------------------------------------------------------------------
+
+PIT_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN event_type IS DISTINCT FROM
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type <> 'purchase'
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+collapsed AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS version, event_type,
+    MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, run_id, event_type
+),
+dim AS (
+  SELECT user_id, version, event_type, valid_from,
+    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM collapsed
+),
+facts AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id,
+  CAST(epoch_ms(f.ts) AS BIGINT) AS ts_ms,
+  d.version, d.event_type AS active_state,
+  CAST(epoch_ms(f.ts) - epoch_ms(d.valid_from) AS BIGINT) AS version_age_ms
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@register("scd2_point_in_time_join", oracle=PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness: join each purchase to the SCD2
+    version of the user's NON-purchase activity state that was valid
+    when the purchase happened ([valid_from, valid_to) containment) —
+    the feature-store lookup that prevents label leakage: a model
+    scoring the purchase may only see dimension attributes AS OF the
+    event time, never later versions.
+
+    The dimension is the same gaps-and-islands build as
+    ``scd2_user_dimension`` restricted to non-purchase events; facts
+    that precede a user's first dimension version drop out (inner
+    join), exactly as a feature store would decline to serve them.
+
+    Scale shape: the dimension build is ONE user_id exchange
+    (subset-clustered windows); the PIT join is an EQUI join on
+    user_id with the interval containment as a residual row-local
+    filter — per-user version chains are short, so the residual
+    never explodes, and no range-bucketing machinery is needed. At
+    100 TB both sides arrive hash-partitioned on user_id and the
+    fact table shuffles once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.filter(col("event_type") != "purchase").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(~col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from")
+    )
+    dim = collapsed.select(
+        col("user_id").alias("d_user_id"),
+        col("run_id").cast("bigint").alias("version"),
+        col("event_type").alias("active_state"),
+        "valid_from",
+        F.lead("valid_from").over(Window.partitionBy("user_id").orderBy("run_id")).alias(
+            "valid_to"
+        ),
+    )
+    facts = ev.filter(col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = facts.join(
+        dim,
+        (col("user_id") == col("d_user_id"))
+        & (col("ts") >= col("valid_from"))
+        & (col("valid_to").isNull() | (col("ts") < col("valid_to"))),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(col("ts")).cast("bigint").alias("ts_ms"),
+        "version",
+        "active_state",
+        (F.unix_millis(col("ts")) - F.unix_millis(col("valid_from")))
+        .cast("bigint")
+        .alias("version_age_ms"),
+    )

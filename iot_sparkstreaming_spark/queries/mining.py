@@ -1296,3 +1296,159 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 basket_pair_rules.__doc__ = basket_pair_rules.__doc__.replace("{S}", str(BASKET_MIN_SUPPORT))
+
+
+# ---------------------------------------------------------------------------
+# Weighted hash-priority sampling (quality-weighted corpus downsample)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 10
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+      / CAST(n_chars + 1 AS DOUBLE) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight_chars,
+  CAST(rk AS BIGINT) AS sample_rank
+FROM ranked WHERE rk <= {WEIGHTED_SAMPLE_K}
+"""
+
+
+@register("weighted_sample_per_source", oracle=WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED companion to ``priority_sample_per_source``: keep the
+    top-{WEIGHTED_SAMPLE_K} docs per source by hash-priority DIVIDED
+    by a quality weight (n_chars + 1) — longer documents get smaller
+    keys and are proportionally more likely to survive, the
+    deterministic, replay-stable stand-in for weighted reservoir
+    sampling in a corpus-downsampling stage (weights in practice:
+    quality scores, dedup cluster sizes, source trust).
+
+    Numeric determinism: the priority is ONE double division of two
+    exactly-representable integers (a 32-bit md5 prefix and the
+    weight) — IEEE-correctly-rounded identically on both engines, no
+    transcendental functions (an exp/log A-ES key would be at the
+    mercy of libm's last ulp). Ties (astronomically unlikely) break
+    on doc_id.
+
+    Scale shape: key computation is map-only; per-source top-k rides
+    one window on the source exchange — at high quota counts swap
+    the rank window for a per-partition TakeOrdered (same trade
+    documented in window_topk_salted for skewed sources).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    priority = u.cast("double") / (col("n_chars") + 1).cast("double")
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", priority.alias("priority")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") <= WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            col("n_chars").cast("bigint").alias("weight_chars"),
+            col("rk").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: stages must happen in temporal sequence per user
+# ---------------------------------------------------------------------------
+
+ORDERED_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT s1.user_id,
+  CAST(epoch_ms(s1.t1) AS BIGINT) AS signup_ms,
+  CAST(epoch_ms(s2.t2) AS BIGINT) AS first_view_ms,
+  CAST(epoch_ms(s3.t3) AS BIGINT) AS first_purchase_ms,
+  CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage_depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+@register("ordered_funnel_users", oracle=ORDERED_FUNNEL_ORACLE)
+def ordered_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (the product-analytics one): signup, then a view
+    STRICTLY AFTER the first signup, then a purchase STRICTLY AFTER
+    that first qualifying view — per user, with the reach timestamps
+    and the depth reached. Set-membership funnels (``funnel_analysis``)
+    overcount: a user who purchased before ever signing up is not a
+    conversion; the temporal chaining here is what funnel products
+    actually sell.
+
+    Semantics: each stage anchors on the EARLIEST qualifying event
+    (min-ts greedy, which maximizes downstream matches — the standard
+    funnel definition); ordering is strict event-time comparison, so
+    the result is a pure function of the data on both engines.
+
+    Scale shape: three conditional aggregations, every one grouped on
+    user_id with its stage filter PUSHED TO THE SCAN, chained by
+    equi-joins on the same user_id partitioning — one effective
+    exchange reused end-to-end, no window over raw events, no
+    per-user sort. Stage frames only shrink down the chain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_millis(col("t1")).cast("bigint").alias("signup_ms"),
+            F.unix_millis(col("t2")).cast("bigint").alias("first_view_ms"),
+            F.unix_millis(col("t3")).cast("bigint").alias("first_purchase_ms"),
+            (
+                F.lit(1)
+                + F.when(col("t2").isNull(), 0).otherwise(1)
+                + F.when(col("t3").isNull(), 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("stage_depth"),
+        )
+    )

@@ -1,0 +1,186 @@
+"""Operational / data-management queries a production lakehouse team
+runs around the analytics themselves: CDC-style snapshot diffing and
+referential-integrity auditing over the TPC-H-shaped tables.
+
+Both are exact-integer reports with DuckDB oracles. The snapshots in
+``snapshot_diff_orders`` are derived DETERMINISTICALLY from the one
+orders fixture (modular-arithmetic membership + a simulated price
+update), so the diff semantics — not a side-channel fixture — are
+what's under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from iot_sparkstreaming_spark.queries.registry import register
+from iot_sparkstreaming_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (insert / update / delete between two table states)
+# ---------------------------------------------------------------------------
+
+#: membership knobs: %97 rows are missing from the OLD snapshot
+#: (inserts), %89 rows get a price bump in the NEW one (updates),
+#: %101 rows (present in old) are dropped from NEW (deletes).
+INS_MOD, UPD_MOD, DEL_MOD = 97, 89, 101
+
+SNAPSHOT_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % {INS_MOD} <> 0
+),
+new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % {UPD_MOD} = 0
+         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000
+         ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS price_cents
+  FROM orders WHERE o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {INS_MOD} = 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+       WHEN n.o_orderkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  o.price_cents AS old_price_cents,
+  n.price_cents AS new_price_cents
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price_cents <> n.price_cents
+"""
+
+
+@register("snapshot_diff_orders", oracle=SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots of the orders table: emit one row per
+    INSERTED, DELETED, or UPDATED key (update = price change at cent
+    precision), unchanged rows excluded — the diff a downstream
+    incremental consumer replays, and the semantics behind MERGE-style
+    table maintenance when the source system only ships full
+    snapshots.
+
+    The two states derive deterministically from the one fixture:
+    the old snapshot lacks the %{INS_MOD} keys, the new one bumps
+    %{UPD_MOD} prices by 10.00 and drops %{DEL_MOD} keys. Prices
+    compare as exact integer cents.
+
+    Scale shape: ONE full-outer sort-merge join on the primary key —
+    both snapshots shuffle once on o_orderkey and the comparison is
+    a row-local CASE. With both snapshots stored bucketed by the key
+    (io/bucketing.py), the storage-partitioned join drops even that
+    exchange; either way there is no row explosion and no driver-side
+    state. The filter keeps changed rows only, so output is the
+    change volume, not the table.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cents = F.round(col("o_totalprice") * 100).cast("bigint")
+    old = orders.filter(col("o_orderkey") % INS_MOD != 0).select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    new = orders.filter(
+        (col("o_orderkey") % DEL_MOD != 0) | (col("o_orderkey") % INS_MOD == 0)
+    ).select(
+        "o_orderkey",
+        F.when(col("o_orderkey") % UPD_MOD == 0, cents + 1000)
+        .otherwise(cents)
+        .alias("price_cents"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, col("o.o_orderkey") == col("n.o_orderkey"), "full_outer")
+    return joined.filter(
+        col("o.o_orderkey").isNull()
+        | col("n.o_orderkey").isNull()
+        | (col("o.price_cents") != col("n.price_cents"))
+    ).select(
+        F.coalesce(col("o.o_orderkey"), col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(col("o.o_orderkey").isNull(), "insert")
+        .when(col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        col("o.price_cents").alias("old_price_cents"),
+        col("n.price_cents").alias("new_price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the TPC-H foreign-key graph
+# ---------------------------------------------------------------------------
+
+#: (name, child table, fk column, parent table, pk column)
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+FK_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relationship,
+  CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS child_rows,
+  CAST((SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) AS BIGINT) AS null_fk_rows,
+  CAST((SELECT COUNT(*) FROM {child} WHERE {fk} IS NOT NULL
+        AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT) AS orphan_rows,
+  CAST((SELECT COUNT(DISTINCT {fk}) FROM {child} WHERE {fk} IS NOT NULL
+        AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT) AS orphan_keys"""
+    for name, child, fk, parent, pk in FK_EDGES
+)
+
+
+@register("fk_integrity_audit", oracle=FK_AUDIT_ORACLE)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the full TPC-H foreign-key
+    graph: one row per FK relationship with child cardinality, NULL
+    FKs, orphan rows, and distinct orphan keys — the pre-flight check
+    a pipeline runs before trusting joins to be lossless (an inner
+    join silently DROPS orphans; this query makes that loss visible
+    first). The fixture is integral, so all orphan counts are zero —
+    the report proving it is the operator.
+
+    Scale shape, per relationship: the child side collapses to
+    DISTINCT fk values FIRST (map-side combined — at 100 TB the
+    lineitem scan reduces to |distinct orderkeys| long before any
+    join), then a LEFT ANTI join against the parent key column
+    (broadcast for the small dimensions, shuffle for orders);
+    orphan ROW counts come from joining the orphan-key set back to
+    the child's per-key counts, so no second full scan of raw rows.
+    The 7 one-row reports union into one frame.
+    """
+    out: DataFrame | None = None
+    small_parents = {"part", "supplier", "customer", "nation", "region"}
+    for name, child_t, fk, parent_t, pk in FK_EDGES:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(pk)
+        per_key = child.groupBy(fk).agg(F.count("*").alias("n_rows"))
+        non_null = per_key.filter(col(fk).isNotNull())
+        p = broadcast(parent) if parent_t in small_parents else parent
+        orphans = non_null.join(p, non_null[fk] == p[pk], "left_anti")
+        report = (
+            child.agg(
+                F.count("*").cast("bigint").alias("child_rows"),
+                F.coalesce(F.sum(F.when(col(fk).isNull(), 1).otherwise(0)), F.lit(0))
+                .cast("bigint")
+                .alias("null_fk_rows"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.coalesce(F.sum("n_rows"), F.lit(0))
+                    .cast("bigint")
+                    .alias("orphan_rows"),
+                    F.count("*").cast("bigint").alias("orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "null_fk_rows",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+        out = report if out is None else out.unionByName(report)
+    return out

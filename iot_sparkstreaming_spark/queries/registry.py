@@ -86,7 +86,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # window was sized at 50, as did interval_coverage_user,
 # chi2_contingency_cells, pareto_frontier_parts, shuffle_skew_report,
 # label_propagation_communities, embedding_gram_matrix,
-# dedup_incremental_minhash —
+# dedup_incremental_minhash, snapshot_diff_orders, fk_integrity_audit,
+# scd2_point_in_time_join, weighted_sample_per_source,
+# ordered_funnel_users —
 # they sit outside the prefix this round and are the first candidates
 # for round 6's rotation.)
 _PRIORITY_PREFIX = [
@@ -164,6 +166,7 @@ _MODULE_ORDER = [
     "pipeline",
     "dedup",
     "mining",
+    "ops",
 ]
 
 
@@ -176,6 +179,7 @@ def load_all() -> dict[str, Query]:
         functions,
         mining,
         multimodal,
+        ops,
         pipeline,
         reference,
         similarity,

@@ -158,3 +158,36 @@ def test_dup_token_spans_stop_gram_cutoff_drops_viral_grams(spark):
     assert duplicate_token_spans(docs, k=8, max_df=5).count() == 0
     # with the cutoff above the df, all 15 ordered pairs report it
     assert duplicate_token_spans(docs, k=8, max_df=50).count() == 15
+
+
+def test_ordered_funnel_vs_bruteforce(spark):
+    """Greedy min-ts stage chaining recomputed in Python must match,
+    and the ordered funnel must never exceed the set-membership one."""
+    from iot_sparkstreaming_spark.queries.mining import ordered_funnel_users
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    want = {}
+    for uid, rows in per_user.items():
+        t1 = min((t for t, et in rows if et == "signup"), default=None)
+        if t1 is None:
+            continue
+        t2 = min((t for t, et in rows if et == "view" and t > t1), default=None)
+        t3 = (
+            min((t for t, et in rows if et == "purchase" and t > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        want[uid] = 1 + (t2 is not None) + (t3 is not None)
+    got = {r.user_id: r.stage_depth for r in ordered_funnel_users(spark, SF_DIR).collect()}
+    assert got == want
+    for r in ordered_funnel_users(spark, SF_DIR).collect():
+        if r.stage_depth >= 2:
+            assert r.first_view_ms > r.signup_ms
+        if r.stage_depth == 3:
+            assert r.first_purchase_ms > r.first_view_ms

@@ -1,0 +1,142 @@
+"""Semantic invariants for the ops module (CDC snapshot diff and
+FK-integrity audit) — brute-force recomputation of the expected change
+sets from the modular membership rules, beyond the value-exact oracle
+parity covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+from iot_sparkstreaming_spark.queries.ops import (
+    DEL_MOD,
+    FK_EDGES,
+    INS_MOD,
+    UPD_MOD,
+    fk_integrity_audit,
+    snapshot_diff_orders,
+)
+from iot_sparkstreaming_spark.tables import load_table
+
+
+def test_snapshot_diff_change_sets(spark):
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR, "orders").select("o_orderkey").collect()
+    ]
+    want_ins = {k for k in keys if k % INS_MOD == 0}
+    want_del = {k for k in keys if k % DEL_MOD == 0 and k % INS_MOD != 0}
+    want_upd = {
+        k
+        for k in keys
+        if k % UPD_MOD == 0 and k % INS_MOD != 0 and k % DEL_MOD != 0
+    }
+    rows = snapshot_diff_orders(spark, SF_DIR).collect()
+    got = {"insert": set(), "delete": set(), "update": set()}
+    for r in rows:
+        got[r.change_type].add(r.o_orderkey)
+        if r.change_type == "insert":
+            assert r.old_price_cents is None and r.new_price_cents is not None
+        elif r.change_type == "delete":
+            assert r.new_price_cents is None and r.old_price_cents is not None
+        else:
+            assert r.new_price_cents == r.old_price_cents + 1000
+    assert got["insert"] == want_ins
+    assert got["delete"] == want_del
+    assert got["update"] == want_upd
+
+
+def test_fk_audit_integral_fixture(spark):
+    rows = {r.relationship: r for r in fk_integrity_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {name for name, *_ in FK_EDGES}
+    for name, child_t, *_ in FK_EDGES:
+        r = rows[name]
+        assert r.orphan_rows == 0 and r.orphan_keys == 0 and r.null_fk_rows == 0
+        assert r.child_rows == load_table(spark, SF_DIR, child_t).count()
+
+
+def test_fk_audit_detects_planted_orphans(spark, tmp_path):
+    """The audit must actually CATCH breakage: corrupt a copy of
+    nation by dropping a referenced region and re-point the audit at
+    the corrupted directory."""
+    import shutil
+
+    src = SF_DIR
+    dst = tmp_path / "corrupt"
+    dst.mkdir()
+    for t in ["nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    # drop region 0 → every nation with n_regionkey = 0 becomes an orphan
+    load_table(spark, src, "region").filter("r_regionkey <> 0").write.parquet(
+        str(dst / "region.parquet")
+    )
+    n_orphans = (
+        load_table(spark, str(dst), "nation").filter("n_regionkey = 0").count()
+    )
+    assert n_orphans > 0
+    rows = {
+        r.relationship: r for r in fk_integrity_audit(spark, str(dst)).collect()
+    }
+    r = rows["nation.n_regionkey->region"]
+    assert r.orphan_rows == n_orphans
+    assert r.orphan_keys == 1
+
+
+def test_pit_join_version_containment(spark):
+    """Every purchase maps to exactly one dimension version whose
+    interval contains it, the active state is never 'purchase', and
+    purchases before the user's first non-purchase event are absent."""
+    from collections import Counter
+
+    from iot_sparkstreaming_spark.queries.analytics import scd2_point_in_time_join
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    first_dim_ts = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            if r.user_id not in first_dim_ts or r.ts < first_dim_ts[r.user_id]:
+                first_dim_ts[r.user_id] = r.ts
+    eligible = {
+        r.event_id
+        for r in ev
+        if r.event_type == "purchase"
+        and r.user_id in first_dim_ts
+        and r.ts >= first_dim_ts[r.user_id]
+    }
+    rows = scd2_point_in_time_join(spark, SF_DIR).collect()
+    per_fact = Counter(r.event_id for r in rows)
+    assert set(per_fact) == eligible
+    assert all(n == 1 for n in per_fact.values())
+    for r in rows:
+        assert r.active_state != "purchase"
+        assert r.version_age_ms >= 0
+
+
+def test_weighted_sample_matches_bruteforce(spark):
+    import hashlib
+
+    from iot_sparkstreaming_spark.queries.mining import (
+        WEIGHTED_SAMPLE_K,
+        weighted_sample_per_source,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in docs:
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        by_source.setdefault(r.source, []).append(
+            (u / (r.n_chars + 1), r.doc_id)
+        )
+    want = {
+        (doc_id, src)
+        for src, lst in by_source.items()
+        for _, doc_id in sorted(lst)[:WEIGHTED_SAMPLE_K]
+    }
+    got = {
+        (r.doc_id, r.source)
+        for r in weighted_sample_per_source(spark, SF_DIR).collect()
+    }
+    assert got == want

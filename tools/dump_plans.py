@@ -64,6 +64,9 @@ SHOWCASE = [
     ("embedding_gram_matrix", "mapInPandas int64 partial-Gram per task (d^2 rows out, not rows*d^2); posexplode dim sums map-side combined; d-row joins broadcast"),
     ("label_propagation_communities", "cache-partitioned edge list: each LPA round joins labels exchange-free on the edge side; (node,label) counts combine map-side"),
     ("dedup_incremental_minhash", "batch band rows join the memoized historical index; signatures ride the join; daily cost independent of corpus re-processing"),
+    ("snapshot_diff_orders", "one full-outer sort-merge join on the PK; row-local CASE comparison; changed rows only"),
+    ("fk_integrity_audit", "child collapses to distinct FK keys before the anti join; small parents broadcast"),
+    ("scd2_point_in_time_join", "dimension build on ONE user_id exchange; PIT join is equi on user_id with interval containment as residual filter"),
 ]
 
 

@@ -75,6 +75,11 @@ SHOWCASE = [
     ("embedding_gram_matrix", "partial-Gram matmul agg"),
     ("label_propagation_communities", "3-round LPA argmax joins"),
     ("dedup_incremental_minhash", "batch-vs-index band join"),
+    ("snapshot_diff_orders", "full-outer PK diff"),
+    ("fk_integrity_audit", "7-way distinct-key anti joins"),
+    ("scd2_point_in_time_join", "equi PIT join + residual"),
+    ("weighted_sample_per_source", "map-only keys + source top-k"),
+    ("ordered_funnel_users", "chained conditional aggs"),
 ]
 
 
