@@ -1893,30 +1893,17 @@ def interval_coverage_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(n²) per user; the sweep is O(n log n) and per-row state is
     one bigint, so a 100-TB events table costs exactly its sort.
     """
+    from iot_sparkstreaming_spark.operators.intervals import interval_union_coverage
+
     ev = load_table(spark, sf_dir, "events")
     s = F.unix_millis(col("ts"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     iv = ev.select(
         "user_id",
         "event_id",
         s.alias("s"),
         (s + F.lit(COVERAGE_WINDOW_MS)).alias("e"),
     )
-    sweep = iv.withColumn("prev_e", F.max("e").over(w))
-    new_seg = col("prev_e").isNull() | (col("s") >= col("prev_e"))
-    stripe = F.greatest(
-        F.lit(0),
-        col("e") - F.greatest(col("s"), F.coalesce(col("prev_e"), col("s"))),
-    )
-    return sweep.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n_intervals"),
-        F.sum(F.when(new_seg, 1).otherwise(0)).cast("bigint").alias("n_segments"),
-        F.sum(stripe).cast("bigint").alias("covered_ms"),
-    )
+    return interval_union_coverage(iv)
 
 
 # ---------------------------------------------------------------------------
@@ -2049,54 +2036,14 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic anti-join. Output is the frontier (at most one row per
     distinct size value), tiny by construction.
     """
+    from iot_sparkstreaming_spark.operators.intervals import pareto_frontier
+
     part = load_table(spark, sf_dir, "part")
     cents = F.round(col("p_retailprice") * 100).cast("bigint")
     p = part.select("p_partkey", "p_name", "p_size", cents.alias("price_cents"))
-
-    # phase 1: local skyline inside each salt group (safe prune —
-    # a point dominated by a group-mate is dominated, period)
-    salt = F.pmod(F.hash("p_partkey"), F.lit(32)).alias("salt")
-    w_local = (
-        Window.partitionBy("salt")
-        .orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    local = (
-        p.select("*", salt)
-        .select(
-            "*",
-            F.max("p_size").over(w_local).alias("lb_cheaper"),
-            F.max("p_size")
-            .over(Window.partitionBy("salt", "price_cents"))
-            .alias("lb_same"),
-        )
-        .filter(
-            (col("lb_cheaper").isNull() | (col("p_size") > col("lb_cheaper")))
-            & (col("p_size") == col("lb_same"))
-        )
-        .select("p_partkey", "p_name", "p_size", "price_cents")
-    )
-
-    # phase 2: exact global skyline over the surviving candidates
-    w_cheaper = (
-        Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
-    )
-    sweep = local.select(
-        "p_partkey",
-        "p_name",
-        "p_size",
-        "price_cents",
-        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
-        F.max("p_size").over(Window.partitionBy("price_cents")).alias("best_same_price"),
-    )
-    return (
-        sweep.filter(
-            (col("best_cheaper").isNull() | (col("p_size") > col("best_cheaper")))
-            & (col("p_size") == col("best_same_price"))
-        )
-        .select("p_partkey", "p_name", "p_size", "price_cents")
-        .orderBy("price_cents", "p_partkey")
-    )
+    return pareto_frontier(
+        p, cost="price_cents", gain="p_size", salt_on="p_partkey"
+    ).orderBy("price_cents", "p_partkey")
 
 
 # ---------------------------------------------------------------------------

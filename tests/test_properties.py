@@ -538,3 +538,78 @@ def test_kcore_fixture_converges_inside_default_rounds(spark):
     one_more = sorted(map(tuple, kcore(edges, KCORE_K, KCORE_ITERS + 1).collect()))
     assert at_default == one_more
     assert len(at_default) > 0  # the fixture actually has a 40-core
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=500),  # start
+            st.integers(min_value=1, max_value=60),  # length
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_interval_union_coverage_property(spark, rows):
+    """Sweep-line union on random interval sets equals the sort-and-
+    merge reference for every key."""
+    from iot_sparkstreaming_spark.operators.intervals import interval_union_coverage
+
+    data = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["user_id", "event_id", "s", "e"])
+    got = {
+        r.user_id: (r.n_intervals, r.n_segments, r.covered_ms)
+        for r in interval_union_coverage(df).collect()
+    }
+    per_key: dict[int, list[tuple[int, int]]] = {}
+    for k, _, s, e in data:
+        per_key.setdefault(k, []).append((s, e))
+    want = {}
+    for k, ivs in per_key.items():
+        ivs.sort()
+        covered = segs = 0
+        cs = ce = None
+        for s, e in ivs:
+            if ce is None or s >= ce:
+                if ce is not None:
+                    covered += ce - cs
+                cs, ce, segs = s, e, segs + 1
+            else:
+                ce = max(ce, e)
+        covered += ce - cs
+        want[k] = (len(ivs), segs, covered)
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # cost
+            st.integers(min_value=0, max_value=30),  # gain
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pareto_frontier_property(spark, rows):
+    """Two-phase salted skyline on random point sets equals the
+    brute-force undominated set (duplicates: all copies of a frontier
+    (cost, gain) pair survive)."""
+    from iot_sparkstreaming_spark.operators.intervals import pareto_frontier
+
+    data = [(i, c, g) for i, (c, g) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["pid", "cost", "gain"])
+    got = {r.pid for r in pareto_frontier(df, "cost", "gain", salt_on="pid").collect()}
+    want = {
+        pid
+        for pid, c, g in data
+        if not any(
+            (c2 <= c and g2 >= g and (c2 < c or g2 > g))
+            for p2, c2, g2 in data
+            if p2 != pid
+        )
+    }
+    assert got == want
