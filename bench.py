@@ -109,6 +109,7 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "weighted_sample_per_source",
     "ordered_funnel_users",
+    "ab_test_conversion",
 ]
 
 

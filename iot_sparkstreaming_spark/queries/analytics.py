@@ -2327,3 +2327,100 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("version_age_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: two-proportion z-test on conversion
+# ---------------------------------------------------------------------------
+
+AB_TEST_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 400 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT user_id % 2 AS cohort, COUNT(*) AS n, SUM(converted) AS conv
+  FROM u GROUP BY 1
+),
+w AS (
+  SELECT
+    CAST(MAX(CASE WHEN cohort = 0 THEN n END) AS BIGINT) AS n_a,
+    CAST(MAX(CASE WHEN cohort = 1 THEN n END) AS BIGINT) AS n_b,
+    CAST(MAX(CASE WHEN cohort = 0 THEN conv END) AS BIGINT) AS conv_a,
+    CAST(MAX(CASE WHEN cohort = 1 THEN conv END) AS BIGINT) AS conv_b
+  FROM c
+)
+SELECT n_a, n_b, conv_a, conv_b,
+  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+    / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0) AS z_stat
+FROM w
+"""
+
+
+@register("ab_test_conversion", oracle=AB_TEST_ORACLE)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: split users into cohorts by user_id parity
+    (the deterministic stand-in for an assignment table), measure
+    high-value-purchase conversion (value >= 400) per cohort, and compute the two-proportion
+    pooled z-statistic — the launch/no-launch number an A/B platform
+    prints.
+
+    Numeric determinism: counts are exact bigints; rates and the
+    z-stat are ONE identical arithmetic expression over those ints on
+    both engines — divisions and sqrt are IEEE-correctly-rounded, no
+    libm transcendentals. A degenerate experiment (pooled rate 0 or
+    1, or an empty cohort) yields z_stat NULL via the NULLIF guard
+    instead of an ANSI divide-by-zero.
+
+    Scale shape: per-user conversion is a map-side-combined groupBy
+    on user_id; cohort totals collapse 2 rows; the statistic is
+    driver-free scalar arithmetic on a 1-row frame. A 100-TB events
+    table costs exactly one user_id aggregation — and that exchange
+    is shared with every other per-user query in the engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((col("event_type") == "purchase") & (col("value") >= 400), 1)
+            .otherwise(0)
+        ).alias("converted")
+    )
+    c = u.groupBy((col("user_id") % 2).alias("cohort")).agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    w = c.agg(
+        F.max(F.when(col("cohort") == 0, col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(col("cohort") == 1, col("n"))).cast("bigint").alias("n_b"),
+        F.max(F.when(col("cohort") == 0, col("conv"))).cast("bigint").alias("conv_a"),
+        F.max(F.when(col("cohort") == 1, col("conv"))).cast("bigint").alias("conv_b"),
+    )
+    ra = col("conv_a").cast("double") / col("n_a")
+    rb = col("conv_b").cast("double") / col("n_b")
+    pp = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    return w.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (
+            (ra - rb)
+            / F.nullif(
+                F.sqrt(
+                    pp
+                    * (F.lit(1) - pp)
+                    * (
+                        F.lit(1).cast("double") / col("n_a")
+                        + F.lit(1).cast("double") / col("n_b")
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("z_stat"),
+    )

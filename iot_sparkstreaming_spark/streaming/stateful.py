@@ -499,3 +499,90 @@ def streaming_coverage(events: DataFrame, window_ms: int = 300 * 1000) -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("stage_depth", T.LongType()),
+        T.StructField("signup_ms", T.LongType()),
+        T.StructField("first_view_ms", T.LongType()),
+        T.StructField("first_purchase_ms", T.LongType()),
+    ]
+)
+
+_FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Per-user ORDERED funnel as a stateful streaming operator — the
+    STREAMING twin of the batch ``ordered_funnel_users`` query
+    (queries/mining.py): signup, then a view strictly after it, then a
+    purchase strictly after that view, each stage anchoring on its
+    earliest qualifying event. Emits one row per event carrying the
+    user's depth SO FAR; the final row per user equals the batch
+    result for in-order feeds (pinned by tests/test_stateful.py).
+
+    The greedy min-ts anchors make the fold ORDER-ROBUST for ordered
+    feeds and O(1): state is three epoch-millis slots — stage k fills
+    only when empty and strictly after stage k-1 — versus the batch
+    plan's three chained aggregations. This is the live-dashboard
+    shape: conversion depth updates per event, no history re-read.
+
+    Input columns: ``user_id``, ``event_id``, ``ts``, ``event_type``.
+    """
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        slots = list(state.get) if state.exists else [None, None, None]
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, et in zip(pdf["event_id"], pdf["ts"], pdf["event_type"]):
+                ms = int(ts.value // 1_000_000)
+                if et == _FUNNEL_STAGES[0]:
+                    if slots[0] is None:
+                        slots[0] = ms
+                elif et == _FUNNEL_STAGES[1]:
+                    if slots[1] is None and slots[0] is not None and ms > slots[0]:
+                        slots[1] = ms
+                elif et == _FUNNEL_STAGES[2]:
+                    if slots[2] is None and slots[1] is not None and ms > slots[1]:
+                        slots[2] = ms
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "event_id": int(eid),
+                        "stage_depth": sum(s is not None for s in slots),
+                        "signup_ms": slots[0],
+                        "first_view_ms": slots[1],
+                        "first_purchase_ms": slots[2],
+                    }
+                )
+        state.update(tuple(slots))
+        yield pd.DataFrame(out, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA])
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("t1", T.LongType()),
+                    T.StructField("t2", T.LongType()),
+                    T.StructField("t3", T.LongType()),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

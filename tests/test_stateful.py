@@ -475,3 +475,64 @@ def test_streaming_coverage_twin_parity(spark, tmp_path):
     }
     assert 0 < n_first < sum(n for n, _, _ in want.values())
     assert got == want
+
+
+def test_streaming_funnel_twin_parity(spark, tmp_path):
+    """The stateful funnel's LAST row per user must equal the batch
+    ordered_funnel_users chain — including stages that complete only
+    after the micro-batch boundary (held as three O(1) epoch slots)."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.mining import ordered_funnel_users
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_funnel
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        q.processAllAvailable()
+        # every output column is monotone non-decreasing per user
+        # (set-once slots, growing depth), so the per-user MAX is the
+        # final state without depending on emission order
+        last = spark.sql(
+            """SELECT user_id, MAX(stage_depth) AS stage_depth,
+                      MAX(signup_ms) AS signup_ms,
+                      MAX(first_view_ms) AS first_view_ms,
+                      MAX(first_purchase_ms) AS first_purchase_ms
+               FROM funnel_twin GROUP BY user_id"""
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: (r.stage_depth, r.signup_ms, r.first_view_ms, r.first_purchase_ms)
+        for r in last
+    }
+    want = {
+        r.user_id: (r.stage_depth, r.signup_ms, r.first_view_ms, r.first_purchase_ms)
+        for r in ordered_funnel_users(spark, sf_dir).collect()
+    }
+    for uid, vals in want.items():
+        assert got[uid] == vals
+    for uid, (depth, *_rest) in got.items():
+        if uid not in want:
+            assert depth == 0

@@ -80,6 +80,7 @@ SHOWCASE = [
     ("scd2_point_in_time_join", "equi PIT join + residual"),
     ("weighted_sample_per_source", "map-only keys + source top-k"),
     ("ordered_funnel_users", "chained conditional aggs"),
+    ("ab_test_conversion", "one user_id agg + scalar stats"),
 ]
 
 
