@@ -613,3 +613,42 @@ def test_pareto_frontier_property(spark, rows):
         )
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_label_propagation_property(spark, edges, iters):
+    """Synchronous LPA with the (count DESC, label ASC) tie-break on
+    random undirected graphs equals a pure-Python round-by-round
+    simulation."""
+    from collections import Counter
+
+    from iot_sparkstreaming_spark.operators.graph import label_propagation
+
+    undirected = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(undirected, ["a", "b"])
+    got = {r.node: r.label for r in label_propagation(df, iterations=iters).collect()}
+
+    nbrs: dict[int, list[int]] = {}
+    for a, b in undirected:
+        nbrs.setdefault(b, []).append(a)  # in-neighbours of b
+    nodes = set(nbrs)
+    labels = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            counts = Counter(labels[m] for m in nbrs[n])
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    assert got == labels
