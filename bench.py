@@ -110,6 +110,7 @@ HEADLINE = [
     "weighted_sample_per_source",
     "ordered_funnel_users",
     "ab_test_conversion",
+    "survival_signup_to_purchase",
 ]
 
 

@@ -2424,3 +2424,129 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: signup -> first purchase hazard table (with censoring)
+# ---------------------------------------------------------------------------
+
+SURVIVAL_DAY_MS = 86400000
+
+SURVIVAL_ORACLE = f"""
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN t0 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t0.signup_ts
+  GROUP BY e.user_id
+),
+last_seen AS (
+  SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+),
+subjects AS (
+  SELECT t0.user_id,
+    CASE WHEN c.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS event,
+    CASE WHEN c.purchase_ts IS NOT NULL
+         THEN epoch_ms(c.purchase_ts) - epoch_ms(t0.signup_ts)
+         ELSE epoch_ms(l.last_ts) - epoch_ms(t0.signup_ts) END AS duration_ms
+  FROM t0
+  LEFT JOIN conv c ON t0.user_id = c.user_id
+  JOIN last_seen l ON t0.user_id = l.user_id
+),
+buckets AS (
+  SELECT duration_ms // {SURVIVAL_DAY_MS} AS day_bucket,
+    CAST(SUM(event) AS BIGINT) AS n_events,
+    CAST(SUM(1 - event) AS BIGINT) AS n_censored
+  FROM subjects GROUP BY 1
+),
+risk AS (
+  SELECT day_bucket, n_events, n_censored,
+    (SELECT COUNT(*) FROM subjects)
+      - COALESCE(SUM(n_events + n_censored) OVER (
+          ORDER BY day_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS n_at_risk
+  FROM buckets
+)
+SELECT CAST(day_bucket AS BIGINT) AS day_bucket,
+  CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events, n_censored,
+  CAST(n_events AS DOUBLE) / n_at_risk AS hazard
+FROM risk
+"""
+
+
+@register("survival_signup_to_purchase", oracle=SURVIVAL_ORACLE)
+def survival_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival (hazard) table for signup → first
+    purchase with RIGHT CENSORING — the time-to-conversion analysis
+    behind retention forecasts and the Kaplan-Meier curve (whose
+    survival estimate is the running product of ``1 - hazard``; the
+    per-bucket exact table is what's emitted, keeping the output
+    float-product-free and hash-exact). Users who never convert are
+    censored at their last observed event — dropping them (the naive
+    "average time to convert") biases the estimate toward fast
+    converters.
+
+    Per day-bucket since signup: subjects still at risk, conversion
+    events, censorings, and the discrete hazard d/n (one IEEE
+    division of exact bigints; n > 0 whenever the bucket exists).
+
+    Scale shape: three user_id aggregations (signup anchor,
+    first-qualifying-purchase, last-seen) sharing one hash
+    partitioning, collapsed to subjects then to ~tens of buckets; the
+    at-risk count is a running window over the BUCKET table, never
+    over subjects. One events-scale shuffle total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        ev.filter(col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(col("ts") > col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    subjects = (
+        t0.join(conv, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            F.when(col("purchase_ts").isNotNull(), 1).otherwise(0).alias("event"),
+            F.when(
+                col("purchase_ts").isNotNull(),
+                F.unix_millis(col("purchase_ts")) - F.unix_millis(col("signup_ts")),
+            )
+            .otherwise(F.unix_millis(col("last_ts")) - F.unix_millis(col("signup_ts")))
+            .alias("duration_ms"),
+        )
+    )
+    buckets = subjects.groupBy(
+        F.expr(f"duration_ms div {SURVIVAL_DAY_MS}").alias("day_bucket")
+    ).agg(
+        F.sum("event").cast("bigint").alias("n_events"),
+        F.sum(F.lit(1) - col("event")).cast("bigint").alias("n_censored"),
+    )
+    total = subjects.agg(F.count("*").alias("n_total"))
+    w = Window.orderBy("day_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    risk = buckets.crossJoin(F.broadcast(total)).select(
+        "day_bucket",
+        "n_events",
+        "n_censored",
+        (
+            col("n_total")
+            - F.coalesce(F.sum(col("n_events") + col("n_censored")).over(w), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    return risk.select(
+        col("day_bucket").cast("bigint").alias("day_bucket"),
+        col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+        (col("n_events").cast("double") / col("n_at_risk")).alias("hazard"),
+    )

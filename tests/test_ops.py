@@ -140,3 +140,44 @@ def test_weighted_sample_matches_bruteforce(spark):
         for r in weighted_sample_per_source(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_survival_table_consistent(spark):
+    """Hazard-table accounting identities on real data, recomputed
+    from raw events: the first bucket's at-risk count equals the
+    signup-anchored subject population, every subject exits in
+    exactly one bucket (events + censorings sum to subjects), the
+    at-risk column telescopes by per-bucket exits down to zero, and
+    each hazard equals its d/n."""
+    from iot_sparkstreaming_spark.queries.analytics import (
+        survival_signup_to_purchase,
+    )
+
+    rows = sorted(
+        survival_signup_to_purchase(spark, SF_DIR).collect(),
+        key=lambda r: r.day_bucket,
+    )
+    assert rows
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n_signup = n_conv = 0
+    for rows_u in per_user.values():
+        t0 = min((t for t, et in rows_u if et == "signup"), default=None)
+        if t0 is None:
+            continue
+        n_signup += 1
+        if any(et == "purchase" and t > t0 for t, et in rows_u):
+            n_conv += 1
+    assert rows[0].n_at_risk == n_signup
+    assert sum(r.n_events for r in rows) == n_conv
+    assert sum(r.n_events + r.n_censored for r in rows) == n_signup
+    at_risk = n_signup
+    for r in rows:
+        assert r.n_at_risk == at_risk
+        assert abs(r.hazard - r.n_events / r.n_at_risk) < 1e-12
+        at_risk -= r.n_events + r.n_censored
+    assert at_risk == 0

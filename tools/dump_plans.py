@@ -67,6 +67,7 @@ SHOWCASE = [
     ("snapshot_diff_orders", "one full-outer sort-merge join on the PK; row-local CASE comparison; changed rows only"),
     ("fk_integrity_audit", "child collapses to distinct FK keys before the anti join; small parents broadcast"),
     ("scd2_point_in_time_join", "dimension build on ONE user_id exchange; PIT join is equi on user_id with interval containment as residual filter"),
+    ("survival_signup_to_purchase", "three user_id aggs share one partitioning; at-risk window runs over the bucket table, not subjects"),
 ]
 
 

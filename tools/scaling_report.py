@@ -81,6 +81,7 @@ SHOWCASE = [
     ("weighted_sample_per_source", "map-only keys + source top-k"),
     ("ordered_funnel_users", "chained conditional aggs"),
     ("ab_test_conversion", "one user_id agg + scalar stats"),
+    ("survival_signup_to_purchase", "3 shared-key aggs + bucket window"),
 ]
 
 
