@@ -111,6 +111,8 @@ HEADLINE = [
     "ordered_funnel_users",
     "ab_test_conversion",
     "survival_signup_to_purchase",
+    "graph_assortativity_trade",
+    "profile_orders_columns",
 ]
 
 

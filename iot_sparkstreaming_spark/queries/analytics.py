@@ -2550,3 +2550,97 @@ def survival_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         (col("n_events").cast("double") / col("n_at_risk")).alias("hazard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the trade graph (graph-level statistic)
+# ---------------------------------------------------------------------------
+
+ASSORT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+j AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy2
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+  sx / n AS mean_src_degree,
+  (n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    AS assortativity
+FROM m
+"""
+
+
+@register("graph_assortativity_trade", oracle=ASSORT_ORACLE)
+def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier trade graph —
+    the Pearson correlation of endpoint degrees over the (directed,
+    both-ways) edge list (Newman 2002): negative values mean hubs
+    attach to low-degree nodes (typical bipartite trade shape),
+    positive means hub-hub clustering. The one-number structural
+    summary read before choosing skew strategies for graph joins.
+
+    Exactness: degrees are integers; all five moments accumulate as
+    exact decimals and combine in ONE identical double expression per
+    engine (same moment-form discipline as ``stats_correlation``).
+
+    Scale shape: one degree aggregate (map-side combined), two joins
+    of the degree table back onto edges — both on the SAME node-key
+    partitioning the degree agg produced — then a 1-row moment
+    collapse. No per-node windows, no quadratic anything.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (col("o_custkey") * 2).alias("a"),
+            (col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(col("b").alias("a"), col("a").alias("b")))
+    deg = edges.groupBy(col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    da = deg.select(col("node").alias("a"), col("deg").alias("x"))
+    db = deg.select(col("node").alias("b"), col("deg").alias("y"))
+    j = edges.join(da, "a").join(db, "b")
+    m = j.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sy2"),
+    )
+    return m.select(
+        col("n").cast("bigint").alias("n_directed_edges"),
+        (col("sx") / col("n")).alias("mean_src_degree"),
+        (
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+            / F.sqrt(
+                (col("n") * col("sx2") - col("sx") * col("sx"))
+                * (col("n") * col("sy2") - col("sy") * col("sy"))
+            )
+        ).alias("assortativity"),
+    )

@@ -184,3 +184,89 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = report if out is None else out.unionByName(report)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Column profiling report (the lakehouse "table stats" pass)
+# ---------------------------------------------------------------------------
+
+#: (column, kind) — kind drives which min/max slot is populated
+PROFILE_COLUMNS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in PROFILE_COLUMNS:
+        if kind == "num":
+            min_num, max_num = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            min_str = max_str = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            min_num = f"CAST(epoch_ms(MIN({c})) AS DOUBLE)"
+            max_num = f"CAST(epoch_ms(MAX({c})) AS DOUBLE)"
+            min_str = max_str = "CAST(NULL AS VARCHAR)"
+        else:
+            min_num = max_num = "CAST(NULL AS DOUBLE)"
+            min_str, max_str = f"MIN({c})", f"MAX({c})"
+        parts.append(f"""SELECT '{c}' AS column_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  {min_num} AS min_num, {max_num} AS max_num,
+  {min_str} AS min_str, {max_str} AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_ORACLE = _profile_oracle()
+
+
+@register("profile_orders_columns", oracle=PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report over orders: one row per column with
+    cardinality, null count, EXACT distinct count, and typed min/max
+    (numeric/timestamp columns fill the double slots — timestamps as
+    epoch-millis — string columns the varchar slots). The stats pass
+    behind data-contract monitoring, CBO statistics collection, and
+    "did the upstream feed break" dashboards.
+
+    Scale shape: one pass PER COLUMN, each a single-column
+    column-pruned parquet scan (ReadSchema shows exactly one field)
+    feeding a map-side-combined aggregate; the exact COUNT(DISTINCT)
+    is the one shuffle each pass pays — per column, that is the
+    honest cost of an exact profile (swap in approx_count_distinct
+    for the sketch-grade profile; HLL union is already a first-class
+    operator here). Six 1-row frames union into the report.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    out: DataFrame | None = None
+    for c, kind in PROFILE_COLUMNS:
+        if kind == "num":
+            min_num, max_num = F.min(c).cast("double"), F.max(c).cast("double")
+            min_str = max_str = F.lit(None).cast("string")
+        elif kind == "ts":
+            # parquet surfaces the date column as TIMESTAMP_NTZ; cast
+            # to session-TZ timestamp for unix_millis (UTC session)
+            min_num = F.unix_millis(F.min(col(c).cast("timestamp"))).cast("double")
+            max_num = F.unix_millis(F.max(col(c).cast("timestamp"))).cast("double")
+            min_str = max_str = F.lit(None).cast("string")
+        else:
+            min_num = max_num = F.lit(None).cast("double")
+            min_str, max_str = F.min(c), F.max(c)
+        report = orders.select(c).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.count("*") - F.count(c)).cast("bigint").alias("n_nulls"),
+            F.count_distinct(col(c)).cast("bigint").alias("n_distinct"),
+            min_num.alias("min_num"),
+            max_num.alias("max_num"),
+            min_str.alias("min_str"),
+            max_str.alias("max_str"),
+        ).select(F.lit(c).alias("column_name"), "*")
+        out = report if out is None else out.unionByName(report)
+    return out

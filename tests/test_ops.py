@@ -181,3 +181,56 @@ def test_survival_table_consistent(spark):
         assert abs(r.hazard - r.n_events / r.n_at_risk) < 1e-12
         at_risk -= r.n_events + r.n_censored
     assert at_risk == 0
+
+
+def test_profile_matches_bruteforce(spark):
+    import math
+
+    from iot_sparkstreaming_spark.queries.ops import (
+        PROFILE_COLUMNS,
+        profile_orders_columns,
+    )
+
+    rows = {r.column_name: r for r in profile_orders_columns(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders").collect()
+    assert set(rows) == {c for c, _ in PROFILE_COLUMNS}
+    for c, kind in PROFILE_COLUMNS:
+        vals = [getattr(r, c) for r in orders]
+        nn = [v for v in vals if v is not None]
+        r = rows[c]
+        assert r.n_rows == len(vals)
+        assert r.n_nulls == len(vals) - len(nn)
+        assert r.n_distinct == len(set(nn))
+        if kind == "num":
+            assert math.isclose(r.min_num, min(nn)) and math.isclose(r.max_num, max(nn))
+            assert r.min_str is None
+        elif kind == "str":
+            assert r.min_str == min(nn) and r.max_str == max(nn)
+            assert r.min_num is None
+        else:
+            assert r.min_num == min(nn).timestamp() * 1000
+            assert r.max_num == max(nn).timestamp() * 1000
+
+
+def test_assortativity_matches_numpy(spark):
+    import numpy as np
+
+    from iot_sparkstreaming_spark.queries.analytics import graph_assortativity_trade
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        (r.o_custkey * 2, r.l_suppkey * 2 + 1)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey).collect()
+    }
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    x = np.array([deg[a] for a, b in edges], dtype=float)
+    y = np.array([deg[b] for a, b in edges], dtype=float)
+    want = np.corrcoef(x, y)[0, 1]
+    r = graph_assortativity_trade(spark, SF_DIR).collect()[0]
+    assert r.n_directed_edges == len(edges)
+    assert abs(r.mean_src_degree - x.mean()) < 1e-9
+    assert abs(r.assortativity - want) < 1e-9

@@ -82,6 +82,8 @@ SHOWCASE = [
     ("ordered_funnel_users", "chained conditional aggs"),
     ("ab_test_conversion", "one user_id agg + scalar stats"),
     ("survival_signup_to_purchase", "3 shared-key aggs + bucket window"),
+    ("graph_assortativity_trade", "degree joins + 1-row moments"),
+    ("profile_orders_columns", "per-column pruned scans"),
 ]
 
 
