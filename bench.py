@@ -113,6 +113,7 @@ HEADLINE = [
     "survival_signup_to_purchase",
     "graph_assortativity_trade",
     "profile_orders_columns",
+    "kmeans_lloyd_embeddings",
 ]
 
 

@@ -89,7 +89,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # dedup_incremental_minhash, snapshot_diff_orders, fk_integrity_audit,
 # scd2_point_in_time_join, weighted_sample_per_source,
 # ordered_funnel_users, ab_test_conversion, survival_signup_to_purchase,
-# graph_assortativity_trade, profile_orders_columns —
+# graph_assortativity_trade, profile_orders_columns,
+# kmeans_lloyd_embeddings —
 # they sit outside the prefix this round and are the first candidates
 # for round 6's rotation.)
 _PRIORITY_PREFIX = [

@@ -1053,3 +1053,173 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means over the embedding corpus (iterative algorithm #6)
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ITERS = 3
+KM_SCALE = 10000  # fixed-point for the exact centroid-sum accumulators
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled fixed-iteration Lloyd: each round is one assignment
+    CTE (argmin squared-L2 via the bitwise-validated dot-product
+    identity, ties to the smallest centroid id) and one update CTE
+    (per-dim EXACT integer sums divided once into double centroids) —
+    the same unroll trick as the PageRank/LPA oracles."""
+    sql = f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    list_transform(embedding,
+      x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS sv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KM_K})"""
+    for i in range(1, KM_ITERS + 1):
+        d2 = _D2_SQL.format(a="e.v", b="c.cvec")
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, v, sv, cid FROM (
+    SELECT e.vec_id, e.v, e.sv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rk
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rk = 1
+),
+cnt{i} AS (SELECT cid, COUNT(*) AS n FROM a{i} GROUP BY cid),
+sums{i} AS (
+  SELECT a.cid, t.r AS d, SUM(sv[t.r + 1]) AS s
+  FROM a{i} a, range(0, {DIM}) t(r) GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT s.cid, list(s.s / ({KM_SCALE}.0 * c.n) ORDER BY s.d) AS cvec
+  FROM sums{i} s JOIN cnt{i} c USING (cid) GROUP BY s.cid
+)"""
+    d2f = _D2_SQL.format(a="e.v", b="c.cvec")
+    sql += f"""
+SELECT vec_id, cid,
+  CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size,
+  ROUND(sq_dist, 6) AS sq_dist
+FROM (
+  SELECT vec_id, cid, sq_dist FROM (
+    SELECT e.vec_id, c.cid, {d2f} AS sq_dist,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2f}, c.cid) AS rk
+    FROM e CROSS JOIN c{KM_ITERS} c
+  ) WHERE rk = 1
+)
+"""
+    return sql
+
+
+@register("kmeans_lloyd_embeddings", oracle=_kmeans_oracle())
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k = {KM_K}, {KM_ITERS} fixed rounds, seeds =
+    the first k vectors) over the embedding corpus — the clustering
+    that real IVF/SemDeDup builds refine their seed centroids with,
+    and the engine's sixth iterative-algorithm shape (components,
+    PageRank, k-core, BPE, LPA, and now Lloyd).
+
+    Cross-engine exactness for a FLOAT algorithm: every distance is
+    the dot-product identity ``v·v − 2·v·c + c·c`` whose fold is
+    bitwise-validated against DuckDB's list_dot_product; every
+    centroid dimension is an EXACT integer sum (1e4 fixed-point)
+    divided ONCE into a double — so assignments, ties (smallest cid)
+    and the 3-round fixpoint are bit-for-bit reproducible, and the
+    oracle unrolls the identical rounds. A cluster that empties
+    simply drops out of the next round on both engines.
+
+    Scale shape per round: centroids (k x d doubles) BROADCAST to a
+    map-side argmin expressed as a hash aggregate (max of
+    (-dist, -cid) structs — no per-vector sort window); the update is
+    a (cid, dim)-keyed exact-sum aggregate with map-side combine.
+    Corpus rows are never shuffled for assignment — only the k x d
+    sums move. The classic MLlib plan, minus the RDD API.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+            F.transform(
+                col("embedding"),
+                lambda x: F.round(x.cast("double") * KM_SCALE).cast("bigint"),
+            ).alias("sv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = e.filter(col("vec_id") < KM_K).select(
+        col("vec_id").alias("cid"), col("v").alias("cvec")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = _d2(col("v"), col("cvec"))
+        return (
+            e.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "v",
+                "sv",
+                "cid",
+                F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.any_value(col("v")).alias("v"),
+                F.any_value(col("sv")).alias("sv"),
+                F.max("key").alias("m"),
+            )
+            .select("vec_id", "v", "sv", (-col("m.nc")).cast("bigint").alias("cid"))
+        )
+
+    for _ in range(KM_ITERS):
+        assigned = assign(cent)
+        cnt = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+        sums = (
+            assigned.select("cid", F.posexplode("sv").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("s"))
+        )
+        cent = (
+            sums.join(cnt, "cid")
+            .select(
+                "cid",
+                "d",
+                (col("s").cast("double") / (F.lit(float(KM_SCALE)) * col("n"))).alias(
+                    "c"
+                ),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "c"))), lambda x: x["c"]
+                ).alias("cvec")
+            )
+        )
+
+    d2 = _d2(col("v"), col("cvec"))
+    final = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("key").alias("m"))
+        .select(
+            "vec_id",
+            (-col("m.nc")).cast("bigint").alias("cid"),
+            (-col("m.nd")).alias("sq_dist"),
+        )
+    )
+    return final.select(
+        "vec_id",
+        "cid",
+        F.count("*").over(Window.partitionBy("cid")).cast("bigint").alias(
+            "cluster_size"
+        ),
+        F.round(col("sq_dist"), 6).alias("sq_dist"),
+    )

@@ -214,3 +214,44 @@ def test_gram_matrix_matches_numpy(spark):
         assert r.gram_scaled == expected[r.i, r.j]
         assert r.n_vecs == s.shape[0]
         assert abs(r.cov - cov[r.i, r.j]) < 1e-9
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """The distributed Lloyd rounds must match a numpy re-run of the
+    identical update rule (fixed-point centroid sums, min-cid ties)."""
+    import numpy as np
+
+    from iot_sparkstreaming_spark.queries.similarity import (
+        KM_ITERS,
+        KM_K,
+        KM_SCALE,
+        kmeans_lloyd_embeddings,
+    )
+    from iot_sparkstreaming_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    v = np.array([[float(x) for x in r.embedding] for r in emb])
+    sv = np.round(v * KM_SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, v, sv = ids[order], v[order], sv[order]
+    cent = v[ids < KM_K]
+    cids = ids[ids < KM_K]
+    for _ in range(KM_ITERS):
+        d2 = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = cids[np.argmin(d2, axis=1)]  # argmin takes first=min cid
+        new_c, new_ids = [], []
+        for c in sorted(set(assign)):
+            mask = assign == c
+            new_c.append(sv[mask].sum(axis=0) / (KM_SCALE * mask.sum()))
+            new_ids.append(c)
+        cent, cids = np.array(new_c), np.array(new_ids)
+    d2 = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(ids.tolist(), cids[np.argmin(d2, axis=1)].tolist()))
+    got = {r.vec_id: r.cid for r in kmeans_lloyd_embeddings(spark, SF_DIR).collect()}
+    assert got == want

@@ -68,6 +68,7 @@ SHOWCASE = [
     ("fk_integrity_audit", "child collapses to distinct FK keys before the anti join; small parents broadcast"),
     ("scd2_point_in_time_join", "dimension build on ONE user_id exchange; PIT join is equi on user_id with interval containment as residual filter"),
     ("survival_signup_to_purchase", "three user_id aggs share one partitioning; at-risk window runs over the bucket table, not subjects"),
+    ("kmeans_lloyd_embeddings", "per round: broadcast centroids, hash-agg argmin (no sort window), (cid,dim) exact-sum update — only k*d sums shuffle"),
 ]
 
 

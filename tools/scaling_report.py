@@ -84,6 +84,7 @@ SHOWCASE = [
     ("survival_signup_to_purchase", "3 shared-key aggs + bucket window"),
     ("graph_assortativity_trade", "degree joins + 1-row moments"),
     ("profile_orders_columns", "per-column pruned scans"),
+    ("kmeans_lloyd_embeddings", "3-round broadcast Lloyd"),
 ]
 
 
