@@ -114,6 +114,7 @@ HEADLINE = [
     "graph_assortativity_trade",
     "profile_orders_columns",
     "kmeans_lloyd_embeddings",
+    "ann_ivf_kmeans",
 ]
 
 

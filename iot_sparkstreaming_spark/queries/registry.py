@@ -90,7 +90,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # scd2_point_in_time_join, weighted_sample_per_source,
 # ordered_funnel_users, ab_test_conversion, survival_signup_to_purchase,
 # graph_assortativity_trade, profile_orders_columns,
-# kmeans_lloyd_embeddings —
+# kmeans_lloyd_embeddings, ann_ivf_kmeans —
 # they sit outside the prefix this round and are the first candidates
 # for round 6's rotation.)
 _PRIORITY_PREFIX = [

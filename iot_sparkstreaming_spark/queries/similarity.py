@@ -1064,12 +1064,11 @@ KM_ITERS = 3
 KM_SCALE = 10000  # fixed-point for the exact centroid-sum accumulators
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled fixed-iteration Lloyd: each round is one assignment
-    CTE (argmin squared-L2 via the bitwise-validated dot-product
-    identity, ties to the smallest centroid id) and one update CTE
-    (per-dim EXACT integer sums divided once into double centroids) —
-    the same unroll trick as the PageRank/LPA oracles."""
+def _kmeans_ctes() -> str:
+    """Shared unrolled-Lloyd CTE chain (``e``, ``c0`` … ``c{ITERS}``)
+    — the common prefix of the k-means oracle and the
+    ``ann_ivf_kmeans`` oracle, so both engines provably run the SAME
+    clustering."""
     sql = f"""
 WITH e AS (
   SELECT vec_id,
@@ -1098,8 +1097,17 @@ c{i} AS (
   SELECT s.cid, list(s.s / ({KM_SCALE}.0 * c.n) ORDER BY s.d) AS cvec
   FROM sums{i} s JOIN cnt{i} c USING (cid) GROUP BY s.cid
 )"""
+    return sql
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled fixed-iteration Lloyd: each round is one assignment
+    CTE (argmin squared-L2 via the bitwise-validated dot-product
+    identity, ties to the smallest centroid id) and one update CTE
+    (per-dim EXACT integer sums divided once into double centroids) —
+    the same unroll trick as the PageRank/LPA oracles."""
     d2f = _D2_SQL.format(a="e.v", b="c.cvec")
-    sql += f"""
+    return _kmeans_ctes() + f"""
 SELECT vec_id, cid,
   CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size,
   ROUND(sq_dist, 6) AS sq_dist
@@ -1111,7 +1119,6 @@ FROM (
   ) WHERE rk = 1
 )
 """
-    return sql
 
 
 @register("kmeans_lloyd_embeddings", oracle=_kmeans_oracle())
@@ -1138,67 +1145,8 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus rows are never shuffled for assignment — only the k x d
     sums move. The classic MLlib plan, minus the RDD API.
     """
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
-            F.transform(
-                col("embedding"),
-                lambda x: F.round(x.cast("double") * KM_SCALE).cast("bigint"),
-            ).alias("sv"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    cent = e.filter(col("vec_id") < KM_K).select(
-        col("vec_id").alias("cid"), col("v").alias("cvec")
-    )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        d2 = _d2(col("v"), col("cvec"))
-        return (
-            e.crossJoin(F.broadcast(centroids))
-            .select(
-                "vec_id",
-                "v",
-                "sv",
-                "cid",
-                F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.any_value(col("v")).alias("v"),
-                F.any_value(col("sv")).alias("sv"),
-                F.max("key").alias("m"),
-            )
-            .select("vec_id", "v", "sv", (-col("m.nc")).cast("bigint").alias("cid"))
-        )
-
-    for _ in range(KM_ITERS):
-        assigned = assign(cent)
-        cnt = assigned.groupBy("cid").agg(F.count("*").alias("n"))
-        sums = (
-            assigned.select("cid", F.posexplode("sv").alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(F.sum("x").alias("s"))
-        )
-        cent = (
-            sums.join(cnt, "cid")
-            .select(
-                "cid",
-                "d",
-                (col("s").cast("double") / (F.lit(float(KM_SCALE)) * col("n"))).alias(
-                    "c"
-                ),
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "c"))), lambda x: x["c"]
-                ).alias("cvec")
-            )
-        )
-
+    parts = _kmeans_parts(spark, sf_dir)
+    e, cent = parts["e"], parts["cent"]
     d2 = _d2(col("v"), col("cvec"))
     final = (
         e.crossJoin(F.broadcast(cent))
@@ -1222,4 +1170,198 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size"
         ),
         F.round(col("sq_dist"), 6).alias("sq_dist"),
+    )
+
+
+def _kmeans_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized Lloyd artifacts per (session, sf_dir): the prepared
+    vector frame ``e`` (double + fixed-point views) and the FINAL
+    round-{KM_ITERS} centroid table — the build-once clustering both
+    ``kmeans_lloyd_embeddings`` and ``ann_ivf_kmeans`` consume."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build() -> dict:
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
+            F.transform(
+                col("embedding"),
+                lambda x: F.round(x.cast("double") * KM_SCALE).cast("bigint"),
+            ).alias("sv"),
+        )
+            .localCheckpoint(eager=True)
+        )
+        cent = e.filter(col("vec_id") < KM_K).select(
+            col("vec_id").alias("cid"), col("v").alias("cvec")
+        )
+
+        def assign(centroids: DataFrame) -> DataFrame:
+            d2 = _d2(col("v"), col("cvec"))
+            return (
+                e.crossJoin(F.broadcast(centroids))
+                .select(
+                    "vec_id",
+                    "v",
+                    "sv",
+                    "cid",
+                    F.struct(
+                        (-d2).alias("nd"), (-col("cid")).alias("nc")
+                    ).alias("key"),
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.any_value(col("v")).alias("v"),
+                    F.any_value(col("sv")).alias("sv"),
+                    F.max("key").alias("m"),
+                )
+                .select(
+                    "vec_id", "v", "sv", (-col("m.nc")).cast("bigint").alias("cid")
+                )
+            )
+
+        cent_i = cent
+        for _ in range(KM_ITERS):
+            assigned = assign(cent_i)
+            cnt = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+            sums = (
+                assigned.select("cid", F.posexplode("sv").alias("d", "x"))
+                .groupBy("cid", "d")
+                .agg(F.sum("x").alias("s"))
+            )
+            cent_i = (
+                sums.join(cnt, "cid")
+                .select(
+                    "cid",
+                    "d",
+                    (
+                        col("s").cast("double")
+                        / (F.lit(float(KM_SCALE)) * col("n"))
+                    ).alias("c"),
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "c"))),
+                        lambda x: x["c"],
+                    ).alias("cvec")
+                )
+            )
+        return {"e": e, "cent": cent_i.localCheckpoint(eager=True)}
+
+    return session_memo(spark, ("kmeans_parts", sf_dir), build)
+
+
+# ---------------------------------------------------------------------------
+# IVF over Lloyd-refined centroids (clustering -> index composition)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_kmeans_oracle() -> str:
+    d2a = _D2_SQL.format(a="e.v", b="c.cvec")
+    d2s = _D2_SQL.format(a="p.qv", b="f.v")
+    return _kmeans_ctes() + f""",
+fin AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2a}, c.cid) AS rk
+    FROM e CROSS JOIN c{KM_ITERS} c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, cid, qv FROM (
+    SELECT e.vec_id AS query_id, c.cid, e.v AS qv,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2a}, c.cid) AS prk
+    FROM e CROSS JOIN c{KM_ITERS} c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE prk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, f.vec_id AS neighbor_id, {d2s} AS d2
+  FROM probes p JOIN fin f ON f.cid = p.cid
+  WHERE f.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(d2, 6) AS sq_dist, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over LLOYD-REFINED centroids — the production IVF
+    build: ``ann_ivf_cosine`` partitions by raw seed vectors, this
+    one by the k-means fixpoint, which tightens the cells and so the
+    probe recall at the same probe budget. Composition is the point:
+    the memoized clustering artifact (`_kmeans_parts`) becomes the
+    index, exactly how an offline "train centroids -> assign corpus
+    -> serve probes" pipeline stages it.
+
+    Metric is squared L2 (consistent with the clustering), every
+    distance the bitwise-validated dot-product identity; probes and
+    top-k tie-break on ids, so the result is a pure function of the
+    data on both engines — the oracle replays the SAME unrolled
+    Lloyd rounds before searching.
+
+    Scale shape: the corpus-to-cell assignment is one broadcast
+    hash-agg argmin, memoized (in production: written
+    partitionBy(cid)); each query probes {N_PROBE} of {KM_K} cells,
+    so the scoring join touches ~{N_PROBE}/{KM_K} of the corpus,
+    shuffled on the cell id only.
+    """
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    parts = _kmeans_parts(spark, sf_dir)
+    e, cent = parts["e"], parts["cent"]
+
+    def build_assigned() -> DataFrame:
+        d2 = _d2(col("v"), col("cvec"))
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "cid",
+                F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
+            )
+            .groupBy("vec_id")
+            .agg(F.any_value(col("v")).alias("v"), F.max("key").alias("m"))
+            .select("vec_id", "v", (-col("m.nc")).cast("bigint").alias("cid"))
+            .localCheckpoint(eager=True)
+        )
+
+    assigned = session_memo(spark, ("kmeans_ivf_assigned", sf_dir), build_assigned)
+
+    d2p = _d2(col("qv"), col("cvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
+    probes = (
+        e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").alias("query_id"), col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(col("prk") <= N_PROBE)
+        .select("query_id", "qv", "cid")
+    )
+    d2s = _d2(col("qv"), col("v"))
+    scored = (
+        probes.join(assigned, "cid")
+        .filter(col("vec_id") != col("query_id"))
+        .select("query_id", col("vec_id").alias("neighbor_id"), d2s.alias("d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        col("d2").asc(), col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(col("d2"), 6).alias("sq_dist"),
+            col("rk").cast("bigint").alias("rk"),
+        )
     )

@@ -255,3 +255,44 @@ def test_kmeans_matches_numpy_lloyd(spark):
     want = dict(zip(ids.tolist(), cids[np.argmin(d2, axis=1)].tolist()))
     got = {r.vec_id: r.cid for r in kmeans_lloyd_embeddings(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_ivf_kmeans_probe_subset_and_exactness(spark):
+    """Every IVF-kmeans hit must be an exact-L2 true distance, rank
+    within TOP_K per query, never the query itself — and recall vs
+    exhaustive L2 must be positive (probing 2 of 8 Lloyd cells)."""
+    import numpy as np
+
+    from iot_sparkstreaming_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_ivf_kmeans,
+    )
+    from iot_sparkstreaming_spark.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = (
+        load_table(spark, SF_DIR_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vid = np.array([r.vec_id for r in emb])
+    v = np.array([[float(x) for x in r.embedding] for r in emb])
+    rows = ann_ivf_kmeans(spark, SF_DIR_ORACLE).collect()
+    per_q: dict[int, list] = {}
+    idx = {int(i): k for k, i in enumerate(vid)}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rk <= TOP_K
+        true_d2 = float(((v[idx[r.query_id]] - v[idx[r.neighbor_id]]) ** 2).sum())
+        assert abs(r.sq_dist - true_d2) < 1e-4
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert len(per_q) == N_QUERIES
+    hits = total = 0
+    for q, got in per_q.items():
+        d2 = ((v - v[idx[q]]) ** 2).sum(axis=1)
+        d2[idx[q]] = np.inf
+        exact = set(vid[np.argsort(d2)[:TOP_K]].tolist())
+        hits += len(exact & set(got))
+        total += TOP_K
+    assert hits / total > 0.2  # non-trivial recall at 2/8 probes

@@ -85,6 +85,7 @@ SHOWCASE = [
     ("graph_assortativity_trade", "degree joins + 1-row moments"),
     ("profile_orders_columns", "per-column pruned scans"),
     ("kmeans_lloyd_embeddings", "3-round broadcast Lloyd"),
+    ("ann_ivf_kmeans", "Lloyd-cell probe join"),
 ]
 
 
