@@ -115,6 +115,8 @@ HEADLINE = [
     "profile_orders_columns",
     "kmeans_lloyd_embeddings",
     "ann_ivf_kmeans",
+    "kmeans_cluster_quality",
+    "value_drift_report",
 ]
 
 

@@ -2644,3 +2644,89 @@ def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift report between time halves (PSI-style, log-free)
+# ---------------------------------------------------------------------------
+
+DRIFT_ORACLE = """
+WITH bounds AS (
+  SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS mid FROM events
+),
+bucketed AS (
+  SELECT LEAST(4, GREATEST(0, CAST(FLOOR(value / 100.0) AS BIGINT))) AS bucket,
+    CASE WHEN epoch_ms(ts) < bounds.mid THEN 1 ELSE 0 END AS early
+  FROM events, bounds
+),
+cells AS (
+  SELECT bucket,
+    CAST(SUM(early) AS BIGINT) AS n_early,
+    CAST(SUM(1 - early) AS BIGINT) AS n_late
+  FROM bucketed GROUP BY bucket
+),
+tot AS (
+  SELECT bucket, n_early, n_late,
+    SUM(n_early) OVER () AS te, SUM(n_late) OVER () AS tl
+  FROM cells
+)
+SELECT bucket, n_early, n_late,
+  CAST(n_early AS DOUBLE) / te AS share_early,
+  CAST(n_late AS DOUBLE) / tl AS share_late,
+  ABS(CAST(n_early AS DOUBLE) / te - CAST(n_late AS DOUBLE) / tl)
+    AS share_drift
+FROM tot
+"""
+
+
+@register("value_drift_report", oracle=DRIFT_ORACLE)
+def value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: compare the event-value histogram
+    of the EARLY time half against the LATE half (split at the
+    integer midpoint of the observed epoch range) — per bucket,
+    counts, shares, and the absolute share delta. The per-bin view
+    behind PSI/KL drift monitors, kept log-free so every number is an
+    exact count or a single IEEE division and the report hash-checks
+    exactly (the monitor thresholds |Δshare|, which is monotone in
+    each bin's PSI term).
+
+    Scale shape: the epoch bounds collapse to one broadcast row; the
+    histogram is one map-side-combined groupBy to ≤5 cells; the share
+    windows run over those cells only. Two scans total (bounds +
+    histogram) — or one, if the table's min/max ride file footers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(col("ts"))
+    bounds = ev.agg(
+        ((F.min(ms) + F.max(ms)) / F.lit(2)).cast("bigint").alias("mid")
+    )
+    bucket = F.least(
+        F.lit(4), F.greatest(F.lit(0), F.floor(col("value") / 100.0))
+    ).cast("bigint")
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            F.when(ms < col("mid"), 1).otherwise(0).alias("early"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("early").cast("bigint").alias("n_early"),
+            F.sum(F.lit(1) - col("early")).cast("bigint").alias("n_late"),
+        )
+    )
+    tot = cells.select(
+        "*",
+        F.sum("n_early").over(Window.partitionBy()).alias("te"),
+        F.sum("n_late").over(Window.partitionBy()).alias("tl"),
+    )
+    se = col("n_early").cast("double") / col("te")
+    sl = col("n_late").cast("double") / col("tl")
+    return tot.select(
+        "bucket",
+        "n_early",
+        "n_late",
+        se.alias("share_early"),
+        sl.alias("share_late"),
+        F.abs(se - sl).alias("share_drift"),
+    )

@@ -90,7 +90,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # scd2_point_in_time_join, weighted_sample_per_source,
 # ordered_funnel_users, ab_test_conversion, survival_signup_to_purchase,
 # graph_assortativity_trade, profile_orders_columns,
-# kmeans_lloyd_embeddings, ann_ivf_kmeans —
+# kmeans_lloyd_embeddings, ann_ivf_kmeans, kmeans_cluster_quality,
+# value_drift_report —
 # they sit outside the prefix this round and are the first candidates
 # for round 6's rotation.)
 _PRIORITY_PREFIX = [

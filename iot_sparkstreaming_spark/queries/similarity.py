@@ -1365,3 +1365,70 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-cluster quality report off the memoized Lloyd artifacts
+# ---------------------------------------------------------------------------
+
+KMQ_SCALE = 1000000  # fixed-point for order-free inertia sums
+
+
+def _kmeans_quality_oracle() -> str:
+    d2f = _D2_SQL.format(a="e.v", b="c.cvec")
+    return _kmeans_ctes() + f""",
+fin AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2f} AS d2,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2f}, c.cid) AS rk
+    FROM e CROSS JOIN c{KM_ITERS} c
+  ) WHERE rk = 1
+)
+SELECT cid,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(SUM(CAST(ROUND(d2 * {KMQ_SCALE}) AS BIGINT)) AS DOUBLE) / {KMQ_SCALE}
+    AS inertia,
+  ROUND(MAX(d2), 6) AS max_radius_sq
+FROM fin GROUP BY cid
+"""
+
+
+@register("kmeans_cluster_quality", oracle=_kmeans_quality_oracle())
+def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality report for the Lloyd fixpoint: member
+    count, within-cluster inertia (sum of squared distances), and the
+    squared max radius — the numbers that decide k, flag degenerate
+    cells before they become hot IVF lists, and feed elbow plots.
+
+    Determinism trick for a float SUM: each member's squared distance
+    is a double, and doubles summed in shuffle order never hash-match
+    — so every distance is fixed-pointed (round(d2·1e6), exact
+    bigint) BEFORE the aggregate; the integer sum is order-free and
+    divides back once. MAX is order-free as-is. Same discipline as
+    the EWMA/anomaly integer folds, applied to clustering metrics.
+
+    Scale shape: reuses the memoized clustering; one broadcast
+    hash-agg argmin over the corpus, then a k-row aggregate with
+    map-side combine. Nothing but k rows moves after the scan.
+    """
+    parts = _kmeans_parts(spark, sf_dir)
+    e, cent = parts["e"], parts["cent"]
+    d2 = _d2(col("v"), col("cvec"))
+    fin = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("key").alias("m"))
+        .select((-col("m.nc")).cast("bigint").alias("cid"), (-col("m.nd")).alias("d2"))
+    )
+    return fin.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        (
+            F.sum(F.round(col("d2") * KMQ_SCALE).cast("bigint")).cast("double")
+            / KMQ_SCALE
+        ).alias("inertia"),
+        F.round(F.max("d2"), 6).alias("max_radius_sq"),
+    )

@@ -296,3 +296,28 @@ def test_ivf_kmeans_probe_subset_and_exactness(spark):
         hits += len(exact & set(got))
         total += TOP_K
     assert hits / total > 0.2  # non-trivial recall at 2/8 probes
+
+
+def test_kmeans_quality_consistent_with_assignments(spark):
+    """Quality report must reconcile with the per-vector assignment
+    output: identical populations, inertia = sum of (fixed-pointed)
+    member distances, max radius = max member distance."""
+    from collections import Counter
+
+    from iot_sparkstreaming_spark.queries.similarity import (
+        KMQ_SCALE,
+        kmeans_cluster_quality,
+        kmeans_lloyd_embeddings,
+    )
+    from tests.conftest import SF_DIR
+
+    members = kmeans_lloyd_embeddings(spark, SF_DIR).collect()
+    per_cid = Counter(r.cid for r in members)
+    rows = {r.cid: r for r in kmeans_cluster_quality(spark, SF_DIR).collect()}
+    assert {c: r.n_members for c, r in rows.items()} == dict(per_cid)
+    for cid, r in rows.items():
+        ds = [m.sq_dist for m in members if m.cid == cid]
+        # members' sq_dist is rounded to 6 dp, quality fixed-points at
+        # 1e-6 before summing — both within 1e-6/member of raw
+        assert abs(r.inertia - sum(ds)) < len(ds) * 2e-6
+        assert abs(r.max_radius_sq - max(ds)) < 2e-6

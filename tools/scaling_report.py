@@ -86,6 +86,8 @@ SHOWCASE = [
     ("profile_orders_columns", "per-column pruned scans"),
     ("kmeans_lloyd_embeddings", "3-round broadcast Lloyd"),
     ("ann_ivf_kmeans", "Lloyd-cell probe join"),
+    ("kmeans_cluster_quality", "k-row fixed-point inertia agg"),
+    ("value_drift_report", "broadcast bounds + 5-cell agg"),
 ]
 
 
