@@ -395,13 +395,24 @@ def label_propagation(
     convergence check means no per-round driver action, so rounds
     chain lazily into one job.
 
+    A node with NO in-neighbours this round (zero in-degree, or all
+    its in-neighbours were themselves absent upstream) KEEPS its
+    previous label: each round's argmax is left-joined back onto the
+    full label frame with ``coalesce(new, prev)``. Without that, a
+    source-only node silently vanished from the output and its
+    out-edges stopped propagating — wrong for any directed input.
+
     Plan per round: one join of the label frame onto the
     loop-invariant edge list, one (dst, label) count aggregate, one
-    per-dst argmax window. The edge list is ``repartition(src)`` +
+    per-dst argmax window, one coalescing left join back onto the
+    label frame. The edge list is ``repartition(src)`` +
     ``persist()`` — cached WITH partitioning metadata so every round's
     join reuses the exchange (see :func:`pagerank` for why
-    localCheckpoint would defeat this). All arithmetic is integer
-    counts; no floats anywhere.
+    localCheckpoint would defeat this). The label frame is referenced
+    TWICE per round (vote join + coalesce join), so each round's
+    result is persisted — otherwise lineage re-computes the base
+    2^rounds times. All arithmetic is integer counts; no floats
+    anywhere.
     """
     e = edges.select(col(src).alias("a"), col(dst).alias("b"))
     ed = e.repartition("a").persist()
@@ -410,9 +421,8 @@ def label_propagation(
         .union(e.select(col("b").alias("node")))
         .distinct()
         .repartition("node")
-        .persist()
     )
-    labels = nodes.select("node", col("node").alias("label"))
+    labels = nodes.select("node", col("node").alias("label")).persist()
     w = Window.partitionBy("node").orderBy(col("c").desc(), col("label").asc())
     for _ in range(iterations):
         cnt = (
@@ -420,9 +430,14 @@ def label_propagation(
             .groupBy(col("b").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
-        labels = (
+        argmax = (
             cnt.withColumn("rk", F.row_number().over(w))
             .filter(col("rk") == 1)
-            .select("node", "label")
+            .select("node", col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(argmax, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .persist()
         )
     return labels

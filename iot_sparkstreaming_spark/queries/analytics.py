@@ -1927,10 +1927,16 @@ tot AS (
 SELECT event_type, bucket, observed,
   CAST(row_total AS BIGINT) AS row_total,
   CAST(col_total AS BIGINT) AS col_total,
-  CAST(CAST(observed * n - row_total * col_total AS DECIMAL(19,0))
-       * CAST(observed * n - row_total * col_total AS DECIMAL(19,0)) AS DOUBLE)
-    / CAST(row_total * col_total * n AS DOUBLE) AS chi2_term
-FROM tot
+  CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+    / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+       * CAST(n AS DOUBLE)) AS chi2_term
+FROM (
+  SELECT *,
+    CAST(observed AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+      - CAST(row_total AS DECIMAL(19,0)) * CAST(col_total AS DECIMAL(19,0))
+      AS diff
+  FROM tot
+)
 """
 
 
@@ -1940,11 +1946,15 @@ def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-bucket contingency table — the independence test behind
     drift detection and feature-selection over categorical pairs.
 
-    Numeric determinism: the cell term is the exact rational
-    (obs*n - rt*ct)^2 / (rt*ct*n). Numerator diff fits int64 (1e10 at
-    sf0.1) and is cast to DECIMAL(19,0) BEFORE squaring so the square
-    (≤1e20) rides decimal on both engines; one double division at the
-    end is IEEE-correctly-rounded identically. Emitting per-cell rows
+    Numeric determinism AND overflow safety: the cell term is the
+    exact rational (obs*n - rt*ct)^2 / (rt*ct*n). Every factor is
+    cast to DECIMAL(19,0) BEFORE the products (each ≤1e28, riding
+    DECIMAL(38,0) exactly on both engines — int64 products would wrap
+    past ~3e9 events while DuckDB stays exact in HUGEINT), the exact
+    diff is then rounded ONCE to double and squared in IEEE double
+    (a decimal square would exceed 38 digits at extreme scale), and
+    the denominator is a pure left-associated double product — every
+    step identically rounded on both engines. Emitting per-cell rows
     (not SUM over cells) keeps the hash free of summation order.
 
     Scale shape: one hash-aggregate to the ~25-cell contingency table,
@@ -1967,8 +1977,16 @@ def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("observed").over(Window.partitionBy("bucket")).alias("col_total"),
         F.sum("observed").over(Window.partitionBy()).alias("n"),
     )
-    diff = (col("observed") * col("n") - col("row_total") * col("col_total")).cast(
-        "decimal(19,0)"
+    def d19(name: str):  # exact decimal factor, no int64 wraparound
+        return col(name).cast("decimal(19,0)")
+
+    diff = (d19("observed") * d19("n") - d19("row_total") * d19("col_total")).cast(
+        "double"
+    )
+    denom = (
+        col("row_total").cast("double")
+        * col("col_total").cast("double")
+        * col("n").cast("double")
     )
     return tot.select(
         "event_type",
@@ -1976,10 +1994,7 @@ def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed",
         col("row_total").cast("bigint").alias("row_total"),
         col("col_total").cast("bigint").alias("col_total"),
-        (
-            (diff * diff).cast("double")
-            / (col("row_total") * col("col_total") * col("n")).cast("double")
-        ).alias("chi2_term"),
+        (diff * diff / denom).alias("chi2_term"),
     )
 
 
@@ -2069,9 +2084,12 @@ SELECT
   CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
   CAST(MAX(CASE WHEN rn = (k + 1) // 2 THEN cnt END) AS BIGINT) AS p50_key_rows,
   CAST(MAX(CASE WHEN rn = k - (k - 1) // 10 THEN cnt END) AS BIGINT) AS p90_key_rows,
-  CAST(MAX(cnt) * MAX(k) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS skew_ratio,
-  CAST(2 * SUM(rn * cnt) - (MAX(k) + 1) * MAX(total) AS DOUBLE)
-    / CAST(MAX(k) * MAX(total) AS DOUBLE) AS gini
+  CAST(MAX(cnt) AS DOUBLE) * CAST(MAX(k) AS DOUBLE)
+    / CAST(MAX(total) AS DOUBLE) AS skew_ratio,
+  CAST(2 * SUM(CAST(rn AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+       - (MAX(CAST(k AS DECIMAL(19,0))) + 1) * MAX(CAST(total AS DECIMAL(19,0)))
+       AS DOUBLE)
+    / (CAST(MAX(k) AS DOUBLE) * CAST(MAX(total) AS DOUBLE)) AS gini
 FROM ranked
 """
 
@@ -2086,9 +2104,13 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     max/mean skew ratio, and the Gini coefficient of the key
     histogram (2·Σ rn·cnt − (k+1)·Σcnt) / (k·Σcnt).
 
-    Numeric determinism: every moment is an exact integer; the two
-    doubles are single IEEE divisions of exactly-computed integers.
-    The rank ties break on user_id so rn·cnt is well-defined.
+    Numeric determinism AND overflow safety: the Gini numerator
+    2·Σ rn·cnt − (k+1)·Σcnt accumulates in DECIMAL(38,0) (rn·cnt as a
+    decimal product — an int64 accumulation would silently wrap once
+    k·Σcnt nears 2^63 while DuckDB stays exact in HUGEINT); the
+    ratios are left-associated double products/divisions of
+    identically-rounded factors on both engines. The rank ties break
+    on user_id so rn·cnt is well-defined.
 
     Scale shape: groupBy(user_id) collapses 100 TB to one row per
     key (map-side combine); the rank + report run on the collapsed
@@ -2113,14 +2135,18 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_key_rows"),
         (
-            (F.max("cnt") * F.max("k")).cast("double") / F.max("total").cast("double")
+            F.max("cnt").cast("double")
+            * F.max("k").cast("double")
+            / F.max("total").cast("double")
         ).alias("skew_ratio"),
         (
             (
-                F.lit(2) * F.sum(col("rn") * col("cnt"))
-                - (F.max("k") + 1) * F.max("total")
+                F.lit(2)
+                * F.sum(col("rn").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+                - (F.max(col("k").cast("decimal(19,0)")) + 1)
+                * F.max(col("total").cast("decimal(19,0)"))
             ).cast("double")
-            / (F.max("k") * F.max("total")).cast("double")
+            / (F.max("k").cast("double") * F.max("total").cast("double"))
         ).alias("gini"),
     )
 

@@ -1365,6 +1365,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+weighted_sample_per_source.__doc__ = weighted_sample_per_source.__doc__.replace(
+    "{WEIGHTED_SAMPLE_K}", str(WEIGHTED_SAMPLE_K)
+)
+
+
 # ---------------------------------------------------------------------------
 # Ordered funnel: stages must happen in temporal sequence per user
 # ---------------------------------------------------------------------------

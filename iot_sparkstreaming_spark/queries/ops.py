@@ -104,6 +104,13 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+snapshot_diff_orders.__doc__ = (
+    snapshot_diff_orders.__doc__.replace("{INS_MOD}", str(INS_MOD))
+    .replace("{UPD_MOD}", str(UPD_MOD))
+    .replace("{DEL_MOD}", str(DEL_MOD))
+)
+
+
 # ---------------------------------------------------------------------------
 # Referential-integrity audit across the TPC-H foreign-key graph
 # ---------------------------------------------------------------------------

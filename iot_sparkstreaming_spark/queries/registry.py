@@ -18,7 +18,7 @@ Queries whose semantics are not ANSI-SQL-expressible register
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,71 +59,61 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # * round 4 promoted the never-yet-checked tail — TPC-H (24) and
 #   functions (12) — plus the 12 events-consuming queries: 49/50 green
 #   (q12 hash-only, an oracle HUGEINT typing bug, since cast);
-# * round 5 closes the books: the 16 queries with no external row ever
-#   (7 analytics + the 9-query mining family), the 9 whose last
-#   external row is red (8 analytics red in r3's events crash and not
-#   re-windowed in r4, plus q12 to prove the cast fix), the 8
-#   reference-pipeline queries (core contract, continuously checked),
-#   and the 17 queries NEW in round 5:
-#   16 + 9 + 8 + 17 = exactly the 50-query window. After this
-#   round every registered query has ≥1 external row: every r5-new
-#   query is in-window, and everything displaced to make room
-#   (multimodal_features, dedup_components, ann_lsh_cosine,
-#   dedup_ngram_jaccard, dedup_minhash_lsh, semdedup_cluster_prune,
-#   dedup_embedding_cosine, ann_ivf_cosine) carries a green r2 row,
-#   with its family still in-window via the codec, graph,
-#   inverted-index winnowing, edit-distance dedup, and IVF/PQ
-#   composition queries that consume the same shared machinery and
-#   memoized artifacts.
+# * round 5's window (16 never-checked + 9 last-red + 8 reference
+#   core + 17 new-in-r5) came back 50/50 green (CORRECTNESS_r05.json),
+#   including the q12 oracle-cast proof;
+# * round 6 rotates in the 34 queries that landed after r5's window
+#   was sized and therefore have never had an external row (16
+#   analytics + 7 mining + 4 similarity + 3 ops + 2 codec + 1 text +
+#   1 dedup — the full list below), keeps the 8 reference-pipeline
+#   queries pinned (core contract, continuously checked), and gives
+#   the remaining 8 slots to the queries NEW in round 6. Everything
+#   displaced carries a green r4/r5 row. After this round every
+#   registered query has ≥1 green external CORRECTNESS row.
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
-# (bm25_topk_docs, lm_bigram_likelihood, dup_token_spans,
-# acf_user_value, dedup_span_scrub, vocab_coverage_curve and
-# value_histogram_events, kcore_trade_graph, event_transition_matrix
-# rolling_trend_slope, basket_pair_rules, value_equidepth_bins_events
-# image_png_features and video_y4m_frames landed after the r5
-# window was sized at 50, as did interval_coverage_user,
-# chi2_contingency_cells, pareto_frontier_parts, shuffle_skew_report,
-# label_propagation_communities, embedding_gram_matrix,
-# dedup_incremental_minhash, snapshot_diff_orders, fk_integrity_audit,
-# scd2_point_in_time_join, weighted_sample_per_source,
-# ordered_funnel_users, ab_test_conversion, survival_signup_to_purchase,
-# graph_assortativity_trade, profile_orders_columns,
-# kmeans_lloyd_embeddings, ann_ivf_kmeans, kmeans_cluster_quality,
-# value_drift_report —
-# they sit outside the prefix this round and are the first candidates
-# for round 6's rotation.)
 _PRIORITY_PREFIX = [
-    # -- never externally checked: analytics (7)
-    "band_join_error_near_signup",
-    "pagerank_trade_graph",
-    "scd2_user_dimension",
-    "rollup_minute_to_hour",
-    "window_topk_salted",
-    "stats_correlation",
-    "gapfill_hourly_series",
-    # -- never externally checked: mining (9)
-    "ngram_topk_corpus",
-    "priority_sample_per_source",
-    "oov_rate_per_doc",
-    "quality_gate_composite",
-    "embedding_centroid_per_label",
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "funnel_analysis",
-    "retention_cohorts",
-    # -- last external row red (r3 events crash; q12 oracle cast) (9)
-    "setops_user_cohorts",
-    "asof_click_to_purchase",
-    "range_join_views_before_error",
-    "tumbling_window_hourly",
-    "sliding_avg_1h",
-    "window_rank_family",
-    "setops_multiset_intersect",
-    "setops_multiset_except",
-    "q12_shipping_modes",
-    # -- reference pipeline core (8)
+    # -- never externally checked: analytics tail (16)
+    "acf_user_value",
+    "value_histogram_events",
+    "kcore_trade_graph",
+    "event_transition_matrix",
+    "rolling_trend_slope",
+    "value_equidepth_bins_events",
+    "interval_coverage_user",
+    "chi2_contingency_cells",
+    "pareto_frontier_parts",
+    "shuffle_skew_report",
+    "label_propagation_communities",
+    "scd2_point_in_time_join",
+    "ab_test_conversion",
+    "survival_signup_to_purchase",
+    "graph_assortativity_trade",
+    "value_drift_report",
+    # -- never externally checked: mining (7)
+    "bm25_topk_docs",
+    "lm_bigram_likelihood",
+    "dup_token_spans",
+    "dedup_span_scrub",
+    "basket_pair_rules",
+    "weighted_sample_per_source",
+    "ordered_funnel_users",
+    # -- never externally checked: similarity / k-means family (4)
+    "embedding_gram_matrix",
+    "kmeans_lloyd_embeddings",
+    "ann_ivf_kmeans",
+    "kmeans_cluster_quality",
+    # -- never externally checked: ops (3), codecs (2), text (1),
+    #    dedup (1)
+    "snapshot_diff_orders",
+    "fk_integrity_audit",
+    "profile_orders_columns",
+    "image_png_features",
+    "video_y4m_frames",
+    "vocab_coverage_curve",
+    "dedup_incremental_minhash",
+    # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",
     "user_registration_latest",
@@ -132,29 +122,15 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # new in r5 — brand-new code takes the slots of the simplest
-    # r2-green fillers (rp_project_embeddings, quantize_embeddings_
-    # int8, dedup_exact, dedup_canonical_docs/passages/containment,
-    # multimodal_manifest, knn_bruteforce_cosine, dedup_simhash: map-only,
-    # single-agg, or broadcast-crossjoin shapes, unchanged since
-    # their green rows)
-    "audio_wav_features",
-    "triangle_count_parts",
-    "anomaly_zscore_events",
-    "ewma_user_value",
-    "bigram_lift_topk",
-    "hll_union_region_suppliers",
-    "zorder_locality_events",
-    "approx_quantile_bounds",
-    "image_bmp_features",
-    "variant_events_typed",
-    "cms_heavy_hitters",
-    "ann_pq_adc",
-    "image_bmp_thumbnail",
-    "ann_ivf_pq",
-    "expectations_audit_events",
-    "dedup_edit_distance",
-    "rolling_median_value",
+    # -- new in round 6 (8): brand-new code gets first-exposure slots
+    "bloom_prune_semijoin",
+    "tfidf_cosine_pairs",
+    "salted_skew_join_events",
+    "time_weighted_avg_user",
+    "mad_outlier_per_user",
+    "decile_lift_orders",
+    "seasonal_hour_of_week",
+    "crossfold_assign_docs",
 ]
 
 _MODULE_ORDER = [
@@ -204,4 +180,11 @@ def load_all() -> dict[str, Query]:
             list(QUERIES).index(item[0]),
         )
 
-    return dict(sorted(QUERIES.items(), key=key))
+    # Re-read each function's live __doc__: modules patch constants
+    # into docstrings AFTER the decorator ran (the
+    # ``fn.__doc__.replace("{K}", …)`` pattern), so the doc captured
+    # at registration time can hold raw placeholders.
+    return {
+        n: replace(q, doc=q.spark.__doc__ or "")
+        for n, q in sorted(QUERIES.items(), key=key)
+    }

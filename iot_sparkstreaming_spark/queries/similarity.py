@@ -1173,6 +1173,11 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+kmeans_lloyd_embeddings.__doc__ = kmeans_lloyd_embeddings.__doc__.replace(
+    "{KM_K}", str(KM_K)
+).replace("{KM_ITERS}", str(KM_ITERS))
+
+
 def _kmeans_parts(spark: SparkSession, sf_dir: str) -> dict:
     """Memoized Lloyd artifacts per (session, sf_dir): the prepared
     vector frame ``e`` (double + fixed-point views) and the FINAL
@@ -1365,6 +1370,11 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+ann_ivf_kmeans.__doc__ = ann_ivf_kmeans.__doc__.replace("{KM_K}", str(KM_K)).replace(
+    "{N_PROBE}", str(N_PROBE)
+)
 
 
 # ---------------------------------------------------------------------------

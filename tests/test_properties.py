@@ -652,3 +652,54 @@ def test_label_propagation_property(spark, edges, iters):
             nxt[n] = best[0]
         labels = nxt
     assert got == labels
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_label_propagation_directed_property(spark, edges, iters):
+    """DIRECTED LPA: a node with no in-neighbours keeps its previous
+    label (coalesce semantics) instead of vanishing — checked against
+    a pure-Python simulation on random directed graphs."""
+    from collections import Counter
+
+    from iot_sparkstreaming_spark.operators.graph import label_propagation
+
+    directed = list({(a, b) for a, b in edges})
+    df = spark.createDataFrame(directed, ["a", "b"])
+    got = {r.node: r.label for r in label_propagation(df, iterations=iters).collect()}
+
+    in_nbrs: dict[int, list[int]] = {}
+    nodes = {a for a, _ in directed} | {b for _, b in directed}
+    for a, b in directed:
+        in_nbrs.setdefault(b, []).append(a)
+    labels = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            counts = Counter(labels[m] for m in in_nbrs.get(n, []))
+            if counts:
+                nxt[n] = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            else:
+                nxt[n] = labels[n]
+        labels = nxt
+    assert got == labels
+
+
+def test_label_propagation_directed_chain(spark):
+    """Regression: a→b→c for 2 rounds labels every node 'a'; the old
+    per-round rebuild dropped the zero-in-degree source entirely."""
+    from iot_sparkstreaming_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["a", "b"])
+    got = {r.node: r.label for r in label_propagation(df, iterations=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
