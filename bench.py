@@ -126,6 +126,16 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "kmeans_cluster_quality",
     "value_drift_report",
+    # round 6: sketch-prune join, skew-spread join, lexical kNN,
+    # time-weighted/robust stats, lift table, seasonality, k-fold
+    "bloom_prune_semijoin",
+    "salted_skew_join_events",
+    "tfidf_cosine_pairs",
+    "time_weighted_avg_user",
+    "mad_outlier_per_user",
+    "decile_lift_orders",
+    "seasonal_hour_of_week",
+    "crossfold_assign_docs",
 ]
 
 

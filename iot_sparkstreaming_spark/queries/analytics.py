@@ -2756,3 +2756,356 @@ def value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl.alias("share_late"),
         F.abs(se - sl).alias("share_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted shuffle join (the skew-join demo the salted_join operator backs)
+# ---------------------------------------------------------------------------
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("salted_skew_join_events", oracle=SALTED_JOIN_ORACLE)
+def salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events ⋈ customer-segment dimension executed through
+    ``operators.skew.salted_join`` — the explicit skew-spread shuffle
+    join for the regime where the dimension fits replicated
+    ``n_salts``-fold but not broadcast, and a hot fact key would
+    otherwise pin one reducer (AQE splits oversized partitions, but a
+    single hot KEY is one partition by definition; the salt is what
+    splits it). The fact side salts on event_id (deterministic hash,
+    not rand() — retried tasks must re-produce identical salt), the
+    dimension explodes 16-fold, the join key becomes (user_id, salt).
+
+    The oracle is the PLAIN inner join + aggregate: salting preserves
+    row multiplicity exactly, which is precisely the property under
+    test. Per-segment sums accumulate exact decimals.
+
+    Scale shape: one shuffle of the fact on (user_id, salt) — the hot
+    user's rows now land on 16 reducers — and a 16× dimension
+    replication, still dim-sized. The aggregate rides map-side
+    combine to 5 rows. At 100 TB the alternative plans are broadcast
+    (dimension small enough) or AQE skew-split (hot PARTITION, not
+    hot key); this operator covers the gap between them.
+    """
+    from iot_sparkstreaming_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, key="user_id", salt_from="event_id", n_salts=16)
+    return joined.groupBy(col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) over irregularly-sampled per-user series
+# ---------------------------------------------------------------------------
+
+TWAP_ORACLE = """
+WITH seg AS (
+  SELECT user_id, epoch_ms(ts) AS ms, value,
+    LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+  CAST(SUM(nxt - ms) AS BIGINT) AS span_ms,
+  CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(nxt - ms AS DECIMAL(19,0))) AS DOUBLE)
+    / NULLIF(CAST(SUM(nxt - ms) AS DOUBLE), 0) AS twap
+FROM seg WHERE nxt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("time_weighted_avg_user", oracle=TWAP_ORACLE)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user over an
+    IRREGULARLY-sampled event series — each reading holds until the
+    next one, so its weight is the millisecond gap to the successor
+    (the TWAP every market-data / sensor pipeline computes; a plain
+    AVG over-weights bursts). The last reading per user has no
+    successor and carries zero weight.
+
+    Numeric determinism: value·gap products accumulate as exact
+    decimals (value is exact at 4 decimal places, the gap is integer
+    millis), with ONE double division at the end, NULLIF-guarded for
+    the all-ties degenerate series (span 0 ⇒ NULL on both engines).
+
+    Scale shape: one exchange on user_id feeds the lead window AND
+    the final aggregate (same partitioning, no second shuffle);
+    per-row state is one lead value. 100 TB of events costs its sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seg = (
+        ev.select("user_id", "event_id", ms.alias("ms"), "value")
+        .withColumn("nxt", F.lead("ms").over(w))
+        .filter(col("nxt").isNotNull())
+    )
+    dt = col("nxt") - col("ms")
+    weighted = col("value").cast("decimal(18,4)") * dt.cast("decimal(19,0)")
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(dt).cast("bigint").alias("span_ms"),
+        (
+            F.sum(weighted).cast("double")
+            / F.nullif(F.sum(dt).cast("double"), F.lit(0.0))
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median absolute deviation (MAD) per user
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH r1 AS (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+med AS (
+  SELECT user_id,
+    MAX(CASE WHEN rn = CAST(CEIL(n / 2.0) AS BIGINT) THEN value END) AS med
+  FROM r1 GROUP BY user_id
+),
+d AS (
+  SELECT e.user_id, e.event_id, e.value, m.med, ABS(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.user_id = m.user_id
+),
+r2 AS (
+  SELECT user_id, event_id, dev,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM d
+),
+mad AS (
+  SELECT user_id,
+    MAX(CASE WHEN rn = CAST(CEIL(n / 2.0) AS BIGINT) THEN dev END) AS mad
+  FROM r2 GROUP BY user_id
+)
+SELECT d.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MAX(d.med) AS median,
+  MAX(a.mad) AS mad,
+  CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM d JOIN mad a ON d.user_id = a.user_id
+GROUP BY d.user_id
+"""
+
+
+@register("mad_outlier_per_user", oracle=MAD_ORACLE)
+def mad_outlier_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier report via Median Absolute Deviation —
+    the z-score alternative (``anomaly_zscore_events``) whose center
+    and spread a single wild reading CANNOT drag, which is exactly
+    when you need outlier detection. Flags readings with
+    |v − median| > 3·1.4826·MAD (1.4826 scales MAD to σ under
+    normality).
+
+    Cross-engine exactness: medians are LOWER-median order statistics
+    (rn = ceil(n/2) — the house percentile pattern, no interpolation
+    ambiguity); deviations are single double subtractions; the flag
+    threshold folds constants identically on both engines. Deviation
+    ties (v = med ± x) break on event_id.
+
+    Scale shape: everything partitions by user_id — two rank windows
+    and two joins all ride the SAME exchange (median table is
+    user-count-sized, so its joins are broadcastable); no global
+    sort, no driver state. The two passes are inherent: MAD is a
+    median OF deviations from a median.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    wn = Window.partitionBy("user_id")
+
+    def lower_median(df: DataFrame, order_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(order_col, "event_id")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(col("rn") == F.ceil(col("n") / 2.0).cast("bigint"))
+            .select("user_id", col(order_col).alias(out))
+        )
+
+    med = lower_median(ev, "value", "med")
+    d = ev.join(med, "user_id").withColumn("dev", F.abs(col("value") - col("med")))
+    mad = lower_median(d.select("user_id", "event_id", "dev"), "dev", "mad")
+    return (
+        d.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("med").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(col("dev") > F.lit(3) * F.lit(1.4826) * col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table over customer spend (NTILE + cumulative shares)
+# ---------------------------------------------------------------------------
+
+DECILE_LIFT_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+dec AS (
+  SELECT o_custkey, cents,
+    NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM spend
+),
+agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM dec GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers, decile_cents,
+  CAST(SUM(decile_cents) OVER (ORDER BY decile) AS DOUBLE)
+    / CAST(SUM(decile_cents) OVER () AS DOUBLE) AS cum_share,
+  (CAST(decile_cents AS DOUBLE) / CAST(n_customers AS DOUBLE))
+    / (CAST(SUM(decile_cents) OVER () AS DOUBLE)
+       / CAST(SUM(n_customers) OVER () AS DOUBLE)) AS lift
+FROM agg
+"""
+
+
+@register("decile_lift_orders", oracle=DECILE_LIFT_ORACLE)
+def decile_lift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table over customer spend — rank customers into 10
+    spend deciles (NTILE over exact cents, ties broken by custkey for
+    a total order) and report each decile's size, revenue, cumulative
+    revenue share, and lift (decile mean ÷ population mean): the
+    standard campaign-targeting / whale-analysis readout.
+
+    Numeric determinism: spend is exact integer cents end-to-end;
+    the two ratios are divisions of exactly-computed integers cast to
+    double in a fixed association.
+
+    Scale shape: the fact table collapses to one row per customer
+    first (map-side-combined groupBy); the NTILE window then sorts
+    the DIMENSION-sized spend table — fine for any realistic customer
+    count. For deciles over raw fact rows, use the sampled-bounds
+    pattern (``approx_quantile_bounds``) instead of a global sort;
+    the docstring contrast is the point of keeping both.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(col("o_totalprice") * 100).cast("bigint")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    dec = spend.select(
+        "o_custkey",
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(col("cents").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    w_cum = Window.orderBy("decile")
+    w_all = Window.partitionBy()
+    return agg.select(
+        col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        "decile_cents",
+        (
+            F.sum("decile_cents").over(w_cum).cast("double")
+            / F.sum("decile_cents").over(w_all).cast("double")
+        ).alias("cum_share"),
+        (
+            (col("decile_cents").cast("double") / col("n_customers").cast("double"))
+            / (
+                F.sum("decile_cents").over(w_all).cast("double")
+                / F.sum("n_customers").over(w_all).cast("double")
+            )
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal hour-of-week baseline (calendar-free integer bucketing)
+# ---------------------------------------------------------------------------
+
+SEASONAL_HOW_ORACLE = """
+WITH cells AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000) % 168 AS hour_of_week,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    SUM(CAST(value AS DECIMAL(38,4))) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(hour_of_week AS BIGINT) AS hour_of_week, n_events,
+  CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_value,
+  (CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE))
+    / NULLIF(CAST(SUM(sv) OVER (PARTITION BY event_type) AS DOUBLE)
+             / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 0)
+    AS seasonal_index
+FROM cells
+"""
+
+
+@register("seasonal_hour_of_week", oracle=SEASONAL_HOW_ORACLE)
+def seasonal_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal profile per event type: mean value and
+    seasonal index (cell mean ÷ type mean) for each of the 168 weekly
+    hours — the baseline a seasonal anomaly detector or a
+    capacity-planning dashboard subtracts before looking for drift.
+
+    The bucket is CALENDAR-FREE integer arithmetic — hours since
+    epoch mod 168 (epoch-origin week) — because calendar functions
+    are where engines disagree (DuckDB's dayofweek is 0-Sunday,
+    Spark's 1-Sunday, and both have timezone knobs); integer division
+    of epoch millis is identical everywhere.
+
+    Numeric determinism: per-cell sums are exact decimals; the type
+    marginals are window sums over the 168·|types| AGGREGATED cells
+    (decimal, exact); means and the index are fixed-association
+    double divisions, NULLIF-guarded for a zero-sum type.
+
+    Scale shape: one map-side-combined groupBy collapses the fact
+    table to ≤168·|types| cells; the windows ride those cells. 100 TB
+    in, ~840 rows shuffled.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # integral `div`, not `/`: double division of epoch millis can
+    # round across the bucket boundary; DuckDB's // is exact too.
+    how = F.expr("unix_millis(ts) div 3600000") % 168
+    cells = ev.groupBy(
+        "event_type", how.alias("hour_of_week")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(col("value").cast("decimal(38,4)")).alias("sv"),
+    )
+    wt = Window.partitionBy("event_type")
+    mean_v = col("sv").cast("double") / col("n_events").cast("double")
+    type_mean = F.sum("sv").over(wt).cast("double") / F.sum("n_events").over(wt).cast(
+        "double"
+    )
+    return cells.select(
+        "event_type",
+        col("hour_of_week").cast("bigint").alias("hour_of_week"),
+        "n_events",
+        mean_v.alias("mean_value"),
+        (mean_v / F.nullif(type_mean, F.lit(0.0))).alias("seasonal_index"),
+    )

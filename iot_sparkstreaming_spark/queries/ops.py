@@ -277,3 +277,78 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(c).alias("column_name"), "*")
         out = report if out is None else out.unionByName(report)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style sketch-prune + exact-verify semi-join
+# ---------------------------------------------------------------------------
+
+#: bloom bit-array size (one hash function). Sized ~10× the expected
+#: key count for a useful false-positive rate; the EXACT verify step
+#: makes the result independent of this knob.
+BLOOM_BITS = 4096
+#: dimension predicate selecting the "VIP" customer key set
+BLOOM_ACCTBAL_MIN = 9000
+
+BLOOM_PRUNE_ORACLE = f"""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL_MIN}
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("bloom_prune_semijoin", oracle=BLOOM_PRUNE_ORACLE)
+def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of the orders fact against a selective customer key
+    set, executed as SKETCH-PRUNE THEN EXACT-VERIFY: a Bloom-style bit
+    table (distinct ``hash(key) mod {BLOOM_BITS}`` buckets of the dim
+    keys) broadcasts and prunes the fact map-side first; the
+    survivors — the true matches plus the sketch's false positives —
+    then pass an exact broadcast semi-join that removes the FPs. The
+    oracle is the PLAIN semi-join: the composition is semantically
+    exact regardless of the bit-array size, which is the property
+    under test.
+
+    This is the hand-rolled twin of Spark's runtime bloom-filter join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) and of
+    DPP-style scan pruning: at 100 TB the win is that the ~KB bit
+    table reaches every scan task and drops non-matching rows BEFORE
+    any exchange, so the exact join only sees the pruned stream. When
+    the dim key set itself is broadcastable (as here) the second step
+    is also exchange-free; when it isn't, the verify becomes the only
+    shuffled join and the sketch already removed the bulk of the
+    fact. Revenue accumulates exact integer cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(col("c_acctbal") > BLOOM_ACCTBAL_MIN)
+        .select("c_custkey")
+    )
+    bits = keys.select(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(BLOOM_BITS)).alias("bit")
+    ).distinct()
+    pruned = orders.join(
+        broadcast(bits),
+        F.pmod(F.xxhash64("o_custkey"), F.lit(BLOOM_BITS)) == col("bit"),
+        "leftsemi",
+    )
+    exact = pruned.join(
+        broadcast(keys), col("o_custkey") == col("c_custkey"), "leftsemi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+bloom_prune_semijoin.__doc__ = bloom_prune_semijoin.__doc__.replace(
+    "{BLOOM_BITS}", str(BLOOM_BITS)
+)

@@ -881,3 +881,77 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("encoded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold assignment (train/eval splits that replay)
+# ---------------------------------------------------------------------------
+
+CROSSFOLD_K = 5
+
+CROSSFOLD_ORACLE = f"""
+WITH assigned AS (
+  SELECT source,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % {CROSSFOLD_K} AS BIGINT) AS fold,
+    n_chars
+  FROM documents
+),
+agg AS (
+  SELECT fold, source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM assigned GROUP BY fold, source
+)
+SELECT fold, source, n_docs, sum_chars,
+  CAST(n_docs AS DOUBLE)
+    / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS fold_share
+FROM agg
+"""
+
+
+@register("crossfold_assign_docs", oracle=CROSSFOLD_ORACLE)
+def crossfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {CROSSFOLD_K}-fold cross-validation assignment
+    over the corpus: every document lands in fold
+    ``md5(doc_id)[:8] mod {CROSSFOLD_K}`` — a pure function of the
+    STABLE id (the house md5-prefix pattern shared with
+    priority/weighted sampling), so folds replay identically across
+    runs, engines, and data re-partitions, never depending on row
+    order or a seed table. The report is the fold × source balance
+    sheet (doc count, char mass, within-source share) an eval
+    pipeline checks before trusting a split.
+
+    Scale shape: the assignment is map-only on the scan; one
+    map-side-combined groupBy collapses 100 TB to
+    {CROSSFOLD_K}·|sources| rows; the share window rides those rows.
+    Training-side consumers filter ``fold != i`` map-only with no
+    extra pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % CROSSFOLD_K
+    )
+    agg = docs.groupBy(
+        fold.alias("fold"), "source"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    ws = Window.partitionBy("source")
+    return agg.select(
+        "fold",
+        "source",
+        "n_docs",
+        "sum_chars",
+        (col("n_docs").cast("double") / F.sum("n_docs").over(ws).cast("double")).alias(
+            "fold_share"
+        ),
+    )
+
+
+crossfold_assign_docs.__doc__ = crossfold_assign_docs.__doc__.replace(
+    "{CROSSFOLD_K}", str(CROSSFOLD_K)
+)

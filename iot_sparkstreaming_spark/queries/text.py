@@ -763,3 +763,190 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cut")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical k-NN: tf-idf signature cosine via an inverted index
+# ---------------------------------------------------------------------------
+
+#: stopword cutoff as a FRACTION of the corpus: terms in more than
+#: this share of documents are dropped before signature selection
+#: (an absolute cutoff can't survive a corpus-size change — df ≤ 200
+#: selects 40% of a 500-doc corpus but rare-only terms at 5000 docs)
+COS_MAX_DF_FRAC = 0.4
+#: signature width: top terms per document by tf-idf weight
+COS_SIG_TERMS = 10
+#: fixed-point scale for exact dot/norm accumulation
+COS_FP = 1000000
+#: neighbors reported per document
+COS_TOP_K = 3
+
+COS_PAIRS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+w AS (
+  SELECT tf.doc_id, tf.token,
+    CAST(ROUND(CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / df.df
+               * {COS_FP}) AS BIGINT) AS wfp
+  FROM tf JOIN df ON tf.token = df.token
+  WHERE df.df <= (SELECT COUNT(*) FROM documents) * {COS_MAX_DF_FRAC}
+),
+sig AS (
+  SELECT doc_id, token, wfp FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY wfp DESC, token) AS rk
+    FROM w
+  ) WHERE rk <= {COS_SIG_TERMS}
+),
+nrm AS (
+  SELECT doc_id,
+    SUM(CAST(wfp AS DECIMAL(19,0)) * CAST(wfp AS DECIMAL(19,0))) AS n2
+  FROM sig GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SUM(CAST(a.wfp AS DECIMAL(19,0)) * CAST(b.wfp AS DECIMAL(19,0))) AS dot
+  FROM sig a JOIN sig b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+    CAST(p.dot AS DOUBLE)
+      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+  FROM pairs p
+  JOIN nrm na ON p.doc_a = na.doc_id
+  JOIN nrm nb ON p.doc_b = nb.doc_id
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, cosine FROM scored
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, cosine FROM scored
+)
+SELECT doc_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM sym
+) WHERE rk <= {COS_TOP_K}
+"""
+
+
+@register("tfidf_cosine_pairs", oracle=COS_PAIRS_ORACLE)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical k-nearest-neighbors: for every document, its
+    top-{COS_TOP_K} most similar documents by SPARSE tf-idf signature
+    cosine — the BM25-adjacent lexical complement of
+    ``knn_bruteforce_cosine`` (dense embeddings), generated through an
+    inverted index on terms, never an all-pairs product.
+
+    Semantics: terms in more than {COS_MAX_DF_FRAC:.0%} of the corpus
+    are stopworded BEFORE signature selection (a corpus-RELATIVE
+    cutoff — an absolute one selects 40% of terms at 500 docs and
+    nearly none at 5000); each doc keeps its top-{COS_SIG_TERMS}
+    remaining terms by tf·N/df weight (ties → token); similarity is
+    the cosine of those signatures; output is bounded at
+    {COS_TOP_K}·N rows by a per-doc rank (ties → neighbor_id).
+
+    Numeric determinism: the log-free ratio weight (one double
+    product + division) is rounded ONCE to {COS_FP}-scale fixed
+    point; dots and norms accumulate EXACT decimal products
+    (order-free); sqrt is IEEE-correctly-rounded (unlike log); one
+    final division.
+
+    Scale shape: tokenize once; tf/df are two aggregates on one
+    exploded stream; signature selection caps every doc at
+    {COS_SIG_TERMS} postings so the index is ≤{COS_SIG_TERMS}·N rows;
+    the candidate join's fan-out is Σ df_sig² over signature posting
+    lists — quadratic in DUPLICATE-CLUSTER size (identical docs share
+    identical signatures), which is why a production corpus runs the
+    dedup family first; the final top-k is a per-doc window on the
+    scored pairs. Cites the same inverted-index discipline as
+    winnowing_overlap_pairs (mining.py) and dedup_ngram_jaccard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar literal, like the oracle's subquery
+    w = (
+        tf.join(df, "token")
+        .filter(col("df") <= F.lit(n_docs) * COS_MAX_DF_FRAC)
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                col("tf").cast("double") * F.lit(n_docs) / col("df") * COS_FP
+            )
+            .cast("bigint")
+            .alias("wfp"),
+        )
+    )
+    rk_w = Window.partitionBy("doc_id").orderBy(col("wfp").desc(), "token")
+    sig = (
+        w.withColumn("rk", F.row_number().over(rk_w))
+        .filter(col("rk") <= COS_SIG_TERMS)
+        .drop("rk")
+    )
+    d19 = col("wfp").cast("decimal(19,0)")
+    nrm = sig.groupBy("doc_id").agg(F.sum(d19 * d19).alias("n2"))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (col("a.token") == col("b.token")) & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.sum(
+                col("a.wfp").cast("decimal(19,0)") * col("b.wfp").cast("decimal(19,0)")
+            ).alias("dot")
+        )
+    )
+    na = nrm.alias("na")
+    nb = nrm.alias("nb")
+    scored = (
+        pairs.join(na, col("doc_a") == col("na.doc_id"))
+        .join(nb, col("doc_b") == col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                col("dot").cast("double")
+                / (
+                    F.sqrt(col("na.n2").cast("double"))
+                    * F.sqrt(col("nb.n2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        col("doc_a").alias("doc_id"), col("doc_b").alias("neighbor_id"), "cosine"
+    ).unionAll(
+        scored.select(
+            col("doc_b").alias("doc_id"), col("doc_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    rk_n = Window.partitionBy("doc_id").orderBy(col("cosine").desc(), "neighbor_id")
+    return (
+        sym.withColumn("rk", F.row_number().over(rk_n).cast("bigint"))
+        .filter(col("rk") <= COS_TOP_K)
+        .select("doc_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+tfidf_cosine_pairs.__doc__ = (
+    tfidf_cosine_pairs.__doc__.replace("{COS_SIG_TERMS}", str(COS_SIG_TERMS))
+    .replace("{COS_MAX_DF_FRAC:.0%}", f"{COS_MAX_DF_FRAC:.0%}")
+    .replace("{COS_FP}", str(COS_FP))
+    .replace("{COS_TOP_K}", str(COS_TOP_K))
+)

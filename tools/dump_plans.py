@@ -69,6 +69,12 @@ SHOWCASE = [
     ("scd2_point_in_time_join", "dimension build on ONE user_id exchange; PIT join is equi on user_id with interval containment as residual filter"),
     ("survival_signup_to_purchase", "three user_id aggs share one partitioning; at-risk window runs over the bucket table, not subjects"),
     ("kmeans_lloyd_embeddings", "per round: broadcast centroids, hash-agg argmin (no sort window), (cid,dim) exact-sum update — only k*d sums shuffle"),
+    ("bloom_prune_semijoin", "KB-sized bloom bit table broadcasts and prunes the fact map-side BEFORE any exchange; exact broadcast semi-join removes the sketch's false positives"),
+    ("salted_skew_join_events", "fact shuffles on (user_id, salt) so a hot key spans 16 reducers; dimension explodes 16x but stays dim-sized; aggregate combines map-side"),
+    ("tfidf_cosine_pairs", "signature selection caps the inverted index at 10 postings/doc; candidate pairs only from shared-term joins; per-doc top-k window bounds output"),
+    ("time_weighted_avg_user", "ONE user_id exchange feeds the lead() window AND the final aggregate — no second shuffle"),
+    ("mad_outlier_per_user", "two rank windows and two median joins all ride the same user_id partitioning; median tables broadcast"),
+    ("seasonal_hour_of_week", "fact collapses to <=168*|types| cells map-side; marginal windows run over the cell table only"),
 ]
 
 

@@ -88,6 +88,14 @@ SHOWCASE = [
     ("ann_ivf_kmeans", "Lloyd-cell probe join"),
     ("kmeans_cluster_quality", "k-row fixed-point inertia agg"),
     ("value_drift_report", "broadcast bounds + 5-cell agg"),
+    ("bloom_prune_semijoin", "bloom prune + exact verify"),
+    ("salted_skew_join_events", "16-salt skew-spread join"),
+    ("tfidf_cosine_pairs", "signature inverted-index kNN"),
+    ("time_weighted_avg_user", "lead window + agg, one exchange"),
+    ("mad_outlier_per_user", "two median passes, one key"),
+    ("decile_lift_orders", "dim-sized NTILE lift table"),
+    ("seasonal_hour_of_week", "168-cell seasonal profile"),
+    ("crossfold_assign_docs", "map-only md5 fold assignment"),
 ]
 
 
