@@ -136,6 +136,12 @@ HEADLINE = [
     "decile_lift_orders",
     "seasonal_hour_of_week",
     "crossfold_assign_docs",
+    # round 6 batch 2 (clustering_coefficient_parts stays off the
+    # headline for the same near-complete-fixture reason as its
+    # sibling triangle_count_parts)
+    "simpson_diversity_user",
+    "benford_first_digit_orders",
+    "session_window_events",
 ]
 
 

@@ -3109,3 +3109,278 @@ def seasonal_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_v.alias("mean_value"),
         (mean_v / F.nullif(type_mean, F.lit(0.0))).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of event types per user (log-free entropy analog)
+# ---------------------------------------------------------------------------
+
+SIMPSON_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+  CAST(SUM(n) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  1 - CAST(SUM(n * (n - 1)) AS DOUBLE)
+      / NULLIF(CAST(SUM(n) * (SUM(n) - 1) AS DOUBLE), 0) AS simpson
+FROM c
+GROUP BY user_id
+"""
+
+
+@register("simpson_diversity_user", oracle=SIMPSON_ORACLE)
+def simpson_diversity_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as the unbiased Simpson index
+    1 − Σ nᵢ(nᵢ−1)/(N(N−1)) over event-type counts — the standard
+    log-FREE diversity measure (Shannon entropy needs log, which is
+    not bitwise-portable across libm implementations; Simpson is an
+    exact rational, so it hashes identically on any engine). 0 = all
+    activity one type, →1 = evenly spread; the single-event
+    degenerate case is NULL via the NULLIF guard on both engines.
+
+    Scale shape: two cascaded map-side-combined aggregates —
+    (user, type) counts, then the per-user moments — both on the
+    user_id key; one exchange total, integer arithmetic until one
+    final division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        (
+            F.lit(1)
+            - F.sum(col("n") * (col("n") - 1)).cast("double")
+            / F.nullif(
+                (F.sum("n") * (F.sum("n") - 1)).cast("double"), F.lit(0.0)
+            )
+        ).alias("simpson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals (fraud/quality screen)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9 as literal constants — identical
+#: literals on both engines, no runtime log anywhere
+BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.17609, 3: 0.12494, 4: 0.09691, 5: 0.07918,
+    6: 0.06695, 7: 0.05799, 8: 0.05115, 9: 0.04576,
+}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_EXPECTED.items()
+) + " END"
+
+BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS first_digit
+  FROM orders
+),
+agg AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+  FROM d GROUP BY first_digit
+)
+SELECT first_digit, n_orders,
+  CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+  CAST({_BENFORD_CASE} AS DOUBLE) AS expected_share,
+  ABS(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+      - CAST({_BENFORD_CASE} AS DOUBLE)) AS abs_dev
+FROM agg
+"""
+
+
+@register("benford_first_digit_orders", oracle=BENFORD_ORACLE)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic forensic / data-quality screen for fabricated or
+    truncated monetary values (naturally-occurring amounts follow
+    P(d) = log10(1+1/d); synthetic uniform fixtures visibly don't,
+    which the report shows honestly).
+
+    Cross-engine exactness: the digit comes from the DECIMAL STRING
+    of exact integer cents (bigint→string is identical everywhere;
+    first-char-of-double formatting is NOT), and the expected shares
+    are baked literal constants — no runtime log10. Shares and
+    deviations are fixed-association double divisions.
+
+    Scale shape: map-only digit extraction fused into the scan, one
+    9-cell map-side-combined aggregate, window total over 9 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(col("o_totalprice") * 100).cast("bigint")
+    d = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("first_digit")
+    )
+    agg = d.groupBy("first_digit").agg(F.count("*").cast("bigint").alias("n_orders"))
+    agg = agg.withColumn(
+        "total", F.sum("n_orders").over(Window.partitionBy()).cast("bigint")
+    )
+    share = col("n_orders").cast("double") / col("total").cast("double")
+    expected = F.expr(_BENFORD_CASE).cast("double")
+    return agg.select(
+        "first_digit",
+        "n_orders",
+        share.alias("share"),
+        expected.alias("expected_share"),
+        F.abs(share - expected).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+LCC_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM p e1
+  JOIN p e2 ON e2.u = e1.v
+  JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+  )
+  GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM p UNION ALL SELECT v AS node FROM p)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+  COALESCE(t.n_triangles, 0) AS n_triangles,
+  CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+    / NULLIF(CAST(d.degree * (d.degree - 1) AS DOUBLE), 0) AS lcc
+FROM deg d LEFT JOIN tri t ON d.node = t.node
+"""
+
+
+@register("clustering_coefficient_parts", oracle=LCC_ORACLE)
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2·t(v)/(deg(v)·(deg(v)−1)) per
+    part over the co-purchase graph — how tightly each product's
+    co-purchase neighborhood interlinks, the node-level community
+    signal that complements the global counts of
+    ``triangle_count_parts`` and the assortativity summary.
+
+    Exact rational: triangle counts come from the degree-ordered
+    orientation (operators/graph.py triangle_counts, m^1.5-bounded
+    wedge work), degrees from one aggregate over both edge endpoint
+    projections; the coefficient is one double division of exact
+    bigints, NULLIF-NULL for degree-1 nodes on both engines.
+
+    Scale note: shares triangle_count_parts' fixture caveat — the
+    uniform co-purchase fixture is near-complete at sf0.1, so the
+    oracle row checks sf0.01 and the query stays off the bench
+    headline, like its sibling.
+    """
+    from iot_sparkstreaming_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(col("l_orderkey").alias("o"), col("l_partkey").alias("u"))
+    b = li.select(col("l_orderkey").alias("o"), col("l_partkey").alias("v"))
+    edges = a.join(b, "o").filter(col("u") < col("v")).select("u", "v").distinct()
+    tri = triangle_counts(edges)
+    deg = (
+        edges.select(col("u").alias("node"))
+        .unionAll(edges.select(col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    t = F.coalesce(col("n_triangles"), F.lit(0)).cast("bigint")
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        (
+            (F.lit(2) * t).cast("double")
+            / F.nullif((col("degree") * (col("degree") - 1)).cast("double"), F.lit(0.0))
+        ).alias("lcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window sessionization (the operator-native twin)
+# ---------------------------------------------------------------------------
+
+SESSION_WINDOW_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= {SESSION_GAP_MS}
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts) + INTERVAL {SESSION_GAP_MS // 1000} SECOND,
+           '%Y-%m-%d %H:%M:%S') AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+@register("session_window_events", oracle=SESSION_WINDOW_ORACLE)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's BUILT-IN ``session_window``
+    grouping — the operator-native twin of the hand-rolled
+    gaps-and-islands ``sessionize_events``. One groupBy on
+    (user_id, session_window(ts, 30 min)): the engine merges
+    overlapping [ts, ts+gap) windows itself, the same machinery that
+    powers session aggregation in Structured Streaming, so the batch
+    query here is literally the streaming query's plan shape.
+
+    Boundary semantics differ from the LAG formulation by design and
+    the oracle encodes them honestly: ``session_window`` closes a
+    session when the next event is ≥ gap away (half-open windows),
+    while sessionize_events breaks on > gap — the oracle's
+    gaps-and-islands uses >= and adds the gap to MAX(ts) to mirror
+    window.end = last_event + gap. Timestamps format to strings so
+    the hash is timezone-repr-free.
+
+    Scale shape: one shuffle on user_id; the session merge is a sort
+    within partitions — the same single-exchange plan as the manual
+    formulation, with the merge loop in native code instead of two
+    window passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(col("ts"), f"{SESSION_GAP_MS // 1000} seconds")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -73,6 +73,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
+# (simpson_diversity_user, benford_first_digit_orders,
+# clustering_coefficient_parts and session_window_events landed after
+# round 6's window was sized at 50 — they sit outside the prefix and
+# are the first candidates for round 7's rotation.)
 _PRIORITY_PREFIX = [
     # -- never externally checked: analytics tail (16)
     "acf_user_value",

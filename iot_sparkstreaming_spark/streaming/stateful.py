@@ -586,3 +586,103 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TWAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("span_ms", T.LongType()),
+        T.StructField("twap", T.DoubleType()),
+    ]
+)
+
+
+def streaming_twap(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average as a stateful streaming
+    operator — the STREAMING twin of the batch
+    ``time_weighted_avg_user`` (queries/analytics.py). The batch query
+    weights each reading by the gap to its SUCCESSOR (a lead window);
+    the stream can't see the future, so it folds the telescoped
+    equivalent: when event i arrives, the PREVIOUS reading's value
+    accrues over (ts_i − ts_{i−1}) — the same total, accumulated
+    backward. Emits one row per event with the TWAP so far; the last
+    row per user equals the batch row exactly (pinned by
+    tests/test_stateful.py).
+
+    State is O(1) per user: (prev_ms, prev value in 1e4 fixed point,
+    running Σ value·gap in the same fixed point, Σ gap, interval
+    count). The quotient
+    is reproduced bitwise against the batch's decimal→double path by
+    rounding acc/10⁴ ONCE to double via Fraction (correctly rounded,
+    exactly like the decimal cast) before the IEEE division.
+
+    Input columns: ``user_id``, ``event_id``, ``ts``, ``value``.
+    In-order-feed contract within and across micro-batches, same as
+    ``streaming_ewma``.
+    """
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        from fractions import Fraction
+
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            prev_ms, prev_vfp, acc, sum_dt, n_iv = state.get
+        else:
+            prev_ms = prev_vfp = None
+            acc = sum_dt = n_iv = 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, value in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                ms = int(ts.value // 1_000_000)
+                vfp = round(float(value) * 10000)
+                if prev_ms is not None:
+                    dt = ms - prev_ms
+                    acc += prev_vfp * dt
+                    sum_dt += dt
+                    n_iv += 1
+                prev_ms, prev_vfp = ms, vfp
+                twap = (
+                    float(Fraction(acc, 10000)) / float(sum_dt)
+                    if sum_dt > 0
+                    else None
+                )
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "event_id": int(eid),
+                        "n_intervals": n_iv,
+                        "span_ms": sum_dt,
+                        "twap": twap,
+                    }
+                )
+        state.update((prev_ms, prev_vfp, acc, sum_dt, n_iv))
+        yield pd.DataFrame(out, columns=[f.name for f in TWAP_OUTPUT_SCHEMA])
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TWAP_OUTPUT_SCHEMA,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("prev_ms", T.LongType()),
+                    T.StructField("prev_vfp", T.LongType()),
+                    T.StructField("acc", T.LongType()),
+                    T.StructField("sum_dt", T.LongType()),
+                    T.StructField("n_iv", T.LongType()),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -536,3 +536,57 @@ def test_streaming_funnel_twin_parity(spark, tmp_path):
     for uid, (depth, *_rest) in got.items():
         if uid not in want:
             assert depth == 0
+
+
+def test_streaming_twap_twin_parity(spark, tmp_path):
+    """The stateful TWAP stream's LAST row per user must equal the
+    batch time_weighted_avg_user lead-window query bitwise — including
+    the interval that spans the micro-batch boundary (held as the
+    O(1) (prev_ms, prev_value) state)."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import time_weighted_avg_user
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_twap
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_twap(stream)
+        .writeStream.format("memory")
+        .queryName("twap_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT * FROM twap_twin").count()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1.parquet"))
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT user_id, n_intervals, span_ms, twap FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_intervals DESC) rk
+                 FROM twap_twin) WHERE rk = 1"""
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {r.user_id: (r.n_intervals, r.span_ms, r.twap) for r in rows}
+    want = {
+        r.user_id: (r.n_intervals, r.span_ms, r.twap)
+        for r in time_weighted_avg_user(spark, sf_dir).collect()
+    }
+    assert 0 < n_first < sum(n for n, _, _ in want.values()) + len(want)
+    # streaming emits a zero-interval first row per user; the batch
+    # query has no row for a user until an interval closes
+    got = {u: v for u, v in got.items() if v[0] > 0}
+    assert got == want

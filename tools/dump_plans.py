@@ -75,6 +75,8 @@ SHOWCASE = [
     ("time_weighted_avg_user", "ONE user_id exchange feeds the lead() window AND the final aggregate — no second shuffle"),
     ("mad_outlier_per_user", "two rank windows and two median joins all ride the same user_id partitioning; median tables broadcast"),
     ("seasonal_hour_of_week", "fact collapses to <=168*|types| cells map-side; marginal windows run over the cell table only"),
+    ("session_window_events", "built-in session_window merge: ONE user_id exchange, session merge inside the sort — no LAG/SUM window cascade"),
+    ("simpson_diversity_user", "two cascaded map-side-combined aggregates on one user_id key; integer moments until one division"),
 ]
 
 

@@ -96,6 +96,9 @@ SHOWCASE = [
     ("decile_lift_orders", "dim-sized NTILE lift table"),
     ("seasonal_hour_of_week", "168-cell seasonal profile"),
     ("crossfold_assign_docs", "map-only md5 fold assignment"),
+    ("simpson_diversity_user", "two-stage diversity moments"),
+    ("benford_first_digit_orders", "map-only digit + 9-cell agg"),
+    ("session_window_events", "native session_window merge"),
 ]
 
 
