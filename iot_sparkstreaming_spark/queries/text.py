@@ -835,6 +835,56 @@ FROM (
 """
 
 
+def _tfidf_signature(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized lexical-retrieval index per (session, sf_dir): the
+    top-{COS_SIG_TERMS} tf-idf signature postings and per-doc squared
+    norms. Build-once/query-many, like the LSH band and IVF
+    assignment tables (similarity.py) — consumers pay only the
+    candidate join."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build() -> dict:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
+            ).alias("token"),
+        )
+        tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+        df = tf.groupBy("token").agg(F.count("*").alias("df"))
+        n_docs = docs.count()  # scalar literal, like the oracle's subquery
+        w = (
+            tf.join(df, "token")
+            .filter(col("df") <= F.lit(n_docs) * COS_MAX_DF_FRAC)
+            .select(
+                "doc_id",
+                "token",
+                F.round(
+                    col("tf").cast("double") * F.lit(n_docs) / col("df") * COS_FP
+                )
+                .cast("bigint")
+                .alias("wfp"),
+            )
+        )
+        rk_w = Window.partitionBy("doc_id").orderBy(col("wfp").desc(), "token")
+        sig = (
+            w.withColumn("rk", F.row_number().over(rk_w))
+            .filter(col("rk") <= COS_SIG_TERMS)
+            .drop("rk")
+            .localCheckpoint(eager=True)
+        )
+        d19 = col("wfp").cast("decimal(19,0)")
+        nrm = (
+            sig.groupBy("doc_id")
+            .agg(F.sum(d19 * d19).alias("n2"))
+            .localCheckpoint(eager=True)
+        )
+        return {"sig": sig, "nrm": nrm}
+
+    return session_memo(spark, ("tfidf_signature", sf_dir), build)
+
+
 @register("tfidf_cosine_pairs", oracle=COS_PAIRS_ORACLE)
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical k-nearest-neighbors: for every document, its
@@ -857,47 +907,22 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free); sqrt is IEEE-correctly-rounded (unlike log); one
     final division.
 
-    Scale shape: tokenize once; tf/df are two aggregates on one
-    exploded stream; signature selection caps every doc at
-    {COS_SIG_TERMS} postings so the index is ≤{COS_SIG_TERMS}·N rows;
-    the candidate join's fan-out is Σ df_sig² over signature posting
-    lists — quadratic in DUPLICATE-CLUSTER size (identical docs share
-    identical signatures), which is why a production corpus runs the
-    dedup family first; the final top-k is a per-doc window on the
-    scored pairs. Cites the same inverted-index discipline as
+    Scale shape: the signature+norm tables are a build-once/query-many
+    retrieval index, so they are session-memoized and materialized
+    (`_tfidf_signature`, same lifecycle as the LSH/IVF index tables —
+    bench cold_queries shows the build cost); the build tokenizes
+    once with tf/df as two aggregates on one exploded stream, and
+    signature selection caps every doc at {COS_SIG_TERMS} postings so
+    the index is ≤{COS_SIG_TERMS}·N rows. The candidate join's
+    fan-out is Σ df_sig² over signature posting lists — quadratic in
+    DUPLICATE-CLUSTER size (identical docs share identical
+    signatures), which is why a production corpus runs the dedup
+    family first; the final top-k is a per-doc window on the scored
+    pairs. Cites the same inverted-index discipline as
     winnowing_overlap_pairs (mining.py) and dedup_ngram_jaccard.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(col("text")), F.lit("([a-z0-9]+)"), 1)
-        ).alias("token"),
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = docs.count()  # scalar literal, like the oracle's subquery
-    w = (
-        tf.join(df, "token")
-        .filter(col("df") <= F.lit(n_docs) * COS_MAX_DF_FRAC)
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                col("tf").cast("double") * F.lit(n_docs) / col("df") * COS_FP
-            )
-            .cast("bigint")
-            .alias("wfp"),
-        )
-    )
-    rk_w = Window.partitionBy("doc_id").orderBy(col("wfp").desc(), "token")
-    sig = (
-        w.withColumn("rk", F.row_number().over(rk_w))
-        .filter(col("rk") <= COS_SIG_TERMS)
-        .drop("rk")
-    )
-    d19 = col("wfp").cast("decimal(19,0)")
-    nrm = sig.groupBy("doc_id").agg(F.sum(d19 * d19).alias("n2"))
+    parts = _tfidf_signature(spark, sf_dir)
+    sig, nrm = parts["sig"], parts["nrm"]
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (
