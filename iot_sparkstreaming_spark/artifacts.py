@@ -1,0 +1,246 @@
+"""Parquet-backed store for build-once derived artifacts.
+
+``tables.session_memo`` keeps expensive derived frames (inverted
+indexes, LSH band tables, Lloyd centroids, n-gram LM counts, …) alive
+for the lifetime of ONE SparkSession — the materialized-view pattern.
+But the memo dies with the session object, so every new driver /
+bench / test process pays the full cold build again: ~94 s at sf0.1,
+hours at the 100-TB scale the docstrings target. Production retrieval
+systems train/build ONCE and serve many sessions; this module adds
+that layer.
+
+``artifact_memo(spark, (name, sf_dir), build)`` is a drop-in
+replacement for ``session_memo`` with a disk tier underneath:
+
+* **content-addressed**: the cache key is a fingerprint of (a) every
+  byte of the input tables under ``sf_dir`` and (b) the builder's own
+  source plus its primitive closure constants — so regenerated
+  testdata OR an edited builder auto-invalidates, with no version
+  counter to forget to bump. Stale artifacts can never serve: a
+  changed input or changed code hashes to a different directory.
+* **structure-aware**: builders return a DataFrame, a dict, or a
+  tuple whose leaves are DataFrames and JSON scalars (the three
+  shapes the query modules use); each DataFrame leaf round-trips
+  through parquet (exact for double/decimal/bigint/string/array —
+  the engine's own storage codec), scalars ride the meta JSON.
+* **atomic + concurrent-safe**: writes land in a tempdir sibling and
+  ``os.rename`` into place, so a crashed or racing writer can never
+  expose a half-written artifact; losers of the race just keep their
+  in-session copy.
+* **fail-open**: any I/O problem (read-only disk, missing store,
+  concurrent prune) degrades to the plain session memo — the disk
+  tier is a pure accelerator, never a correctness dependency.
+
+Layout: ``$SPARK_GRAFT_ARTIFACTS`` (default
+``<repo>/spark-warehouse/artifacts``)``/<name>/<sfbase>-<fp16>/``
+holding ``meta.json`` plus one parquet directory per DataFrame leaf.
+Old fingerprints of the same (name, sfbase) are pruned on successful
+save — the store holds at most one live generation per artifact per
+scale.
+
+At 100 TB this is the train-once/serve-many posture the ANN/IVF
+docstrings describe: index construction is a scheduled job writing to
+shared storage; query sessions pay one parquet load.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FP_CACHE: dict[str, str] = {}
+
+#: bump to invalidate every artifact at once (serialization-format
+#: changes, not builder-semantics changes — those self-invalidate).
+_FORMAT_VERSION = 1
+
+
+def store_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, "spark-warehouse", "artifacts")
+
+
+def _sf_fingerprint(sf_dir: str) -> str:
+    """sha256 over the full content of every parquet file under
+    ``sf_dir`` (sorted by relative path). Content-addressed on
+    purpose: mtimes change when a driver regenerates identical
+    testdata, and a mtime-keyed store would go needlessly cold every
+    round. Memoized per process — the harness inputs are ≤ tens of
+    MB; at production scale swap this for the table format's own
+    snapshot/transaction id."""
+    key = os.path.abspath(sf_dir)
+    if key in _FP_CACHE:
+        return _FP_CACHE[key]
+    h = hashlib.sha256()
+    for root, dirs, files in sorted(os.walk(sf_dir)):
+        dirs.sort()
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            h.update(os.path.relpath(p, sf_dir).encode())
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+    _FP_CACHE[key] = h.hexdigest()
+    return _FP_CACHE[key]
+
+
+def _builder_token(builder) -> str:
+    """Hashable identity of the builder's CODE: its source text plus
+    the repr of any primitive closure constants (thresholds, k's,
+    band counts captured from module scope ride the source itself;
+    captured primitives ride the closure). Editing the builder — or
+    a constant it closes over — moves the fingerprint, so a stale
+    artifact built by old code can never answer for new code."""
+    try:
+        src = inspect.getsource(builder)
+    except (OSError, TypeError):
+        src = getattr(builder, "__qualname__", repr(builder))
+    consts = []
+    for cell in builder.__closure__ or ():
+        try:
+            v = cell.cell_contents
+        except ValueError:
+            continue
+        if isinstance(v, (int, float, str, bool, bytes)) or v is None:
+            consts.append(repr(v))
+        elif isinstance(v, tuple) and all(
+            isinstance(x, (int, float, str, bool)) for x in v
+        ):
+            consts.append(repr(v))
+    return src + "\x00" + "|".join(sorted(consts))
+
+
+def _components(value):
+    """Flatten a builder result into (kind, [(name, leaf), ...])."""
+    if isinstance(value, DataFrame):
+        return "df", [("value", value)]
+    if isinstance(value, dict):
+        return "dict", list(value.items())
+    if isinstance(value, tuple):
+        return "tuple", [(str(i), v) for i, v in enumerate(value)]
+    return None, None
+
+
+def _serializable(leaves) -> bool:
+    return all(
+        isinstance(v, (DataFrame, int, float, str, bool)) or v is None
+        for _, v in leaves
+    )
+
+
+def _save(value, final_dir: str) -> bool:
+    kind, leaves = _components(value)
+    if kind is None or not _serializable(leaves):
+        return False
+    parent = os.path.dirname(final_dir)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(
+        prefix=f".tmp-{uuid.uuid4().hex[:8]}-", dir=parent
+    )
+    try:
+        meta = {"format": _FORMAT_VERSION, "kind": kind, "components": []}
+        for name, leaf in leaves:
+            if isinstance(leaf, DataFrame):
+                leaf.write.mode("overwrite").parquet(
+                    os.path.join(tmp, f"c_{name}")
+                )
+                meta["components"].append({"name": name, "type": "df"})
+            else:
+                meta["components"].append(
+                    {"name": name, "type": "scalar", "value": leaf}
+                )
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, final_dir)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        # a racing writer may have renamed first — their artifact is
+        # bit-identical (same fingerprint ⇒ same inputs + code).
+        return os.path.isdir(final_dir)
+
+
+def _load(spark: SparkSession, final_dir: str):
+    with open(os.path.join(final_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT_VERSION:
+        raise OSError(f"artifact format {meta.get('format')} unsupported")
+    out = {}
+    for c in meta["components"]:
+        if c["type"] == "df":
+            out[c["name"]] = spark.read.parquet(
+                os.path.join(final_dir, f"c_{c['name']}")
+            )
+        else:
+            out[c["name"]] = c["value"]
+    if meta["kind"] == "df":
+        return out["value"]
+    if meta["kind"] == "tuple":
+        return tuple(out[str(i)] for i in range(len(out)))
+    return out
+
+
+def _prune_stale(parent: str, keep: str) -> None:
+    """Drop retired fingerprints of the same (name, sfbase)."""
+    prefix = keep.split("-", 1)[0] + "-"
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for entry in entries:
+        if entry != keep and entry.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
+def artifact_memo(spark: SparkSession, key: tuple, builder):
+    """Drop-in ``session_memo`` with the parquet store underneath.
+
+    ``key`` must be ``(name, sf_dir)`` — the shape every query-module
+    memo already uses. Resolution order: session memo → disk load →
+    build (then save + prune). The session layer wraps the result
+    either way, so within one session the disk is touched at most
+    once per artifact.
+    """
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    name, sf_dir = key[0], key[1]
+
+    def build_or_load():
+        try:
+            fp = hashlib.sha256(
+                (
+                    _sf_fingerprint(sf_dir)
+                    + "\x00"
+                    + _builder_token(builder)
+                    + f"\x00v{_FORMAT_VERSION}"
+                ).encode()
+            ).hexdigest()[:16]
+            sfbase = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+            parent = os.path.join(store_root(), name)
+            leaf = f"{sfbase}-{fp}"
+            final_dir = os.path.join(parent, leaf)
+            if os.path.isfile(os.path.join(final_dir, "meta.json")):
+                return _load(spark, final_dir)
+        except OSError:
+            return builder()
+        value = builder()
+        try:
+            if _save(value, final_dir):
+                _prune_stale(parent, leaf)
+        except OSError:
+            pass
+        return value
+
+    return session_memo(spark, key, build_or_load)
