@@ -410,8 +410,16 @@ def label_propagation(
     join reuses the exchange (see :func:`pagerank` for why
     localCheckpoint would defeat this). The label frame is referenced
     TWICE per round (vote join + coalesce join), so each round's
-    result is persisted — otherwise lineage re-computes the base
-    2^rounds times. All arithmetic is integer counts; no floats
+    result is persisted, eagerly materialized with one cheap count
+    job, and THEN the retired round is unpersisted — cached storage
+    stays O(1) in the iteration count instead of pinning every
+    intermediate frame for the session's lifetime. (The count must
+    precede the unpersist: releasing a round that was never
+    materialized would re-derive it once per downstream reference —
+    the 2^rounds blow-up the persist exists to prevent.) The FINAL
+    round's frame is returned still persisted; the caller owns its
+    lifetime (the registered query memoizes it via session_memo, so
+    nothing leaks there). All arithmetic is integer counts; no floats
     anywhere.
     """
     e = edges.select(col(src).alias("a"), col(dst).alias("b"))
@@ -435,9 +443,13 @@ def label_propagation(
             .filter(col("rk") == 1)
             .select("node", col("label").alias("new_label"))
         )
+        prev = labels
         labels = (
-            labels.join(argmax, "node", "left")
+            prev.join(argmax, "node", "left")
             .select("node", F.coalesce("new_label", "label").alias("label"))
             .persist()
         )
+        labels.count()
+        prev.unpersist()
+    ed.unpersist()
     return labels

@@ -675,7 +675,7 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares, so it is session-memoized and materialized once instead
     of paying the fact join + distinct per query. ~587 k rows at
     sf0.1, linear in lineitem."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -690,7 +690,7 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    return session_memo(spark, ("trade_pairs", sf_dir), build)
+    return artifact_memo(spark, ("trade_pairs", sf_dir), build)
 
 
 def _pagerank_oracle() -> str:
@@ -751,7 +751,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the hot destination keys at 100×.
     """
     from iot_sparkstreaming_spark.operators.graph import pagerank
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build():
         pairs = _trade_pairs(spark, sf_dir)
@@ -766,7 +766,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (degree-annotated edges, node set) persist inside the returned
     # plan, so repeated runs reuse one materialization instead of
     # caching a fresh copy per call.
-    return session_memo(spark, ("pagerank_trade_graph", sf_dir), build)
+    return artifact_memo(spark, ("pagerank_trade_graph", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------
@@ -1606,7 +1606,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses. The edge list shuffles on its endpoint keys, never on
     pair payloads.
     """
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build():
         edges = _trade_pairs(spark, sf_dir)
@@ -1621,7 +1621,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("deg").cast("bigint").alias("core_degree"),
         ).localCheckpoint(eager=True)
 
-    return session_memo(spark, ("kcore_trade_graph", sf_dir), build).orderBy(
+    return artifact_memo(spark, ("kcore_trade_graph", sf_dir), build).orderBy(
         "entity", "entity_key"
     )
 
@@ -2220,7 +2220,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     lands on the same AQE-covered argmax the top-k family uses.
     """
     from iot_sparkstreaming_spark.operators.graph import label_propagation
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build():
         pairs = _trade_pairs(spark, sf_dir)
@@ -2239,7 +2239,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("community_size"),
         ).localCheckpoint(eager=True)
 
-    return session_memo(spark, ("label_propagation_communities", sf_dir), build)
+    return artifact_memo(spark, ("label_propagation_communities", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------
@@ -2839,9 +2839,14 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     ms = F.unix_millis(col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    # Order by the FULL-precision timestamp (then event_id), exactly as
+    # the oracle's ORDER BY ts, event_id — ordering by the truncated
+    # millis column would pair same-user events landing in one
+    # millisecond with a different successor than the oracle whenever
+    # event_id order disagrees with sub-ms ts order.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seg = (
-        ev.select("user_id", "event_id", ms.alias("ms"), "value")
+        ev.select("user_id", "event_id", "ts", ms.alias("ms"), "value")
         .withColumn("nxt", F.lead("ms").over(w))
         .filter(col("nxt").isNotNull())
     )
@@ -3115,8 +3120,11 @@ WITH c AS (
 SELECT user_id,
   CAST(SUM(n) AS BIGINT) AS n_events,
   CAST(COUNT(*) AS BIGINT) AS n_types,
-  1 - CAST(SUM(n * (n - 1)) AS DOUBLE)
-      / NULLIF(CAST(SUM(n) * (SUM(n) - 1) AS DOUBLE), 0) AS simpson
+  1 - CAST(SUM(CAST(n AS DECIMAL(19,0)) * (CAST(n AS DECIMAL(19,0)) - 1))
+           AS DOUBLE)
+      / NULLIF(CAST(CAST(SUM(n) AS DECIMAL(19,0))
+                    * (CAST(SUM(n) AS DECIMAL(19,0)) - 1) AS DOUBLE), 0)
+    AS simpson
 FROM c
 GROUP BY user_id
 """
@@ -3132,24 +3140,31 @@ def simpson_diversity_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity one type, →1 = evenly spread; the single-event
     degenerate case is NULL via the NULLIF guard on both engines.
 
+    Overflow safety: the n·(n−1) products and the N·(N−1) denominator
+    accumulate in DECIMAL — each count is cast to DECIMAL(19,0) BEFORE
+    the product (the chi2/gini house pattern) so the sums ride
+    DECIMAL(38,0) exactly on both engines; int64 products would
+    silently wrap once a per-user count nears ~3e9 while DuckDB stays
+    exact in HUGEINT.
+
     Scale shape: two cascaded map-side-combined aggregates —
     (user, type) counts, then the per-user moments — both on the
-    user_id key; one exchange total, integer arithmetic until one
+    user_id key; one exchange total, exact arithmetic until one
     final division.
     """
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(
         F.count("*").cast("bigint").alias("n")
     )
+    nd = col("n").cast("decimal(19,0)")
+    sd = F.sum("n").cast("decimal(19,0)")
     return c.groupBy("user_id").agg(
         F.sum("n").cast("bigint").alias("n_events"),
         F.count("*").cast("bigint").alias("n_types"),
         (
             F.lit(1)
-            - F.sum(col("n") * (col("n") - 1)).cast("double")
-            / F.nullif(
-                (F.sum("n") * (F.sum("n") - 1)).cast("double"), F.lit(0.0)
-            )
+            - F.sum(nd * (nd - 1)).cast("double")
+            / F.nullif((sd * (sd - 1)).cast("double"), F.lit(0.0))
         ).alias("simpson"),
     )
 
@@ -3355,15 +3370,24 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     while sessionize_events breaks on > gap — the oracle's
     gaps-and-islands uses >= and adds the gap to MAX(ts) to mirror
     window.end = last_event + gap. Timestamps format to strings so
-    the hash is timezone-repr-free.
+    the hash is timezone-repr-free. The event time is floored to
+    MILLISECONDS before ``session_window`` (timestamp_millis ∘
+    unix_millis) because the oracle decides breaks on millisecond
+    gaps — comparing full-microsecond timestamps on one engine and
+    ms-floored gaps on the other would merge/split sessions whose
+    true gap falls within 1 ms of exactly the threshold. Flooring is
+    monotone and sub-second, so the second-resolution output strings
+    are unchanged.
 
     Scale shape: one shuffle on user_id; the session merge is a sort
     within partitions — the same single-exchange plan as the manual
     formulation, with the merge loop in native code instead of two
     window passes.
     """
-    ev = load_table(spark, sf_dir, "events")
-    sw = F.session_window(col("ts"), f"{SESSION_GAP_MS // 1000} seconds")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.timestamp_millis(F.unix_millis(col("ts")))
+    )
+    sw = F.session_window(col("ts_ms"), f"{SESSION_GAP_MS // 1000} seconds")
     return (
         ev.groupBy("user_id", sw.alias("sw"))
         .agg(F.count("*").cast("bigint").alias("n_events"))

@@ -126,7 +126,7 @@ def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     written ONCE, then self-joined by every consumer."""
     from pyspark.sql.window import Window
 
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -157,7 +157,7 @@ def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    return session_memo(spark, ("shingle_postings", sf_dir), build)
+    return artifact_memo(spark, ("shingle_postings", sf_dir), build)
 
 
 #: the posting/kept derivation in DuckDB — IDENTICAL md5-prefix hash,
@@ -294,7 +294,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-running the shingle+hash pass per branch (no
     # cross-branch exchange reuse) — the signatures TABLE of a
     # production MinHash pipeline.
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_sigs() -> DataFrame:
         hashed = sh.select("doc_id", shingle_hashes(col("sh")).alias("hs"))
@@ -302,7 +302,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
         ).localCheckpoint(eager=True)
 
-    sigs = session_memo(spark, ("minhash_sigs", sf_dir), build_sigs)
+    sigs = artifact_memo(spark, ("minhash_sigs", sf_dir), build_sigs)
 
     band_id = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_id")
     bands = sigs.select(
@@ -392,7 +392,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-terms over the hashed array (see token_hashes docstring).
     # Materialized: the 8-byte-per-doc simhashes feed both band-join
     # branches; without it the md5+bit-term pass runs twice.
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_sims() -> DataFrame:
         hashed = docs.select(
@@ -402,7 +402,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", simhash32_from_hashes(col("th")).alias("sim")
         ).localCheckpoint(eager=True)
 
-    sims = session_memo(spark, ("simhash_sims", sf_dir), build_sims)
+    sims = artifact_memo(spark, ("simhash_sims", sf_dir), build_sims)
 
     band_structs = F.array(
         *[
@@ -475,9 +475,9 @@ def _emb_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
-    return session_memo(spark, ("emb_vectors", sf_dir), build)
+    return artifact_memo(spark, ("emb_vectors", sf_dir), build)
 
 
 def _emb_neardup_oracle() -> str:
@@ -952,7 +952,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         CENT_STRIDE,
     )
 
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_assigned() -> DataFrame:
         e = _emb_vectors(spark, sf_dir)
@@ -986,7 +986,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    assigned = session_memo(spark, ("semdedup_assigned", sf_dir), build_assigned)
+    assigned = artifact_memo(spark, ("semdedup_assigned", sf_dir), build_assigned)
     a = assigned.select(
         "cid",
         col("vec_id").alias("kept_id"),
@@ -1178,7 +1178,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     sh = _shingled(spark, sf_dir)
 
@@ -1188,7 +1188,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
         ).localCheckpoint(eager=True)
 
-    sigs = session_memo(spark, ("minhash_sigs", sf_dir), build_sigs)
+    sigs = artifact_memo(spark, ("minhash_sigs", sf_dir), build_sigs)
 
     def bands_of(df: DataFrame) -> DataFrame:
         band_id = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias(
@@ -1209,7 +1209,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the persisted historical index: corpus-side band rows
         return bands_of(sigs.filter(~is_batch)).localCheckpoint(eager=True)
 
-    hist = session_memo(spark, ("minhash_hist_index", sf_dir), build_index)
+    hist = artifact_memo(spark, ("minhash_hist_index", sf_dir), build_index)
     new_bands = bands_of(sigs.filter(is_batch))
 
     cand = (

@@ -370,7 +370,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index needs. The table is the fingerprint INDEX — a
     build-once artifact — so it is materialized + session-memoized
     for its consumers (winnowing_overlap_pairs)."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -425,7 +425,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    return session_memo(spark, ("winnowing_fps", sf_dir), build)
+    return artifact_memo(spark, ("winnowing_fps", sf_dir), build)
 
 
 WINNOW_MAX_DF = 50  # stop-fingerprint cutoff (boilerplate hashes)
@@ -647,7 +647,7 @@ def _collocation_counts(spark: SparkSession, sf_dir: str) -> dict:
     the unigram count table ``(t, c)`` and the min-support-5 bigram
     count table ``(w1, w2, n_ab)`` — the corpus passes behind
     bigram lift, built once like the LM model (_lm_bigram_model)."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> dict:
         docs = load_table(spark, sf_dir, "documents")
@@ -677,7 +677,7 @@ def _collocation_counts(spark: SparkSession, sf_dir: str) -> dict:
         )
         return {"ucnt": ucnt, "bcnt": bcnt}
 
-    return session_memo(spark, ("collocation_counts", sf_dir), build)
+    return artifact_memo(spark, ("collocation_counts", sf_dir), build)
 
 
 @register("bigram_lift_topk", oracle=BIGRAM_LIFT_ORACLE)
@@ -806,7 +806,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-then-filter window through LimitPushDownThroughWindow — see
     docs/PLANS.md), never a full global sort.
     """
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> dict:
         docs = load_table(spark, sf_dir, "documents")
@@ -831,7 +831,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens": tok.count(),
         }
 
-    idx = session_memo(spark, ("bm25_index", sf_dir), build)
+    idx = artifact_memo(spark, ("bm25_index", sf_dir), build)
     n_docs, total_tokens = idx["n_docs"], idx["total_tokens"]
     dl, tf, df = idx["dl"], idx["tf"], idx["df"]
     # IEEE double division, same op as the oracle; the empty-corpus
@@ -918,9 +918,9 @@ def _lm_bigram_model(spark: SparkSession, sf_dir: str):
     — context totals rolled up from the materialized model table
     (|distinct bigrams| rows, never the corpus); ``vocab_size`` is
     |distinct tokens|. Built once per (session, sf_dir) behind the
-    same ``session_memo`` the similarity indexes use: training is
+    same ``artifact_memo`` the similarity indexes use: training is
     the expensive corpus pass, scoring should pay for it once."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build():
         docs = load_table(spark, sf_dir, "documents")
@@ -946,7 +946,7 @@ def _lm_bigram_model(spark: SparkSession, sf_dir: str):
         )
         return model, ctx, vocab_size
 
-    return session_memo(spark, ("lm_bigram_model", sf_dir), build)
+    return artifact_memo(spark, ("lm_bigram_model", sf_dir), build)
 
 
 @register("lm_bigram_likelihood", oracle=LM_LIKELIHOOD_ORACLE)
@@ -1074,7 +1074,7 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique, so row_number is deterministic without a tie-break
     column.
     """
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -1084,7 +1084,7 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus pass (tokenize + posexplode + per-gram DF window) and is
     # input-invariant, so it is session-memoized like the other
     # retrieval indexes; the diagonal merge runs per call.
-    kept = session_memo(spark, ("dup_span_grams", sf_dir), build)
+    kept = artifact_memo(spark, ("dup_span_grams", sf_dir), build)
     return spans_from_gram_index(kept, k=DUP_SPAN_K)
 
 
@@ -1323,7 +1323,7 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized (the a-priori pass runs once; rule scoring reruns
     cheaply), the same build-once discipline as _collocation_counts.
     """
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> dict:
         baskets = (
@@ -1351,7 +1351,7 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         return {"supp": supp, "pairs": pairs, "n_orders": n_orders}
 
-    parts = session_memo(spark, ("basket_model", sf_dir), build)
+    parts = artifact_memo(spark, ("basket_model", sf_dir), build)
     supp, pairs, n_orders = parts["supp"], parts["pairs"], parts["n_orders"]
     sa = supp.select(col("p").alias("part_a"), col("n_p").alias("n_a"))
     sb = supp.select(col("p").alias("part_b"), col("n_p").alias("n_b"))

@@ -74,7 +74,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the train-gram set is the big side; it arrives
     pre-distinct (one hash agg) so the join carries each gram once.
     """
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_grams():
         docs = load_table(spark, sf_dir, "documents")
@@ -103,7 +103,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return g.withColumn("bucket", bucket).localCheckpoint(eager=True)
 
-    grams = session_memo(spark, ("contamination_grams", sf_dir), build_grams)
+    grams = artifact_memo(spark, ("contamination_grams", sf_dir), build_grams)
     test_grams = grams.filter(col("bucket") >= 9).select("doc_id", "g")
     train_grams = grams.filter(col("bucket") < 8).select("g").distinct()
     hit = train_grams.withColumn("__hit", F.lit(1))

@@ -81,7 +81,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production shape: the vectors+norms table you write once —
     session-memoized so every similarity query shares ONE
     materialization per sf_dir."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -95,7 +95,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    return session_memo(spark, ("sim_vectors", sf_dir), build)
+    return artifact_memo(spark, ("sim_vectors", sf_dir), build)
 
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact baseline)
@@ -231,7 +231,7 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     of every LSH consumer (ann_lsh_cosine, dedup_embedding_cosine)
     read the 16-byte index rows instead of re-running the 16
     hyperplane dot products per branch per call."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
         e = _vectors(spark, sf_dir)
@@ -244,7 +244,7 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    return session_memo(spark, ("lsh_bands", sf_dir), build)
+    return artifact_memo(spark, ("lsh_bands", sf_dir), build)
 
 
 @register("ann_lsh_cosine", oracle=ANN_ORACLE)
@@ -448,7 +448,7 @@ def _ivf_assigned(
     partitionBy(cid) in production) — so it is materialized +
     session-memoized and SHARED by every consumer (`ann_ivf_cosine`,
     `ann_ivf_pq`)."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_assigned() -> DataFrame:
         return (
@@ -474,7 +474,7 @@ def _ivf_assigned(
             .localCheckpoint(eager=True)
         )
 
-    return session_memo(spark, ("ivf_assigned", sf_dir), build_assigned)
+    return artifact_memo(spark, ("ivf_assigned", sf_dir), build_assigned)
 
 
 @register("ann_ivf_cosine", oracle=IVF_ORACLE)
@@ -687,7 +687,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     centroids per subspace). The codes table is the build-once
     compression artifact; materialized + session-memoized and SHARED
     by every consumer (`ann_pq_adc`, `ann_ivf_pq`)."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     cb = _pq_codebook(e)
     jseq = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
@@ -726,7 +726,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    return session_memo(spark, ("pq_recon", sf_dir), build_recon)
+    return artifact_memo(spark, ("pq_recon", sf_dir), build_recon)
 
 
 @register("ann_pq_adc", oracle=PQ_ORACLE)
@@ -874,7 +874,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuilding via the registered queries hits the same session
     # memos (keys ("ivf_assigned", sf_dir) / ("pq_recon", sf_dir)),
     # so these two calls are cheap after either parent query ran.
-    from iot_sparkstreaming_spark.tables import session_memo  # noqa: F401
+    from iot_sparkstreaming_spark.artifacts import artifact_memo  # noqa: F401
 
     e = _vectors(spark, sf_dir)
     cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
@@ -1183,7 +1183,7 @@ def _kmeans_parts(spark: SparkSession, sf_dir: str) -> dict:
     vector frame ``e`` (double + fixed-point views) and the FINAL
     round-{KM_ITERS} centroid table — the build-once clustering both
     ``kmeans_lloyd_embeddings`` and ``ann_ivf_kmeans`` consume."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> dict:
         e = (
@@ -1255,12 +1255,42 @@ def _kmeans_parts(spark: SparkSession, sf_dir: str) -> dict:
             )
         return {"e": e, "cent": cent_i.localCheckpoint(eager=True)}
 
-    return session_memo(spark, ("kmeans_parts", sf_dir), build)
+    return artifact_memo(spark, ("kmeans_parts", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------
 # IVF over Lloyd-refined centroids (clustering -> index composition)
 # ---------------------------------------------------------------------------
+
+
+def _kmeans_ivf_assigned(
+    spark: SparkSession, sf_dir: str, e: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """Memoized corpus→cell assignment table (vec_id, v, cid) against
+    the FINAL Lloyd centroids — the inverted-file index that
+    ``ann_ivf_kmeans`` serves probes from and
+    ``ann_incremental_assign`` treats as the persisted historical
+    index. One broadcast hash-agg argmin over the corpus; in
+    production this is the table written partitionBy(cid)."""
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+
+    def build_assigned() -> DataFrame:
+        d2 = _d2(col("v"), col("cvec"))
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "cid",
+                F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
+            )
+            .groupBy("vec_id")
+            .agg(F.any_value(col("v")).alias("v"), F.max("key").alias("m"))
+            .select("vec_id", "v", (-col("m.nc")).cast("bigint").alias("cid"))
+            .localCheckpoint(eager=True)
+        )
+
+    return artifact_memo(spark, ("kmeans_ivf_assigned", sf_dir), build_assigned)
 
 
 def _ivf_kmeans_oracle() -> str:
@@ -1318,28 +1348,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the scoring join touches ~{N_PROBE}/{KM_K} of the corpus,
     shuffled on the cell id only.
     """
-    from iot_sparkstreaming_spark.tables import session_memo
-
     parts = _kmeans_parts(spark, sf_dir)
     e, cent = parts["e"], parts["cent"]
-
-    def build_assigned() -> DataFrame:
-        d2 = _d2(col("v"), col("cvec"))
-        return (
-            e.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "v",
-                "cid",
-                F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
-            )
-            .groupBy("vec_id")
-            .agg(F.any_value(col("v")).alias("v"), F.max("key").alias("m"))
-            .select("vec_id", "v", (-col("m.nc")).cast("bigint").alias("cid"))
-            .localCheckpoint(eager=True)
-        )
-
-    assigned = session_memo(spark, ("kmeans_ivf_assigned", sf_dir), build_assigned)
+    assigned = _kmeans_ivf_assigned(spark, sf_dir, e, cent)
 
     d2p = _d2(col("qv"), col("cvec"))
     w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
@@ -1442,3 +1453,141 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("inertia"),
         F.round(F.max("d2"), 6).alias("max_radius_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: assign a new vector batch to the trained index
+# ---------------------------------------------------------------------------
+
+#: vec_id % MOD == 0 marks "today's batch" — the vectors that arrive
+#: AFTER the index was trained (same convention as
+#: dedup_incremental_minhash's INCR_BATCH_MOD on the dedup side).
+AIA_BATCH_MOD = 10
+
+
+def _aia_oracle() -> str:
+    d2a = _D2_SQL.format(a="e.v", b="c.cvec")
+    d2s = _D2_SQL.format(a="p.qv", b="m.v")
+    return _kmeans_ctes() + f""",
+fin AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2a}, c.cid) AS rk
+    FROM e CROSS JOIN c{KM_ITERS} c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, cid, qv FROM (
+    SELECT e.vec_id AS query_id, c.cid, e.v AS qv,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2a}, c.cid) AS prk
+    FROM e CROSS JOIN c{KM_ITERS} c WHERE e.vec_id % {AIA_BATCH_MOD} = 0
+  ) WHERE prk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id,
+    m.vec_id % {AIA_BATCH_MOD} = 0 AS is_new, {d2s} AS d2
+  FROM probes p JOIN fin m ON m.cid = p.cid
+  WHERE m.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, is_new,
+  ROUND(d2, 6) AS sq_dist, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_incremental_assign", oracle=_aia_oracle())
+def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest retrieval: a NEW batch of vectors
+    (vec_id % {AIA_BATCH_MOD} == 0 — "today's" arrivals) is assigned
+    to the MEMOIZED Lloyd centroids without retraining, merged with
+    the persisted historical cell index, and each new vector is
+    probe-queried against the merged index — the vector-side twin of
+    ``dedup_incremental_minhash``, completing the incremental story
+    (dedup had it; retrieval now does too). ``is_new`` marks
+    neighbors that are themselves from today's batch, so downstream
+    can split intra-batch near-dups from hits against the corpus.
+
+    Correctness contract: incremental assignment against FROZEN
+    centroids must land every batch vector in exactly the cell a full
+    index rebuild would — so the oracle replays the full unrolled
+    Lloyd assignment and searches it, and the hash only matches if
+    the incremental path is indistinguishable from the rebuild.
+
+    Scale shape: daily cost is O(batch) — one broadcast-centroid
+    argmin over the NEW vectors only (the historical index is the
+    memoized/persisted artifact, loaded not rebuilt), then the probe
+    join touches ~{N_PROBE}/{KM_K} of the merged corpus, shuffled on
+    cell id only. Retraining cost: zero; the corpus is never
+    rescanned.
+    """
+    parts = _kmeans_parts(spark, sf_dir)
+    e, cent = parts["e"], parts["cent"]
+    is_new = col("vec_id") % AIA_BATCH_MOD == 0
+
+    # persisted historical index: everything that existed at train
+    # time (the memoized artifact minus today's ids)
+    hist = _kmeans_ivf_assigned(spark, sf_dir, e, cent).filter(~is_new)
+
+    # incremental assign: today's vectors vs FROZEN centroids — the
+    # same broadcast hash-agg argmin, over O(batch) rows only
+    d2 = _d2(col("v"), col("cvec"))
+    newly = (
+        e.filter(is_new)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
+        )
+        .groupBy("vec_id")
+        .agg(F.any_value(col("v")).alias("v"), F.max("key").alias("m"))
+        .select("vec_id", "v", (-col("m.nc")).cast("bigint").alias("cid"))
+    )
+    merged = hist.select("vec_id", "v", "cid").unionByName(newly)
+
+    d2p = _d2(col("qv"), col("cvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
+    probes = (
+        e.filter(is_new)
+        .select(col("vec_id").alias("query_id"), col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(col("prk") <= N_PROBE)
+        .select("query_id", "qv", "cid")
+    )
+    d2s = _d2(col("qv"), col("v"))
+    scored = (
+        probes.join(merged, "cid")
+        .filter(col("vec_id") != col("query_id"))
+        .select(
+            "query_id",
+            col("vec_id").alias("neighbor_id"),
+            (col("vec_id") % AIA_BATCH_MOD == 0).alias("is_new"),
+            d2s.alias("d2"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        col("d2").asc(), col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "is_new",
+            F.round(col("d2"), 6).alias("sq_dist"),
+            col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+ann_incremental_assign.__doc__ = ann_incremental_assign.__doc__.replace(
+    "{AIA_BATCH_MOD}", str(AIA_BATCH_MOD)
+).replace("{N_PROBE}", str(N_PROBE)).replace("{KM_K}", str(KM_K))

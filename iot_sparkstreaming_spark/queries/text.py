@@ -841,7 +841,7 @@ def _tfidf_signature(spark: SparkSession, sf_dir: str) -> dict:
     norms. Build-once/query-many, like the LSH band and IVF
     assignment tables (similarity.py) — consumers pay only the
     candidate join."""
-    from iot_sparkstreaming_spark.tables import session_memo
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> dict:
         docs = load_table(spark, sf_dir, "documents")
@@ -882,7 +882,7 @@ def _tfidf_signature(spark: SparkSession, sf_dir: str) -> dict:
         )
         return {"sig": sig, "nrm": nrm}
 
-    return session_memo(spark, ("tfidf_signature", sf_dir), build)
+    return artifact_memo(spark, ("tfidf_signature", sf_dir), build)
 
 
 @register("tfidf_cosine_pairs", oracle=COS_PAIRS_ORACLE)

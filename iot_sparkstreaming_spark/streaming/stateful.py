@@ -613,10 +613,17 @@ def streaming_twap(events: DataFrame) -> DataFrame:
 
     State is O(1) per user: (prev_ms, prev value in 1e4 fixed point,
     running Σ value·gap in the same fixed point, Σ gap, interval
-    count). The quotient
-    is reproduced bitwise against the batch's decimal→double path by
-    rounding acc/10⁴ ONCE to double via Fraction (correctly rounded,
-    exactly like the decimal cast) before the IEEE division.
+    count). The fixed-point quantization replays Spark's
+    double→decimal(18,4) cast EXACTLY: HALF_UP on the SHORTEST
+    decimal repr of the double (Spark's Decimal(d) routes through
+    BigDecimal.valueOf → Double.toString; verified empirically
+    against the cast over adversarial half-way values,
+    tests/test_stateful.py) — a float multiply + round() would apply
+    banker's rounding to an inexact product and break parity on
+    .00005 boundaries. The quotient is reproduced bitwise against the
+    batch's decimal→double path by rounding acc/10⁴ ONCE to double
+    via Fraction (correctly rounded, exactly like the decimal cast)
+    before the IEEE division.
 
     Input columns: ``user_id``, ``event_id``, ``ts``, ``value``.
     In-order-feed contract within and across micro-batches, same as
@@ -628,6 +635,7 @@ def streaming_twap(events: DataFrame) -> DataFrame:
         pdfs: Iterator["pd.DataFrame"],
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
+        from decimal import ROUND_HALF_UP, Decimal
         from fractions import Fraction
 
         import pandas as pd
@@ -643,7 +651,11 @@ def streaming_twap(events: DataFrame) -> DataFrame:
             pdf = pdf.sort_values(["ts", "event_id"])
             for eid, ts, value in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
                 ms = int(ts.value // 1_000_000)
-                vfp = round(float(value) * 10000)
+                vfp = int(
+                    Decimal(repr(float(value)))
+                    .scaleb(4)
+                    .to_integral_value(rounding=ROUND_HALF_UP)
+                )
                 if prev_ms is not None:
                     dt = ms - prev_ms
                     acc += prev_vfp * dt

@@ -590,3 +590,35 @@ def test_streaming_twap_twin_parity(spark, tmp_path):
     # query has no row for a user until an interval closes
     got = {u: v for u, v in got.items() if v[0] > 0}
     assert got == want
+
+
+def test_twap_quantizer_replays_spark_decimal_cast(spark):
+    """The streaming twin's fixed-point quantizer must replay Spark's
+    double→decimal(18,4) cast EXACTLY — HALF_UP on the SHORTEST
+    decimal repr of the double (BigDecimal.valueOf semantics). Checked
+    over adversarial half-way points where banker's rounding on an
+    inexact float multiply (the bug class) and exact-binary-expansion
+    rounding (the other plausible implementation) both diverge."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    vals = [0.00005, 0.00015, 2.675, 1.0005, 0.1 + 0.2, 123.45675,
+            815.7155, 999.99995, 980.17485, 577.10295]
+    rng = random.Random(11)
+    vals += [round(rng.uniform(0, 1000), 5) for _ in range(300)]
+    vals += [rng.uniform(0, 1000) for _ in range(300)]
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    rows = df.select(
+        "value", F.col("value").cast("decimal(18,4)").alias("d")
+    ).collect()
+    for r in rows:
+        want = int(r.d.scaleb(4))
+        got = int(
+            Decimal(repr(float(r.value)))
+            .scaleb(4)
+            .to_integral_value(rounding=ROUND_HALF_UP)
+        )
+        assert got == want, (r.value, got, want)
