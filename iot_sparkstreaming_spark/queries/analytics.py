@@ -3400,3 +3400,112 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the event value series
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, ts, epoch_ms(ts) AS ms,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+  FROM events
+),
+seq AS (
+  SELECT event_type, event_id, ms,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS i,
+    SUM(CAST(v4 AS DECIMAL(19,0))) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+    SUM(CAST(v4 AS DECIMAL(19,0))) OVER (PARTITION BY event_type) AS s
+  FROM base
+),
+dev AS (
+  SELECT event_type, event_id, ms, i, n,
+    ABS(CAST(n AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))
+        - CAST(i AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS adev
+  FROM seq
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(i AS BIGINT) AS change_idx,
+  CAST(ms AS BIGINT) AS change_ms,
+  CAST(adev AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) AS max_dev
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY adev DESC, i ASC) AS rk
+  FROM dev
+)
+WHERE rk = 1
+"""
+
+
+@register("cusum_changepoint_events", oracle=CUSUM_ORACLE)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event_type: the index (and event
+    time) where the cumulative sum of the value series deviates most
+    from the straight line to the series total — the classic offline
+    mean-shift locator (max_i |P_i − i·S/n|), the data-quality screen
+    that finds WHEN a feed's level shifted (deploys, sensor drift,
+    schema bugs) before the shifted window poisons training data.
+
+    Numeric determinism AND overflow safety: values quantize to 1e4
+    fixed point through the decimal(18,4) cast, prefix/total sums
+    accumulate in decimal, and the deviation is compared as the EXACT
+    integer |n·P_i − i·S| (argmax is scale-free, so the /n and /1e4
+    normalizations can wait for the one final double division).
+    Factors ride the chi2/gini house pattern — decimal(19,0) casts
+    before each product, products exact in decimal(38,0) (int64 would
+    wrap once n·P nears 2^63; headroom holds to P,S ≤ ~1e19, i.e.
+    ~1e15 rows/type at typical magnitudes). Ordering is full-precision
+    (ts, event_id) on BOTH engines — never a truncated key (the
+    time_weighted_avg_user lesson).
+
+    Scale shape: ONE exchange on event_type feeds the ordered prefix
+    window, the partition totals, and the final argmax row_number —
+    three window passes, zero extra shuffles, no self-join. Output is
+    one row per event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v4 = (col("value").cast("decimal(18,4)") * 10000).cast("bigint")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
+    seq = (
+        ev.select("event_type", "event_id", "ts", F.unix_millis("ts").alias("ms"), v4.alias("v4"))
+        .withColumn("i", F.row_number().over(wo).cast("bigint"))
+        .withColumn(
+            "p",
+            F.sum(d19(col("v4"))).over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("n", F.count("*").over(wp).cast("bigint"))
+        .withColumn("s", F.sum(d19(col("v4"))).over(wp))
+    )
+    dev = seq.select(
+        "event_type",
+        "ms",
+        "i",
+        "n",
+        F.abs(
+            d19(col("n")) * d19(col("p")) - d19(col("i")) * d19(col("s"))
+        ).alias("adev"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(col("adev").desc(), col("i").asc())
+    return (
+        dev.withColumn("rk", F.row_number().over(wr))
+        .filter(col("rk") == 1)
+        .select(
+            "event_type",
+            col("n").alias("n_events"),
+            col("i").alias("change_idx"),
+            col("ms").alias("change_ms"),
+            (col("adev").cast("double") / (col("n").cast("double") * 10000.0)).alias(
+                "max_dev"
+            ),
+        )
+    )

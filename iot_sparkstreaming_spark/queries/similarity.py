@@ -1591,3 +1591,211 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_incremental_assign.__doc__ = ann_incremental_assign.__doc__.replace(
     "{AIA_BATCH_MOD}", str(AIA_BATCH_MOD)
 ).replace("{N_PROBE}", str(N_PROBE)).replace("{KM_K}", str(KM_K))
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction via distributed power iteration (PCA back half)
+# ---------------------------------------------------------------------------
+
+PCA_POWER_ROUNDS = 3
+PCA_VNORM = 1_000_000  # fixed-point magnitude of the normalized iterate
+
+
+def _pca_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized FULL (mirrored) centered-scatter matrix
+    ``(i, j, sc)`` with ``sc = n·G_ij − S_i·S_j`` as EXACT
+    decimal(29,0) — n·(n−1)·cov in 1e4-fixed-point² units, the matrix
+    power iteration multiplies by. Built like
+    ``embedding_gram_matrix``: per-task int64 Sᵀ·S partials via ONE
+    vectorized numpy matmul (the shuffle moves O(partitions·d²) rows,
+    never O(rows·d²)), partials summed in decimal, and the
+    rank-one-correction products ride decimal(19,0) casts — exact to
+    ~1e9 vectors at |s| ≤ 1e4·|v| (sc ≤ ~1e28 < 10²⁹; int64 would
+    wrap at ~1e5 vectors)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        scaled = e.select(
+            F.transform(
+                col("embedding"),
+                lambda x: F.round(x.cast("double") * GRAM_SCALE).cast("bigint"),
+            ).alias("s")
+        )
+
+        def gram_partial(batches):
+            import numpy as np
+
+            acc = np.zeros((DIM, DIM), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf):
+                    m = np.array(pdf["s"].tolist(), dtype=np.int64)
+                    acc += m.T @ m
+                    seen = True
+            if seen:
+                iu = np.triu_indices(DIM)
+                yield pd.DataFrame(
+                    {
+                        "i": iu[0].astype("int32"),
+                        "j": iu[1].astype("int32"),
+                        "partial": acc[iu],
+                    }
+                )
+
+        d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
+        gram = (
+            scaled.mapInPandas(gram_partial, "i int, j int, partial long")
+            .groupBy("i", "j")
+            .agg(F.sum(d19(col("partial"))).cast("decimal(19,0)").alias("g"))
+        )
+        dsums = (
+            scaled.select(F.posexplode("s").alias("d", "sv"))
+            .groupBy("d")
+            .agg(
+                F.sum(d19(col("sv"))).cast("decimal(19,0)").alias("dsum"),
+                F.count("*").cast("bigint").alias("n"),
+            )
+        )
+        si = dsums.select(col("d").alias("i"), col("dsum").alias("si"), "n")
+        sj = dsums.select(col("d").alias("j"), col("dsum").alias("sj"))
+        upper = (
+            gram.join(F.broadcast(si), "i")
+            .join(F.broadcast(sj), "j")
+            .select(
+                "i",
+                "j",
+                (d19(col("n")) * col("g") - col("si") * col("sj"))
+                .cast("decimal(29,0)")
+                .alias("sc"),
+            )
+        )
+        full = upper.unionByName(
+            upper.filter(col("i") != col("j")).select(
+                col("j").alias("i"), col("i").alias("j"), "sc"
+            )
+        )
+        return full.localCheckpoint(eager=True)
+
+    return artifact_memo(spark, ("pca_scatter", sf_dir), build)
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, PCA_POWER_ROUNDS + 1):
+        rounds.append(
+            f"""
+u{r} AS (
+  SELECT c.i, SUM(c.sc * v.v) AS u
+  FROM scatter c JOIN {prev} v ON v.j = c.j GROUP BY c.i),
+m{r} AS (
+  SELECT GREATEST(MAX(ABS(u)) // {PCA_VNORM}, CAST(1 AS HUGEINT)) AS md
+  FROM u{r}),
+v{r} AS (
+  SELECT i AS j,
+    CASE WHEN u < 0 THEN -(ABS(u) // md) ELSE ABS(u) // md END AS v
+  FROM u{r}, m{r})"""
+        )
+        prev = f"v{r}"
+    return f"""
+WITH s AS (
+  SELECT list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {GRAM_SCALE}) AS BIGINT)) AS sv
+  FROM embeddings
+),
+dims AS (
+  SELECT a.r AS i, b.r AS j FROM range(0, {DIM}) a(r), range(0, {DIM}) b(r)
+),
+gram AS (
+  SELECT d.i, d.j, CAST(SUM(sv[d.i + 1] * sv[d.j + 1]) AS HUGEINT) AS g
+  FROM s, dims d GROUP BY d.i, d.j
+),
+dsums AS (
+  SELECT t.r AS d, CAST(SUM(sv[t.r + 1]) AS HUGEINT) AS dsum,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM s, range(0, {DIM}) t(r) GROUP BY t.r
+),
+scatter AS (
+  SELECT g.i, g.j, si.n * g.g - si.dsum * sj.dsum AS sc
+  FROM gram g
+  JOIN dsums si ON si.d = g.i
+  JOIN dsums sj ON sj.d = g.j
+),
+v0 AS (SELECT t.r AS j, CAST({PCA_VNORM} AS HUGEINT) AS v
+       FROM range(0, {DIM}) t(r)),
+{",".join(rounds)}
+SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_fixed,
+       CAST(v AS DOUBLE) / {PCA_VNORM}.0 AS weight
+FROM v{PCA_POWER_ROUNDS}
+"""
+
+
+@register("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by
+    {PCA_POWER_ROUNDS} rounds of DISTRIBUTED power iteration on the
+    exact centered-scatter matrix — the back half of
+    ``embedding_gram_matrix``'s PCA story (iterative algorithm #7,
+    beside components/PageRank/k-core/BPE/LPA/Lloyd). Each round is
+    one mat-vec: the scatter cells join the broadcast 64-row iterate
+    and hash-aggregate per output dimension — exactly the PageRank
+    edge-join shape, so the same plan scales to a huge SPARSE matrix
+    where the "matrix" no longer fits anywhere.
+
+    Bit-reproducible float-free iteration: the iterate is normalized
+    WITHOUT a square root — each round divides by
+    ``max|u| div {PCA_VNORM}`` using integer division on
+    sign-separated magnitudes (Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero, but only non-negative operands reach the
+    division), keeping every component an exact integer in
+    [−{PCA_VNORM}, {PCA_VNORM}]·(1+ε). The oracle replays the
+    identical unrolled iteration in HUGEINT, so the hash proves every
+    one of the 3·d² multiply-adds. One final double division scales
+    the report weight.
+
+    Scale shape: the scatter build is the memoized mapInPandas
+    partial-Gram artifact (shuffle O(partitions·d²)); each iteration
+    shuffles d rows and broadcasts a d-row vector — driver never
+    touches data. Products ride decimal(29,0)×decimal(9,0) casts,
+    exact to ~1e9 vectors; sums bound ~1e28·d < 10³⁸.
+    """
+    cells = _pca_scatter(spark, sf_dir)
+    v = spark.range(DIM).select(
+        col("id").cast("int").alias("j"),
+        F.lit(PCA_VNORM).cast("long").alias("v"),
+    )
+    for _ in range(PCA_POWER_ROUNDS):
+        u = (
+            cells.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(col("sc") * col("v").cast("decimal(9,0)")).alias("u"))
+        )
+        m = u.agg(
+            F.greatest(
+                F.expr(f"max(abs(u)) div {PCA_VNORM}"), F.lit(1).cast("bigint")
+            ).alias("md")
+        )
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                col("i").alias("j"),
+                (
+                    F.when(col("u") < 0, F.lit(-1)).otherwise(F.lit(1))
+                    * F.expr("abs(u) div md")
+                ).cast("long")
+                .alias("v"),
+            )
+        )
+    return v.select(
+        col("j").cast("bigint").alias("dim"),
+        col("v").cast("bigint").alias("v_fixed"),
+        (col("v").cast("double") / float(PCA_VNORM)).alias("weight"),
+    )
+
+
+embedding_pca_power.__doc__ = embedding_pca_power.__doc__.replace(
+    "{PCA_POWER_ROUNDS}", str(PCA_POWER_ROUNDS)
+).replace("{PCA_VNORM}", str(PCA_VNORM))
