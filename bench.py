@@ -30,6 +30,19 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+# Python WORKERS must also import the package: closures (pandas UDFs)
+# ship by value, but module-level classes — the keyed_files
+# DataSource — pickle by REFERENCE, so the executor-side interpreter
+# needs the repo on ITS path too. Exported before the JVM launches
+# (get_spark), because workers inherit the driver JVM's environment;
+# without it the sink bench dies with PYTHON_DATA_SOURCE_ERROR when
+# bench.py runs from a foreign CWD (the driver does exactly that).
+if str(REPO) not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        f"{REPO}{os.pathsep}{os.environ['PYTHONPATH']}"
+        if os.environ.get("PYTHONPATH")
+        else str(REPO)
+    )
 
 #: headline set: one per capability family (scan-agg, multi-join,
 #: semi, top-k, window/argmax, stream-pipeline analog, join-heavy),
@@ -142,6 +155,13 @@ HEADLINE = [
     "simpson_diversity_user",
     "benford_first_digit_orders",
     "session_window_events",
+    # round 7: incremental vector ingest vs the frozen k-means index,
+    # CUSUM changepoint scan, MinHash sketch-accuracy audit,
+    # power-iteration PCA
+    "ann_incremental_assign",
+    "cusum_changepoint_events",
+    "minhash_error_report",
+    "embedding_pca_power",
 ]
 
 
@@ -158,6 +178,8 @@ def compact_line(
     sf: float,
     stream_rps: int | None,
     stream_err: str | None,
+    sink_rps: int | None = None,
+    artifacts_preloaded: bool | None = None,
 ) -> str:
     """Serialize the driver-facing JSON line, ≤ MAX_LINE_BYTES.
 
@@ -178,6 +200,8 @@ def compact_line(
         "sf": sf,
         "runs_per_query": 2,
         "streaming_rows_per_sec": stream_rps,
+        "streaming_sink_rows_per_sec": sink_rps,
+        "artifacts_preloaded": artifacts_preloaded,
         "streaming_error": stream_err[:120] if stream_err else None,
     }
     shown: dict[str, float] = {}
@@ -203,6 +227,19 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Whether the parquet artifact store already holds build-once
+    # indexes (iot_sparkstreaming_spark/artifacts.py): when True, the
+    # "cold" numbers below measure artifact LOAD (the production
+    # train-once/serve-many posture); when False they measure the full
+    # index build + save. Recorded so the two regimes are never
+    # conflated across rounds.
+    from iot_sparkstreaming_spark.artifacts import store_root
+
+    try:
+        artifacts_preloaded = bool(os.listdir(store_root()))
+    except OSError:
+        artifacts_preloaded = False
 
     # JVM/codegen warm-up on the smallest SF so per-query numbers
     # measure steady-state execution, not first-run whole-stage-codegen
@@ -279,6 +316,51 @@ def main() -> None:
 
     stream_rps = round(stream_rows / stream_sec) if stream_sec > 0 and stream_rows > 0 else None
 
+    # Streaming KEYED-SINK throughput: the same classified stream
+    # driven through the transactional keyed-upsert writer
+    # (io/keyed_sink.py) — the reference's full end-to-end path
+    # (classify → filter → Cassandra keyed write,
+    # workingTest.scala:103-148) with a real sink commit per
+    # micro-batch instead of noop. Reported as sustained INPUT rows/s
+    # (same denominator as the noop number above, so the two are
+    # directly comparable: the gap is the price of the upsert sink).
+    sink_rps = None
+    sink_rows_written = None
+    sink_sec = 0.0
+    sink_err = None
+    try:
+        import shutil
+        import tempfile
+
+        from iot_sparkstreaming_spark.io import keyed_sink
+
+        keyed_sink.register(spark)
+        tmpd = tempfile.mkdtemp(prefix="bench-keyed-sink-")
+        try:
+            fitbit2 = derive_telemetry(events_stream(spark, sf_dir)).withColumnRenamed(
+                "event_ms", "machine_timestamp"
+            )
+            t0 = time.perf_counter()
+            sq = (
+                warning_pipeline(fitbit2)
+                .writeStream.format("keyed_files")
+                .option("path", os.path.join(tmpd, "out"))
+                .option("key", "user_id")
+                .option("version", "machine_timestamp")
+                .option("checkpointLocation", os.path.join(tmpd, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+            sink_sec = round(time.perf_counter() - t0, 4)
+            sink_rows_written = len(keyed_sink.read_table(os.path.join(tmpd, "out")))
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+        if sink_sec > 0 and stream_rows > 0:
+            sink_rps = round(stream_rows / sink_sec)
+    except Exception as e:  # noqa: BLE001 — the metric must not kill the bench
+        sink_err = f"{type(e).__name__}: {e}"[:500]
+
     # Full per-query breakdown (warm best-of-2 + cold first-run) goes
     # to a committed side file; the printed line is the bounded digest.
     full = {
@@ -294,10 +376,26 @@ def main() -> None:
         "streaming_wall_sec": stream_sec,
         "streaming_rows_per_sec": stream_rps,
         "streaming_error": stream_err,
+        "streaming_sink_wall_sec": sink_sec,
+        "streaming_sink_rows_per_sec": sink_rps,
+        "streaming_sink_keys_written": sink_rows_written,
+        "streaming_sink_error": sink_err,
+        "artifacts_preloaded": artifacts_preloaded,
     }
     (REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=2) + "\n")
 
-    print(compact_line(times, total, cold_total, sf, stream_rps, stream_err))
+    print(
+        compact_line(
+            times,
+            total,
+            cold_total,
+            sf,
+            stream_rps,
+            stream_err,
+            sink_rps=sink_rps,
+            artifacts_preloaded=artifacts_preloaded,
+        )
+    )
     spark.stop()
 
 

@@ -62,61 +62,36 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # * round 5's window (16 never-checked + 9 last-red + 8 reference
 #   core + 17 new-in-r5) came back 50/50 green (CORRECTNESS_r05.json),
 #   including the q12 oracle-cast proof;
-# * round 6 rotates in the 34 queries that landed after r5's window
-#   was sized and therefore have never had an external row (16
-#   analytics + 7 mining + 4 similarity + 3 ops + 2 codec + 1 text +
-#   1 dedup — the full list below), keeps the 8 reference-pipeline
-#   queries pinned (core contract, continuously checked), and gives
-#   the remaining 8 slots to the queries NEW in round 6. Everything
-#   displaced carries a green r4/r5 row. After this round every
-#   registered query has ≥1 green external CORRECTNESS row.
+# * round 6 rotated in the 34 queries that landed after r5's window
+#   was sized (all came back green), kept the 8 reference-pipeline
+#   queries pinned, and gave the remaining 8 slots to the queries NEW
+#   in round 6 — 50/50 green (CORRECTNESS_r06.json);
+# * round 7 leads with the 5 never-externally-checked queries (the 4
+#   round-6 late arrivals the judge pre-verified with the driver
+#   comparator, plus the new ann_incremental_assign), keeps the 8
+#   reference-core queries pinned, re-checks the 2 queries whose CODE
+#   changed this round (time_weighted_avg_user's window now orders by
+#   full-precision ts; label_propagation_communities sits on the
+#   rewritten O(1)-cached-storage LPA loop), and fills the remaining
+#   slots with the OLDEST-checked cohort (round-3 rows — most of them
+#   also consume the new parquet-backed artifact store, so this
+#   re-validates the disk tier externally), then hands 3 of those
+#   fill slots to the queries NEW in round 7 (cusum_changepoint_
+#   events, minhash_error_report, embedding_pca_power — brand-new
+#   code gets first exposure; the displaced bpe_encode_docs /
+#   multimodal_manifest / multimodal_features keep green r3 rows and
+#   lead round 8's rotation). Everything displaced carries a green
+#   r3-r6 row.
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
-# (simpson_diversity_user, benford_first_digit_orders,
-# clustering_coefficient_parts and session_window_events landed after
-# round 6's window was sized at 50 — they sit outside the prefix and
-# are the first candidates for round 7's rotation.)
 _PRIORITY_PREFIX = [
-    # -- never externally checked: analytics tail (16)
-    "acf_user_value",
-    "value_histogram_events",
-    "kcore_trade_graph",
-    "event_transition_matrix",
-    "rolling_trend_slope",
-    "value_equidepth_bins_events",
-    "interval_coverage_user",
-    "chi2_contingency_cells",
-    "pareto_frontier_parts",
-    "shuffle_skew_report",
-    "label_propagation_communities",
-    "scd2_point_in_time_join",
-    "ab_test_conversion",
-    "survival_signup_to_purchase",
-    "graph_assortativity_trade",
-    "value_drift_report",
-    # -- never externally checked: mining (7)
-    "bm25_topk_docs",
-    "lm_bigram_likelihood",
-    "dup_token_spans",
-    "dedup_span_scrub",
-    "basket_pair_rules",
-    "weighted_sample_per_source",
-    "ordered_funnel_users",
-    # -- never externally checked: similarity / k-means family (4)
-    "embedding_gram_matrix",
-    "kmeans_lloyd_embeddings",
-    "ann_ivf_kmeans",
-    "kmeans_cluster_quality",
-    # -- never externally checked: ops (3), codecs (2), text (1),
-    #    dedup (1)
-    "snapshot_diff_orders",
-    "fk_integrity_audit",
-    "profile_orders_columns",
-    "image_png_features",
-    "video_y4m_frames",
-    "vocab_coverage_curve",
-    "dedup_incremental_minhash",
+    # -- never externally checked (5): r6 late arrivals + new in r7
+    "simpson_diversity_user",
+    "benford_first_digit_orders",
+    "clustering_coefficient_parts",
+    "session_window_events",
+    "ann_incremental_assign",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",
@@ -126,15 +101,49 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- new in round 6 (8): brand-new code gets first-exposure slots
-    "bloom_prune_semijoin",
-    "tfidf_cosine_pairs",
-    "salted_skew_join_events",
+    # -- code changed in round 7 (2): re-verify under the new code
     "time_weighted_avg_user",
-    "mad_outlier_per_user",
-    "decile_lift_orders",
-    "seasonal_hour_of_week",
-    "crossfold_assign_docs",
+    "label_propagation_communities",
+    # -- oldest external rows (round 3): text family (11)
+    "doc_token_stats",
+    "lang_id_heuristic",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "token_vocabulary",
+    "tfidf_top_terms",
+    "doc_repetition_stats",
+    "pii_redaction",
+    "bpe_merge_candidates",
+    "doc_rarity_stats",
+    "train_test_split",
+    # -- oldest (round 3): dedup family (10)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_canonical_docs",
+    "dedup_passages",
+    "dedup_containment",
+    "semdedup_cluster_prune",
+    # -- oldest (round 3): similarity (5)
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "quantize_embeddings_int8",
+    "rp_project_embeddings",
+    # -- oldest (round 3): pipeline (6)
+    "contamination_ngram_overlap",
+    "stratified_sample_by_source",
+    "chunk_documents",
+    "pack_token_sequences",
+    "corpus_build_pipeline",
+    "bpe_train_merges",
+    # -- new in round 7 (3): first-exposure slots
+    "cusum_changepoint_events",
+    "minhash_error_report",
+    "embedding_pca_power",
 ]
 
 _MODULE_ORDER = [

@@ -99,6 +99,10 @@ SHOWCASE = [
     ("simpson_diversity_user", "two-stage diversity moments"),
     ("benford_first_digit_orders", "map-only digit + 9-cell agg"),
     ("session_window_events", "native session_window merge"),
+    ("ann_incremental_assign", "O(batch) assign vs frozen index"),
+    ("cusum_changepoint_events", "one-exchange changepoint scan"),
+    ("minhash_error_report", "candidate-bounded sketch audit"),
+    ("embedding_pca_power", "3 broadcast mat-vec rounds"),
 ]
 
 
