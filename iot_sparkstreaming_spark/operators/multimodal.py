@@ -956,3 +956,292 @@ def y4m_frame_features(assets: DataFrame, every_n: int = 2) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         gen, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+# The GIF87a codec pair: the FIFTH real stdlib codec and the second
+# COMPRESSED one — palette-indexed pixels under genuine variable-width
+# LZW (LSB-first packing, CLEAR/EOI control codes, table growth with
+# the KwKwK case, 12-bit cap with dictionary reset), framed in 255-byte
+# sub-blocks per the spec. Same by-value factory pattern as WAV/BMP/
+# PNG/Y4M. The decoder is conformance-pinned against a REFERENCE
+# encoder's bytes (the canonical 1×1 GIF) in tests/test_multimodal.py,
+# so encoder/decoder can't drift from the public format together.
+GIF_LZW_MAX_WIDTH = 12
+
+
+def _make_gif_lzw():
+    def lzw_encode(indices, mcs: int) -> bytes:
+        """GIF-flavor LZW: emit CLEAR, then greedy longest-match codes
+        at the current width, growing the width when the next free
+        code no longer fits; reset the table at 4096 entries."""
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {(i,): i for i in range(clear)}
+        nxt = eoi + 1
+        width = mcs + 1
+        emit(clear, width)
+        w = ()
+        for k in indices:
+            wk = w + (k,)
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < GIF_LZW_MAX_WIDTH:
+                width += 1
+            if nxt == (1 << GIF_LZW_MAX_WIDTH) + 1:
+                emit(clear, width)
+                table = {(i,): i for i in range(clear)}
+                nxt = eoi + 1
+                width = mcs + 1
+            w = (k,)
+        if w:
+            emit(table[w], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def lzw_decode(data: bytes, mcs: int, n_expected: int) -> list:
+        """Inverse: variable-width LSB-first code stream → index list,
+        rebuilding the table one entry behind the encoder (the KwKwK
+        ``code == len(table)`` case materializes prev+prev[0])."""
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        pos = 0
+        acc = 0
+        nbits = 0
+        width = mcs + 1
+        table = [(i,) for i in range(clear)] + [None, None]
+        prev = None
+        out: list = []
+        while len(out) < n_expected:
+            while nbits < width:
+                if pos >= len(data):
+                    raise ValueError("LZW stream truncated")
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [None, None]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + (prev[0],)
+                else:
+                    raise ValueError(f"bad LZW code {code}")
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << width) and width < GIF_LZW_MAX_WIDTH:
+                    width += 1
+            out.extend(entry)
+            prev = entry
+        return out[:n_expected]
+
+    return lzw_encode, lzw_decode
+
+
+gif_lzw_encode, gif_lzw_decode = _make_gif_lzw()
+
+GIF_PALETTE_SIZE = 16  # 4-bit indexed → LZW min code size 4
+
+
+def _make_gif_synth():
+    enc = gif_lzw_encode  # '<locals>' qualname → pickled by value
+
+    def synthesize_gif(asset_id: int) -> bytes:
+        """Deterministic GIF87a for ``asset_id``: real header, logical
+        screen descriptor, 16-entry global color table, image
+        descriptor, LZW-compressed 4-bit indices in 255-byte
+        sub-blocks, trailer. Closed forms: index(x, y) =
+        (id + 3x + 7y) mod 16; palette[i] = ((id+37i) mod 256,
+        (id+59i) mod 256, (id+83i) mod 256); w = 5 + id%9,
+        h = 4 + id%6."""
+        import struct
+
+        w = 5 + asset_id % 9
+        h = 4 + asset_id % 6
+        out = bytearray(b"GIF87a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0xB3, 0, 0])  # GCT present, 16 entries
+        for i in range(GIF_PALETTE_SIZE):
+            out += bytes(
+                [
+                    (asset_id + 37 * i) % 256,
+                    (asset_id + 59 * i) % 256,
+                    (asset_id + 83 * i) % 256,
+                ]
+            )
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        indices = [
+            (asset_id + 3 * x + 7 * y) % GIF_PALETTE_SIZE
+            for y in range(h)
+            for x in range(w)
+        ]
+        mcs = 4
+        out.append(mcs)
+        data = enc(indices, mcs)
+        for off in range(0, len(data), 255):
+            block = data[off : off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    return synthesize_gif
+
+
+def _make_gif_decode():
+    dec = gif_lzw_decode  # '<locals>' qualname → pickled by value
+
+    def decode_gif(payload: bytes) -> dict:
+        """REAL GIF decode: header/LSD parse, global color table,
+        extension-block skip (GIF89a graphic-control etc.), image
+        descriptor, sub-block reassembly, variable-width LZW decode,
+        palette mapping. Pixels come back as (r, g, b) tuples,
+        top-down. Interlace and local color tables are format guards
+        (not emitted by the synthesizer, flagged honestly)."""
+        import struct
+
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        sw, sh = struct.unpack_from("<HH", payload, 6)
+        packed = payload[10]
+        pos = 13
+        gct = []
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            for i in range(n):
+                gct.append(tuple(payload[pos + 3 * i : pos + 3 * i + 3]))
+            pos += 3 * n
+        while payload[pos] == 0x21:  # extensions: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if payload[pos] != 0x2C:
+            raise ValueError("missing image descriptor")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if ipacked & 0x80:
+            raise NotImplementedError("local color tables not supported")
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = dec(bytes(data), mcs, w * h)
+        rows = [[gct[idx[y * w + x]] for x in range(w)] for y in range(h)]
+        return {"width": w, "height": h, "pixels": rows, "indices": idx}
+
+    return decode_gif
+
+
+synthesize_gif = _make_gif_synth()
+decode_gif = _make_gif_decode()
+
+
+def gif_image_assets(docs: DataFrame) -> DataFrame:
+    """Image-modality asset table with REAL GIF87a payloads (same
+    doc_id % 3 == 0 assignment as the other image codecs), encoded in
+    a map-only Arrow pass."""
+    import pandas as pd  # noqa: F811
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    synth = synthesize_gif  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": [synth(int(i)) for i in pdf["doc_id"]],
+                },
+                columns=["asset_id", "payload"],
+            )
+
+    return (
+        docs.filter(docs.doc_id % 3 == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema=out_schema)
+    )
+
+
+GIF_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("max_channel", T.LongType()),
+        T.StructField("distinct_colors", T.LongType()),
+    ]
+)
+
+
+def gif_image_features(assets: DataFrame) -> DataFrame:
+    """Decode real GIF payloads (LZW + palette) into integer pixel
+    statistics, plus the palette-usage count a palette format makes
+    natural."""
+    import pandas as pd  # noqa: F811
+
+    decode = decode_gif  # '<locals>' qualname → pickled by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode(bytes(payload))
+                flat = [v for row in d["pixels"] for px in row for v in px]
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_pixels": d["width"] * d["height"],
+                        "sum_rgb": int(sum(flat)),
+                        "max_channel": int(max(flat)),
+                        "distinct_colors": len(set(d["indices"])),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FEATURES_SCHEMA.fields]
+            ).astype("int64")
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        gen, schema=GIF_FEATURES_SCHEMA
+    )

@@ -3509,3 +3509,140 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift statistic (exact, unbinned)
+# ---------------------------------------------------------------------------
+
+KS_DRIFT_ORACLE = """
+WITH bounds AS (
+  SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS mid FROM events
+),
+tagged AS (
+  SELECT event_type, value,
+    CASE WHEN epoch_ms(ts) < bounds.mid THEN 1 ELSE 0 END AS early
+  FROM events, bounds
+),
+pts AS (
+  SELECT event_type, value,
+    CAST(SUM(early) AS BIGINT) AS ne_x,
+    CAST(SUM(1 - early) AS BIGINT) AS nl_x
+  FROM tagged GROUP BY event_type, value
+),
+cum AS (
+  SELECT event_type, value,
+    SUM(CAST(ne_x AS DECIMAL(19,0))) OVER (
+      PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+    SUM(CAST(nl_x AS DECIMAL(19,0))) OVER (
+      PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+    SUM(CAST(ne_x AS DECIMAL(19,0))) OVER (PARTITION BY event_type) AS ne,
+    SUM(CAST(nl_x AS DECIMAL(19,0))) OVER (PARTITION BY event_type) AS nl
+  FROM pts
+),
+dev AS (
+  SELECT event_type, value, ne, nl,
+    ABS(CAST(ce AS DECIMAL(19,0)) * CAST(nl AS DECIMAL(19,0))
+        - CAST(cl AS DECIMAL(19,0)) * CAST(ne AS DECIMAL(19,0))) AS adev
+  FROM cum
+)
+SELECT event_type,
+  CAST(ne AS BIGINT) AS n_early,
+  CAST(nl AS BIGINT) AS n_late,
+  value AS ks_at_value,
+  CAST(adev AS DOUBLE)
+    / NULLIF(CAST(ne AS DOUBLE) * CAST(nl AS DOUBLE), 0) AS ks_stat
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY adev DESC, value ASC) AS rk
+  FROM dev
+)
+WHERE rk = 1
+"""
+
+
+@register("ks_drift_events", oracle=KS_DRIFT_ORACLE)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event_type:
+    the early time half vs the late half (same integer-midpoint split
+    as ``value_drift_report``), D = max_x |F_early(x) − F_late(x)| —
+    the EXACT unbinned complement of the binned share-drift report
+    (no bucket choice to hide a shift inside), plus the value where
+    the gap peaks. The standard distribution-shift alarm before a
+    window of feed data is admitted to training.
+
+    Exactness: the ECDF gap is compared as the integer
+    |ce·nl − cl·ne| (cross-multiplied, the anomaly-zscore house
+    trick), with decimal(19,0) casts before each product so the
+    argmax rides exact decimal(38,0) — no float ECDFs, no ties broken
+    by rounding; one final guarded double division reports D. Equal
+    VALUES collapse first (groupBy), so the ECDF is evaluated exactly
+    once per jump point on both engines.
+
+    Scale shape: the epoch bounds collapse to one broadcast row; the
+    corpus collapses map-side to (type, value) cells; the cumulative
+    window, the totals, and the argmax all ride ONE event_type
+    exchange. Output is one row per event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min(F.unix_millis("ts")) + F.max(F.unix_millis("ts"))) / F.lit(2))
+        .cast("bigint")
+        .alias("mid")
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        F.when(F.unix_millis("ts") < col("mid"), 1).otherwise(0).alias("early"),
+    )
+    pts = tagged.groupBy("event_type", "value").agg(
+        F.sum("early").cast("bigint").alias("ne_x"),
+        F.sum(F.lit(1) - col("early")).cast("bigint").alias("nl_x"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("value")
+    wp = Window.partitionBy("event_type")
+    cum = (
+        pts.withColumn(
+            "ce",
+            F.sum(d19(col("ne_x"))).over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "cl",
+            F.sum(d19(col("nl_x"))).over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("ne", F.sum(d19(col("ne_x"))).over(wp))
+        .withColumn("nl", F.sum(d19(col("nl_x"))).over(wp))
+    )
+    dev = cum.select(
+        "event_type",
+        "value",
+        "ne",
+        "nl",
+        F.abs(
+            d19(col("ce")) * d19(col("nl")) - d19(col("cl")) * d19(col("ne"))
+        ).alias("adev"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(col("adev").desc(), col("value").asc())
+    return (
+        dev.withColumn("rk", F.row_number().over(wr))
+        .filter(col("rk") == 1)
+        .select(
+            "event_type",
+            col("ne").cast("bigint").alias("n_early"),
+            col("nl").cast("bigint").alias("n_late"),
+            col("value").alias("ks_at_value"),
+            (
+                col("adev").cast("double")
+                / F.nullif(
+                    col("ne").cast("double") * col("nl").cast("double"), F.lit(0.0)
+                )
+            ).alias("ks_stat"),
+        )
+    )

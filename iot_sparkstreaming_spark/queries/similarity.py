@@ -1799,3 +1799,93 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_pca_power.__doc__ = embedding_pca_power.__doc__.replace(
     "{PCA_POWER_ROUNDS}", str(PCA_POWER_ROUNDS)
 ).replace("{PCA_VNORM}", str(PCA_VNORM))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of the two ANN rankers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard smoothing constant (Cormack et al. 2009)
+RRF_SCALE = 10**12  # fixed point: 1/(K+rank) as RRF_SCALE div (K+rank)
+
+RRF_ORACLE = f"""
+WITH lsh AS ({ANN_ORACLE}),
+ivf AS ({IVF_ORACLE}),
+pooled AS (
+  SELECT query_id, neighbor_id, rk FROM lsh
+  UNION ALL
+  SELECT query_id, neighbor_id, rk FROM ivf
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+    CAST(SUM({RRF_SCALE} // ({RRF_K} + rk)) AS BIGINT) AS rrf_fixed,
+    CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM pooled GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rrf_fixed, n_lists,
+  CAST(rrf_fixed AS DOUBLE) / {RRF_SCALE} AS rrf_score,
+  CAST(fused_rk AS BIGINT) AS fused_rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_fixed DESC, neighbor_id) AS fused_rk
+  FROM fused
+)
+WHERE fused_rk <= {TOP_K}
+"""
+
+
+@register("rrf_fuse_rankers", oracle=RRF_ORACLE)
+def rrf_fuse_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of the two
+    registered ANN rankers: each (query, neighbor) scores
+    Σ 1/({RRF_K}+rank) over the lists it appears in — sign-LSH and
+    IVF retrieve DIFFERENT neighbor pools (different blind spots), and
+    RRF is the standard score-free way to combine them without
+    calibrating cosine scales. The production ensemble-retrieval
+    stage between candidate generation and reranking.
+
+    Numeric determinism: ranks fuse in FIXED POINT —
+    ``{RRF_SCALE} div ({RRF_K}+rk)`` per list, summed as exact
+    integers — so the fused ordering is identical on both engines
+    regardless of aggregation order (a float 1/(k+r) sum would be
+    associativity-dependent). One final double division reports the
+    conventional score. Ties break on neighbor_id.
+
+    Scale shape: both input rankers are the already-bounded top-{TOP_K}
+    tables (each ≤ {TOP_K} rows/query, built from memoized artifacts)
+    — fusion itself is one hash aggregate + one per-query top-k window
+    on a few-rows-per-query frame; the corpus is never touched. The
+    oracle nests BOTH rankers' full constructions as CTEs, so the
+    hash-match re-proves the inputs and the fusion together.
+    """
+    lsh = ann_lsh_cosine(spark, sf_dir).select("query_id", "neighbor_id", "rk")
+    ivf = ann_ivf_cosine(spark, sf_dir).select("query_id", "neighbor_id", "rk")
+    pooled = lsh.unionByName(ivf)
+    fused = pooled.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.expr(f"{RRF_SCALE} div ({RRF_K} + rk)"))
+        .cast("bigint")
+        .alias("rrf_fixed"),
+        F.count("*").cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        col("rrf_fixed").desc(), col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rk", F.row_number().over(w))
+        .filter(col("fused_rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_fixed",
+            "n_lists",
+            (col("rrf_fixed").cast("double") / RRF_SCALE).alias("rrf_score"),
+            col("fused_rk").cast("bigint").alias("fused_rk"),
+        )
+    )
+
+
+rrf_fuse_rankers.__doc__ = (
+    rrf_fuse_rankers.__doc__.replace("{RRF_K}", str(RRF_K))
+    .replace("{RRF_SCALE}", str(RRF_SCALE))
+    .replace("{TOP_K}", str(TOP_K))
+)
