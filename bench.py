@@ -162,6 +162,12 @@ HEADLINE = [
     "cusum_changepoint_events",
     "minhash_error_report",
     "embedding_pca_power",
+    # round 7 late arrivals (post-window): unbinned two-sample KS
+    # drift, reciprocal-rank fusion of the two ANN rankers
+    "ks_drift_events",
+    "rrf_fuse_rankers",
+    # round 8: GIF87a LZW codec path
+    "image_gif_features",
 ]
 
 

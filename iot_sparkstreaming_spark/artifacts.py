@@ -13,11 +13,15 @@ that layer.
 replacement for ``session_memo`` with a disk tier underneath:
 
 * **content-addressed**: the cache key is a fingerprint of (a) every
-  byte of the input tables under ``sf_dir`` and (b) the builder's own
-  source plus its primitive closure constants — so regenerated
-  testdata OR an edited builder auto-invalidates, with no version
-  counter to forget to bump. Stale artifacts can never serve: a
-  changed input or changed code hashes to a different directory.
+  byte of the input tables under ``sf_dir`` and (b) the builder's
+  code identity — its source, its primitive closure constants, the
+  primitive module-level globals it references by name (MINHASH_K,
+  LSH_BANDS, …), and recursively the same token for every repo-local
+  helper function it calls — so regenerated testdata, an edited
+  builder, an edited constant, or an edited helper all
+  auto-invalidate, with no version counter to forget to bump. Stale
+  artifacts can never serve: a changed input or changed code hashes
+  to a different directory.
 * **structure-aware**: builders return a DataFrame, a dict, or a
   tuple whose leaves are DataFrames and JSON scalars (the three
   shapes the query modules use); each DataFrame leaf round-trips
@@ -32,11 +36,12 @@ replacement for ``session_memo`` with a disk tier underneath:
   tier is a pure accelerator, never a correctness dependency.
 
 Layout: ``$SPARK_GRAFT_ARTIFACTS`` (default
-``<repo>/spark-warehouse/artifacts``)``/<name>/<sfbase>-<fp16>/``
-holding ``meta.json`` plus one parquet directory per DataFrame leaf.
-Old fingerprints of the same (name, sfbase) are pruned on successful
-save — the store holds at most one live generation per artifact per
-scale.
+``<repo>/spark-warehouse/artifacts``)``/<name>/<sfbase>-<path8>-<fp16>/``
+holding ``meta.json`` plus one parquet directory per DataFrame leaf
+(``path8`` = hash of the absolute sf_dir, so same-basename scale dirs
+don't contend). Old fingerprints of the same (name, scale-dir) are
+pruned on successful save — the store holds at most one live
+generation per artifact per scale.
 
 At 100 TB this is the train-once/serve-many posture the ANN/IVF
 docstrings describe: index construction is a scheduled job writing to
@@ -51,6 +56,7 @@ import json
 import os
 import shutil
 import tempfile
+import types
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,30 +102,73 @@ def _sf_fingerprint(sf_dir: str) -> str:
     return _FP_CACHE[key]
 
 
-def _builder_token(builder) -> str:
-    """Hashable identity of the builder's CODE: its source text plus
-    the repr of any primitive closure constants (thresholds, k's,
-    band counts captured from module scope ride the source itself;
-    captured primitives ride the closure). Editing the builder — or
-    a constant it closes over — moves the fingerprint, so a stale
-    artifact built by old code can never answer for new code."""
+def _code_names(code) -> set[str]:
+    """Every global name referenced by ``code`` or any code object
+    nested inside it (comprehensions, inner defs, lambdas)."""
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _code_names(c)
+    return names
+
+
+def _is_primitive(v) -> bool:
+    if isinstance(v, (int, float, str, bool, bytes)) or v is None:
+        return True
+    return isinstance(v, (tuple, frozenset)) and all(
+        isinstance(x, (int, float, str, bool, bytes)) or x is None for x in v
+    )
+
+
+def _builder_token(builder, _seen: set | None = None) -> str:
+    """Hashable identity of the builder's CODE: its source text, the
+    repr of primitive closure constants, the repr of every PRIMITIVE
+    module-level global the code references by name (MINHASH_K,
+    LSH_BANDS, GRAM_SCALE, …), and — recursively — the token of every
+    repo-local function it references (helpers like shingle_hashes or
+    pagerank that the builder calls). Editing the builder, a constant
+    it reads, or a helper it calls all move the fingerprint, so a
+    stale artifact built under old semantics can never answer for new
+    code. Third-party/stdlib callees ride the _FORMAT_VERSION bump
+    instead (hashing their source would churn the store on every
+    library upgrade without a semantics change)."""
+    if _seen is None:
+        _seen = set()
+    key = id(getattr(builder, "__code__", builder))
+    if key in _seen:
+        return f"<cycle:{getattr(builder, '__qualname__', '?')}>"
+    _seen.add(key)
     try:
         src = inspect.getsource(builder)
     except (OSError, TypeError):
         src = getattr(builder, "__qualname__", repr(builder))
-    consts = []
-    for cell in builder.__closure__ or ():
-        try:
-            v = cell.cell_contents
-        except ValueError:
-            continue
-        if isinstance(v, (int, float, str, bool, bytes)) or v is None:
-            consts.append(repr(v))
-        elif isinstance(v, tuple) and all(
-            isinstance(x, (int, float, str, bool)) for x in v
+    parts = [src]
+    refs: list[tuple[str, object]] = []
+    code = getattr(builder, "__code__", None)
+    if code is not None:
+        for cell, cname in zip(
+            builder.__closure__ or (), code.co_freevars
         ):
-            consts.append(repr(v))
-    return src + "\x00" + "|".join(sorted(consts))
+            try:
+                refs.append((cname, cell.cell_contents))
+            except ValueError:
+                continue
+        g = getattr(builder, "__globals__", {})
+        for n in sorted(_code_names(code)):
+            if n in g:
+                refs.append((n, g[n]))
+    consts = []
+    callees = []
+    for cname, v in refs:
+        if _is_primitive(v):
+            consts.append(f"{cname}={v!r}")
+        elif isinstance(v, types.FunctionType) and (
+            getattr(v, "__module__", "") or ""
+        ).startswith("iot_sparkstreaming_spark"):
+            callees.append(f"{cname}::" + _builder_token(v, _seen))
+    parts.append("|".join(sorted(set(consts))))
+    parts.append("\x01".join(sorted(set(callees))))
+    return "\x00".join(parts)
 
 
 def _components(value):
@@ -165,7 +214,7 @@ def _save(value, final_dir: str) -> bool:
             json.dump(meta, f)
         os.rename(tmp, final_dir)
         return True
-    except OSError:
+    except Exception:  # noqa: BLE001 — incl. Py4J write failures
         shutil.rmtree(tmp, ignore_errors=True)
         # a racing writer may have renamed first — their artifact is
         # bit-identical (same fingerprint ⇒ same inputs + code).
@@ -193,8 +242,15 @@ def _load(spark: SparkSession, final_dir: str):
 
 
 def _prune_stale(parent: str, keep: str) -> None:
-    """Drop retired fingerprints of the same (name, sfbase)."""
-    prefix = keep.split("-", 1)[0] + "-"
+    """Drop retired fingerprints of the same (name, scale-dir).
+
+    ``keep`` is ``<sfbase>-<path8>-<fp16>``; the generation prefix is
+    everything before the LAST ``-`` (so a basename containing ``-``
+    still groups correctly), and it includes the 8-hex hash of the
+    absolute sf_dir path — two sf_dirs that share a basename
+    (``/a/sf0.1`` vs ``/b/sf0.1``) own separate generations instead
+    of evicting each other's live artifact on every save."""
+    prefix = keep.rsplit("-", 1)[0] + "-"
     try:
         entries = os.listdir(parent)
     except OSError:
@@ -218,6 +274,16 @@ def artifact_memo(spark: SparkSession, key: tuple, builder):
     name, sf_dir = key[0], key[1]
 
     def build_or_load():
+        # Fail-open means ANY failure, not just OSError: the JVM-side
+        # paths (spark.read.parquet on a pruned generation, a Py4J
+        # error inside leaf.write.parquet) surface as AnalysisException
+        # or Py4JJavaError, and they too must degrade to the plain
+        # session-memo build. Residual race: a prune landing AFTER a
+        # lazy load succeeded but BEFORE the frame executes can still
+        # fail at action time — but prunes only occur when a DIFFERENT
+        # fingerprint saves (code or inputs changed mid-process), and
+        # the store keeps one live generation, so that window is
+        # effectively unreachable in a fixed-code run.
         try:
             fp = hashlib.sha256(
                 (
@@ -227,19 +293,21 @@ def artifact_memo(spark: SparkSession, key: tuple, builder):
                     + f"\x00v{_FORMAT_VERSION}"
                 ).encode()
             ).hexdigest()[:16]
-            sfbase = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+            abs_sf = os.path.abspath(os.path.normpath(sf_dir))
+            path8 = hashlib.sha256(abs_sf.encode()).hexdigest()[:8]
+            sfbase = os.path.basename(abs_sf) or "sf"
             parent = os.path.join(store_root(), name)
-            leaf = f"{sfbase}-{fp}"
+            leaf = f"{sfbase}-{path8}-{fp}"
             final_dir = os.path.join(parent, leaf)
             if os.path.isfile(os.path.join(final_dir, "meta.json")):
                 return _load(spark, final_dir)
-        except OSError:
+        except Exception:  # noqa: BLE001 — fail-open by contract
             return builder()
         value = builder()
         try:
             if _save(value, final_dir):
                 _prune_stale(parent, leaf)
-        except OSError:
+        except Exception:  # noqa: BLE001 — fail-open by contract
             pass
         return value
 

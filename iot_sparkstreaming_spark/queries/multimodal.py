@@ -360,3 +360,62 @@ def video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y4m_frame_features(y4m_video_assets(docs)).orderBy(
         "asset_id", "frame_index"
     )
+
+
+IMAGE_GIF_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, 5 + doc_id % 9 AS w, 4 + doc_id % 6 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT asset_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM f
+),
+pxy AS (
+  SELECT asset_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px
+),
+pix AS (
+  SELECT asset_id, w, h, (asset_id + 3 * x + 7 * y) % 16 AS idx FROM pxy
+),
+chan AS (
+  SELECT asset_id, w, h, idx,
+    (asset_id + 37 * idx) % 256 AS r,
+    (asset_id + 59 * idx) % 256 AS g,
+    (asset_id + 83 * idx) % 256 AS b
+  FROM pix
+)
+SELECT asset_id,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(SUM(r + g + b) AS BIGINT) AS sum_rgb,
+  CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_channel,
+  CAST(COUNT(DISTINCT idx) AS BIGINT) AS distinct_colors
+FROM chan
+GROUP BY asset_id, w, h
+"""
+
+
+@register("image_gif_features", oracle=IMAGE_GIF_ORACLE)
+def image_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFTH real codec path, second COMPRESSED one: every
+    image-modality document becomes a genuine GIF87a — 16-entry
+    global color table, 4-bit palette indices under real
+    variable-width LZW (LSB-first packing, CLEAR/EOI, table growth
+    with the KwKwK case, 12-bit cap + reset), framed in 255-byte
+    sub-blocks — and the decode pass walks header/LSD/GCT/extensions,
+    reassembles sub-blocks, LZW-decodes, and maps the palette before
+    reducing to integer pixel statistics plus the palette-usage count
+    a palette format makes natural. The codec pair is
+    conformance-pinned against the canonical public 35-byte 1x1
+    GIF87a in tests/test_multimodal.py.
+
+    Scale shape: identical to the other codec paths — two chained
+    map-only Arrow passes, no shuffle, payloads die in-batch.
+    """
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        gif_image_assets,
+        gif_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_image_features(gif_image_assets(docs))

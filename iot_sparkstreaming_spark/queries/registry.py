@@ -66,32 +66,30 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   was sized (all came back green), kept the 8 reference-pipeline
 #   queries pinned, and gave the remaining 8 slots to the queries NEW
 #   in round 6 — 50/50 green (CORRECTNESS_r06.json);
-# * round 7 leads with the 5 never-externally-checked queries (the 4
-#   round-6 late arrivals the judge pre-verified with the driver
-#   comparator, plus the new ann_incremental_assign), keeps the 8
-#   reference-core queries pinned, re-checks the 2 queries whose CODE
-#   changed this round (time_weighted_avg_user's window now orders by
-#   full-precision ts; label_propagation_communities sits on the
-#   rewritten O(1)-cached-storage LPA loop), and fills the remaining
-#   slots with the OLDEST-checked cohort (round-3 rows — most of them
-#   also consume the new parquet-backed artifact store, so this
-#   re-validates the disk tier externally), then hands 3 of those
-#   fill slots to the queries NEW in round 7 (cusum_changepoint_
-#   events, minhash_error_report, embedding_pca_power — brand-new
-#   code gets first exposure; the displaced bpe_encode_docs /
-#   multimodal_manifest / multimodal_features keep green r3 rows and
-#   lead round 8's rotation). Everything displaced carries a green
-#   r3-r6 row.
+# * round 7 led with the 5 never-externally-checked queries, kept the
+#   8 reference-core queries pinned, re-checked 2 code-changed
+#   queries, re-validated the oldest (round-3) cohort through the new
+#   artifact-store disk tier, and gave 3 slots to the queries new in
+#   round 7 — 50/50 green (CORRECTNESS_r07.json);
+# * round 8 leads with the ONLY 2 queries lacking an external row
+#   (ks_drift_events / rrf_fuse_rankers — landed after r7's window
+#   froze; judge pre-verified hash-MATCH with the driver comparator),
+#   then the queries NEW in round 8 (insertions here displace the
+#   round-4 fill tail below, which keeps its green r4 rows), the 8
+#   pinned reference queries, the 6 remaining round-3 rows (including
+#   the bpe_encode_docs / multimodal_manifest / multimodal_features
+#   displacements promised last round), and fills the rest with the
+#   round-4 cohort (oldest after that) — the tail past slot 50 drops
+#   out harmlessly.
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # -- never externally checked (5): r6 late arrivals + new in r7
-    "simpson_diversity_user",
-    "benford_first_digit_orders",
-    "clustering_coefficient_parts",
-    "session_window_events",
-    "ann_incremental_assign",
+    # -- never externally checked (2): r7 late arrivals
+    "ks_drift_events",
+    "rrf_fuse_rankers",
+    # -- new in round 8 (first-exposure; insert new queries HERE)
+    "image_gif_features",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",
@@ -101,49 +99,57 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- code changed in round 7 (2): re-verify under the new code
-    "time_weighted_avg_user",
-    "label_propagation_communities",
-    # -- oldest external rows (round 3): text family (11)
-    "doc_token_stats",
-    "lang_id_heuristic",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "token_vocabulary",
-    "tfidf_top_terms",
-    "doc_repetition_stats",
-    "pii_redaction",
-    "bpe_merge_candidates",
-    "doc_rarity_stats",
-    "train_test_split",
-    # -- oldest (round 3): dedup family (10)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_canonical_docs",
-    "dedup_passages",
-    "dedup_containment",
-    "semdedup_cluster_prune",
-    # -- oldest (round 3): similarity (5)
-    "knn_bruteforce_cosine",
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    "quantize_embeddings_int8",
-    "rp_project_embeddings",
-    # -- oldest (round 3): pipeline (6)
-    "contamination_ngram_overlap",
-    "stratified_sample_by_source",
-    "chunk_documents",
-    "pack_token_sequences",
-    "corpus_build_pipeline",
-    "bpe_train_merges",
-    # -- new in round 7 (3): first-exposure slots
-    "cusum_changepoint_events",
-    "minhash_error_report",
-    "embedding_pca_power",
+    # -- oldest external rows (round 3, the 6 not covered in r7)
+    "multimodal_manifest",
+    "multimodal_features",
+    "sql_revenue_by_region",
+    "temperature_mix_allocation",
+    "assign_global_ids",
+    "bpe_encode_docs",
+    # -- next-oldest (round 4): TPC-H + functions + events cohort.
+    #    Only the first 50 names overall are in the driver window;
+    #    this block's tail past slot 50 keeps its green r4 rows.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "customers_without_orders",
+    "nation_census_outer",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_idle_customers",
+    "q16_supplier_diversity",
+    "q20_excess_suppliers",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q21_waiting_suppliers",
+    "json_extract_events",
+    "regex_part_taxonomy",
+    "datetime_ship_delay",
+    "string_functions_customer",
+    "grouping_sets_revenue",
+    "distinct_suppliers_per_segment",
+    "embedding_norm_stats",
+    "pivot_priority_by_status",
+    "approx_distinct_sketch",
+    "percentile_event_values",
+    "udaf_iqr_pandas",
+    "feature_binning_histogram",
+    "window_topk_per_user",
+    "window_running_total",
+    "window_event_deltas",
+    "sessionize_events",
+    "rollup_customer_census",
+    "cube_event_census",
 ]
 
 _MODULE_ORDER = [

@@ -1549,19 +1549,35 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.any_value(col("v")).alias("v"), F.max("key").alias("m"))
         .select("vec_id", "v", (-col("m.nc")).cast("bigint").alias("cid"))
     )
-    merged = hist.select("vec_id", "v", "cid").unionByName(newly)
+    # Rescore-cost note: array higher-order functions (zip_with +
+    # aggregate) are JVM-side but NOT whole-stage-codegen'd — each
+    # evaluation walks the array interpreted. The exact rescore below
+    # touches |probes|·|cell| candidate PAIRS, so the self-norms are
+    # computed ONCE PER ROW here (corpus side and query side, below
+    # the cid exchange) and only the cross dot product is evaluated
+    # per pair: 3 HOF evals/pair → 1, bitwise-identical because the
+    # final expression keeps _d2's exact (uu − 2·uw) + ww association.
+    merged = (
+        hist.select("vec_id", "v", "cid")
+        .unionByName(newly)
+        .select("vec_id", "v", "cid", _dot(col("v"), col("v")).alias("ww"))
+    )
 
     d2p = _d2(col("qv"), col("cvec"))
     w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
     probes = (
         e.filter(is_new)
-        .select(col("vec_id").alias("query_id"), col("v").alias("qv"))
+        .select(
+            col("vec_id").alias("query_id"),
+            col("v").alias("qv"),
+            _dot(col("v"), col("v")).alias("qq"),
+        )
         .crossJoin(F.broadcast(cent))
         .withColumn("prk", F.row_number().over(w_probe))
         .filter(col("prk") <= N_PROBE)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qq", "cid")
     )
-    d2s = _d2(col("qv"), col("v"))
+    d2s = (col("qq") - F.lit(2.0) * _dot(col("qv"), col("v"))) + col("ww")
     scored = (
         probes.join(merged, "cid")
         .filter(col("vec_id") != col("query_id"))
@@ -1747,14 +1763,18 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit-reproducible float-free iteration: the iterate is normalized
     WITHOUT a square root — each round divides by
-    ``max|u| div {PCA_VNORM}`` using integer division on
-    sign-separated magnitudes (Spark ``div`` and DuckDB ``//`` both
-    truncate toward zero, but only non-negative operands reach the
-    division), keeping every component an exact integer in
-    [−{PCA_VNORM}, {PCA_VNORM}]·(1+ε). The oracle replays the
-    identical unrolled iteration in HUGEINT, so the hash proves every
-    one of the 3·d² multiply-adds. One final double division scales
-    the report weight.
+    ``md = floor(max|u| / {PCA_VNORM})``, computed in PURE decimal
+    (the subtract-mod form ``(mx − mx%V)/V`` has zero remainder, so
+    the decimal division is exact; the naive ``div`` returns Long and
+    would overflow past ~1e6 vectors), then truncates
+    sign-separated magnitudes with ``abs(u) div md`` (quotient always
+    ≤ ~{PCA_VNORM}, Long-safe at any corpus size; Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero, but only non-negative
+    operands reach the division), keeping every component an exact
+    integer in [−{PCA_VNORM}, {PCA_VNORM}]·(1+ε). The oracle replays
+    the identical unrolled iteration in HUGEINT, so the hash proves
+    every one of the 3·d² multiply-adds. One final double division
+    scales the report weight.
 
     Scale shape: the scatter build is the memoized mapInPandas
     partial-Gram artifact (shuffle O(partitions·d²)); each iteration
@@ -1773,9 +1793,20 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(col("sc") * col("v").cast("decimal(9,0)")).alias("u"))
         )
+        # md = floor(max|u| / VNORM) computed ENTIRELY in decimal:
+        # (mx - mx % V) is exactly divisible by V, so the decimal
+        # division has zero remainder and rounds to the exact integer
+        # quotient — no Long materialization. The naive
+        # ``max(abs(u)) div V`` returns LongType and overflows once
+        # max|u| > 2^63·V (~1e5-1e6 vectors); this form keeps the
+        # engine exact to the scatter's own decimal(29,0) bound
+        # (~1e10 vectors at |s| ≤ 1e4).
+        vn = F.lit(PCA_VNORM).cast("decimal(38,0)")
+        mx = F.max(F.abs(col("u")))
         m = u.agg(
             F.greatest(
-                F.expr(f"max(abs(u)) div {PCA_VNORM}"), F.lit(1).cast("bigint")
+                ((mx - mx % vn) / vn).cast("decimal(29,0)"),
+                F.lit(1).cast("decimal(29,0)"),
             ).alias("md")
         )
         v = (

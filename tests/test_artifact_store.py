@@ -204,3 +204,94 @@ def test_fingerprint_is_content_addressed(tmp_path):
     artifacts._FP_CACHE.clear()
     fp3 = artifacts._sf_fingerprint(str(d))
     assert fp1 == fp2 != fp3
+
+
+def test_referenced_global_and_helper_move_token():
+    """ADVICE r7: the builder token must cover (a) primitive
+    module-level globals the code references by name and (b) the
+    source of repo-local helper functions it calls — editing either
+    must move the fingerprint even when the builder's own source text
+    is unchanged."""
+    from iot_sparkstreaming_spark.artifacts import _builder_token
+
+    def h1():
+        return 1
+
+    def h2():
+        return 2
+
+    h1.__module__ = "iot_sparkstreaming_spark._fake"
+    h2.__module__ = "iot_sparkstreaming_spark._fake"
+
+    ns = {"K": 5, "helper": h1}
+    exec("def build():\n    return K + helper()", ns)
+    build = ns["build"]
+
+    t0 = _builder_token(build)
+    assert _builder_token(build) == t0, "token must be deterministic"
+
+    ns["K"] = 6
+    t_global = _builder_token(build)
+    ns["K"] = 5
+    assert t_global != t0, "edited referenced global must move token"
+
+    ns["helper"] = h2
+    t_helper = _builder_token(build)
+    ns["helper"] = h1
+    assert t_helper != t0, "edited repo-local helper must move token"
+    assert _builder_token(build) == t0, "restored state must restore token"
+
+
+def test_builder_token_handles_recursion():
+    """Mutually-referencing repo-local helpers must not loop the
+    token computation forever."""
+    from iot_sparkstreaming_spark.artifacts import _builder_token
+
+    def ping():
+        return pong()
+
+    def pong():
+        return ping()
+
+    ping.__module__ = pong.__module__ = "iot_sparkstreaming_spark._fake"
+    ping.__globals__["pong"] = pong  # same test-module globals
+    tok = _builder_token(ping)
+    assert "cycle" in tok or tok  # terminates with a stable value
+    assert _builder_token(ping) == tok
+
+
+def test_same_basename_sf_dirs_do_not_evict(spark, store, tmp_path):
+    """ADVICE r7: two sf_dirs sharing a basename (/a/sfx vs /b/sfx)
+    must own SEPARATE store generations — saving one must not prune
+    the other (the old basename-only prune key caused cache thrash)."""
+    a = tmp_path / "a" / "sfx"
+    b = tmp_path / "b" / "sfx"
+    for d, content in ((a, b"PAR1-a"), (b, b"PAR1-b")):
+        d.mkdir(parents=True)
+        (d / "t.parquet").write_bytes(content)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _df(spark, 2)
+
+    _clear_memo(spark)
+    artifact_memo(spark, ("t_multi", str(a)), build).count()
+    _clear_memo(spark)
+    artifact_memo(spark, ("t_multi", str(b)), build).count()
+    assert calls["n"] == 2
+    gens = [
+        e
+        for e in os.listdir(os.path.join(store, "t_multi"))
+        if not e.startswith(".")
+    ]
+    assert len(gens) == 2, f"same-basename dirs must coexist: {gens}"
+
+    # both must now LOAD, proving neither evicted the other
+    _clear_memo(spark)
+    artifact_memo(spark, ("t_multi", str(a)), build).count()
+    _clear_memo(spark)
+    artifact_memo(spark, ("t_multi", str(b)), build).count()
+    assert calls["n"] == 2
+    _clear_memo(spark)

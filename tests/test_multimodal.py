@@ -301,3 +301,112 @@ def test_y4m_rejects_non_420_and_truncation():
     payload = synthesize_y4m(5)
     with pytest.raises(ValueError, match="truncated"):
         decode_y4m(payload[:-3])
+
+
+def test_gif_conformance_canonical_1x1():
+    """Conformance pin against a REFERENCE encoder's bytes: the
+    canonical public 35-byte 1x1 GIF87a (white pixel, 2-entry global
+    color table, LZW min code size 2, data bytes 0x44 0x01 =
+    CLEAR,0,EOI packed LSB-first). The decoder must read these
+    hand-written spec bytes, and our encoder must reproduce the exact
+    LZW payload — so encoder/decoder can't drift from the public
+    format together."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        decode_gif,
+        gif_lzw_encode,
+    )
+
+    canon = (
+        b"GIF87a"
+        b"\x01\x00\x01\x00"  # 1x1 logical screen
+        b"\x80\x00\x00"  # GCT present (2 entries), bg 0, aspect 0
+        b"\xff\xff\xff"  # palette[0] = white
+        b"\x00\x00\x00"  # palette[1] = black
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"  # image descriptor
+        b"\x02"  # LZW min code size
+        b"\x02\x44\x01"  # one 2-byte sub-block: CLEAR, 0, EOI
+        b"\x00\x3b"  # block terminator + trailer
+    )
+    assert len(canon) == 35
+    d = decode_gif(canon)
+    assert (d["width"], d["height"]) == (1, 1)
+    assert d["pixels"] == [[(255, 255, 255)]]
+    # encoder emits byte-identical LZW data for the same pixel stream
+    assert gif_lzw_encode([0], 2) == b"\x44\x01"
+
+
+def test_gif_round_trip_identity():
+    """decode(synthesize(id)) must reproduce the closed-form palette
+    and index functions exactly — through sub-block framing and
+    variable-width LZW."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        decode_gif,
+        synthesize_gif,
+    )
+
+    for aid in (0, 3, 9, 57, 300):
+        d = decode_gif(synthesize_gif(aid))
+        w, h = 5 + aid % 9, 4 + aid % 6
+        assert (d["width"], d["height"]) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                idx = (aid + 3 * x + 7 * y) % 16
+                assert d["pixels"][y][x] == (
+                    (aid + 37 * idx) % 256,
+                    (aid + 59 * idx) % 256,
+                    (aid + 83 * idx) % 256,
+                )
+
+
+def test_gif_lzw_kwkwk_and_table_reset():
+    """Stress the two hard LZW paths: the KwKwK case (code ==
+    len(table), materialized as prev+prev[0]) via a highly repetitive
+    stream, and the 12-bit table-cap CLEAR/reset via a long one."""
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    kwkwk = [1, 1, 1, 1, 1, 1, 1]  # immediate WkWkW pattern
+    assert gif_lzw_decode(gif_lzw_encode(kwkwk, 4), 4, len(kwkwk)) == kwkwk
+
+    seq = ([1, 1] * 3000 + list(range(16)) * 800)[:20000]
+    enc = gif_lzw_encode(seq, 4)
+    assert gif_lzw_decode(enc, 4, len(seq)) == seq
+
+
+def test_gif_extension_skip_and_guards():
+    """GIF89a graphic-control extension blocks are skipped; interlace
+    and local-color-table flags (never emitted by the synthesizer)
+    raise honest NotImplementedError; non-GIF magic raises."""
+    import pytest
+
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        decode_gif,
+        synthesize_gif,
+    )
+
+    payload = bytearray(synthesize_gif(9))
+    assert payload[:6] == b"GIF87a"
+    desc = payload.index(b"\x2c")
+    with_ext = (
+        bytes(payload[:6].replace(b"87a", b"89a"))
+        + bytes(payload[6:desc])
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+        + bytes(payload[desc:])
+    )
+    d = decode_gif(with_ext)
+    assert (d["width"], d["height"]) == (5 + 9 % 9, 4 + 9 % 6)
+
+    interlaced = bytearray(payload)
+    interlaced[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+
+    lct = bytearray(payload)
+    lct[desc + 9] |= 0x80
+    with pytest.raises(NotImplementedError, match="local color"):
+        decode_gif(bytes(lct))
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG..... nope")

@@ -31,6 +31,7 @@ ARROW_ALLOWED = {
     "image_bmp_features",
     "image_bmp_thumbnail",
     "image_png_features",
+    "image_gif_features",
     "video_y4m_frames",
     "embedding_gram_matrix",
 }

@@ -81,6 +81,9 @@ SHOWCASE = [
     ("cusum_changepoint_events", "ONE event_type exchange feeds prefix window, partition totals AND the argmax — three window passes, zero extra shuffles"),
     ("minhash_error_report", "exact Jaccard only for banded candidates; candidate set broadcasts so corpus shingle-set arrays never shuffle"),
     ("embedding_pca_power", "each mat-vec round: d-row broadcast join + hash agg (the PageRank edge-join shape); scatter is the memoized O(partitions*d^2) artifact"),
+    ("ks_drift_events", "ONE event_type exchange carries both ECDF rank windows and the sup-gap argmax; integer cross-multiplied gap, no binning"),
+    ("rrf_fuse_rankers", "fuses two top-k ranker outputs (O(queries*k) rows each); union + hash agg on (query,doc), final top-k via rank window over tiny fused table"),
+    ("image_gif_features", "two chained map-only Arrow passes (LZW encode, decode+reduce); no shuffle, payloads die in-batch"),
 ]
 
 

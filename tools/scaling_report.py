@@ -103,6 +103,9 @@ SHOWCASE = [
     ("cusum_changepoint_events", "one-exchange changepoint scan"),
     ("minhash_error_report", "candidate-bounded sketch audit"),
     ("embedding_pca_power", "3 broadcast mat-vec rounds"),
+    ("ks_drift_events", "one-exchange unbinned KS scan"),
+    ("rrf_fuse_rankers", "O(queries*k) rank fusion"),
+    ("image_gif_features", "GIF87a LZW codec round-trip"),
 ]
 
 
