@@ -90,6 +90,7 @@ _PRIORITY_PREFIX = [
     "rrf_fuse_rankers",
     # -- new in round 8 (first-exposure; insert new queries HERE)
     "image_gif_features",
+    "bfs_distance_from_hub",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

@@ -84,6 +84,7 @@ SHOWCASE = [
     ("ks_drift_events", "ONE event_type exchange carries both ECDF rank windows and the sup-gap argmax; integer cross-multiplied gap, no binning"),
     ("rrf_fuse_rankers", "fuses two top-k ranker outputs (O(queries*k) rows each); union + hash agg on (query,doc), final top-k via rank window over tiny fused table"),
     ("image_gif_features", "two chained map-only Arrow passes (LZW encode, decode+reduce); no shuffle, payloads die in-batch"),
+    ("bfs_distance_from_hub", "frontier BFS: per-round join touches only newly-reached nodes; edge list cached partitioned; anti-join vs visited"),
 ]
 
 

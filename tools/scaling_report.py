@@ -106,6 +106,7 @@ SHOWCASE = [
     ("ks_drift_events", "one-exchange unbinned KS scan"),
     ("rrf_fuse_rankers", "O(queries*k) rank fusion"),
     ("image_gif_features", "GIF87a LZW codec round-trip"),
+    ("bfs_distance_from_hub", "4-round frontier BFS layers"),
 ]
 
 
