@@ -166,9 +166,14 @@ HEADLINE = [
     # drift, reciprocal-rank fusion of the two ANN rankers
     "ks_drift_events",
     "rrf_fuse_rankers",
-    # round 8: GIF87a LZW codec path, frontier BFS layers
+    # round 8: GIF87a LZW codec path, frontier BFS layers, TextRank
+    # keywords, k-anonymity audit, dim-truncation retrieval eval
     "image_gif_features",
     "bfs_distance_from_hub",
+    "textrank_keywords",
+    "k_anonymity_audit",
+    "ann_dim_truncation_overlap",
+    "dedup_weighted_sampling",
 ]
 
 

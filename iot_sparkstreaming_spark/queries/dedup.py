@@ -1394,3 +1394,85 @@ def minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         true_j.alias("true_jaccard"),
         F.abs(col("est_jaccard") - true_j).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size-aware sampling (Horvitz–Thompson soft dedup)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_SCALE = 1_000_000  # md5 keep-key resolution
+
+#: extends COMPONENTS_ORACLE like CANONICAL_ORACLE does: component
+#: membership for every document (singletons self-componented),
+#: cluster sizes, then the deterministic keep rule
+#: md5_bucket(doc_id) · cluster_size < SCALE  ⇒  P(keep) ≈ 1/size.
+WEIGHTED_DEDUP_ORACLE = COMPONENTS_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node",
+    f""", comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+wsz AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM alldocs GROUP BY component_id
+)
+SELECT a.doc_id, a.component_id, s.cluster_size,
+  (('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 8))::BIGINT
+     % {WSAMPLE_SCALE}) * s.cluster_size < {WSAMPLE_SCALE} AS keep
+FROM alldocs a JOIN wsz s ON s.component_id = a.component_id""",
+)
+
+
+@register("dedup_weighted_sampling", oracle=WEIGHTED_DEDUP_ORACLE)
+def dedup_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup by cluster-size-aware sampling: instead of keeping
+    one canonical document per near-dup cluster
+    (`dedup_canonical_docs`), keep each member independently with
+    probability ≈ 1/cluster_size — the Horvitz–Thompson estimator's
+    sampling design, which preserves corpus-level expectations while
+    collapsing duplicate mass (what production corpus curation does
+    when hard dedup would distort the topic mix; every kept row's
+    inverse-probability weight IS its cluster_size column).
+
+    The keep decision is a PURE FUNCTION of doc_id (md5-prefix bucket
+    · cluster_size < {WSAMPLE_SCALE}), the house replay-stable
+    sampling trick (`crossfold_assign_docs`, `train_test_split`):
+    re-running the pipeline keeps the identical subset, and both
+    engines agree bit-for-bit with no RNG anywhere. Singletons have
+    cluster_size 1 and are always kept.
+
+    Scale shape: components come from the memoized near-dup pair
+    graph (postings artifact); the component table holds only
+    near-dup members, so the corpus-side left join is effectively
+    broadcast at scale (AQE); cluster sizes aggregate the tiny
+    component table; the keep predicate is map-side arithmetic. The
+    text column never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_components(spark, sf_dir)
+    alldocs = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(col("component_id"), col("doc_id")).alias("component_id"),
+    )
+    sizes = alldocs.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % WSAMPLE_SCALE
+    )
+    return alldocs.join(sizes, "component_id").select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        (bucket * col("cluster_size") < WSAMPLE_SCALE).alias("keep"),
+    )
+
+
+dedup_weighted_sampling.__doc__ = dedup_weighted_sampling.__doc__.replace(
+    "{WSAMPLE_SCALE}", str(WSAMPLE_SCALE)
+)

@@ -1538,3 +1538,147 @@ def ordered_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage_depth"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TR_ITERS = 3
+TR_DAMP = 85  # percent, exact integer arithmetic (operators/graph.py)
+TR_MIN_COUNT = 30  # vocabulary corpus-count cutoff bounds the graph
+TR_TOPK = 25
+
+
+def _textrank_oracle() -> str:
+    """The pagerank unroll (queries/analytics.py _pagerank_oracle)
+    replayed over the ADJACENT-WORD co-occurrence graph instead of
+    the trade graph — VARCHAR node keys, same exact integer update."""
+    from iot_sparkstreaming_spark.operators.graph import PR_SCALE
+
+    base = PR_SCALE * (100 - TR_DAMP) // 100
+    sql = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+uni AS (SELECT unnest(tk) AS t FROM toks),
+vocab AS (
+  SELECT t FROM uni GROUP BY t HAVING COUNT(*) >= {TR_MIN_COUNT}
+),
+bg AS (
+  SELECT
+    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
+    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i + 1])) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+dpairs AS (
+  SELECT DISTINCT w1, w2 FROM (
+    SELECT w1, w2 FROM bg WHERE w1 <> w2
+    UNION ALL
+    SELECT w2 AS w1, w1 AS w2 FROM bg WHERE w1 <> w2
+  )
+),
+edges AS (
+  SELECT p.w1 AS a, p.w2 AS b
+  FROM dpairs p
+  JOIN vocab va ON va.t = p.w1
+  JOIN vocab vb ON vb.t = p.w2
+),
+outdeg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+ed AS (SELECT e.a, e.b, o.deg FROM edges e JOIN outdeg o ON e.a = o.a),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)"""
+    for i in range(1, TR_ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.node,
+    CAST({base} + ({TR_DAMP} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT ed.b AS node, SUM(r.pr // ed.deg) AS s
+    FROM ed JOIN r{i - 1} r ON ed.a = r.node
+    GROUP BY ed.b
+  ) c ON n.node = c.node
+)"""
+    sql += f"""
+SELECT node AS word, pr FROM r{TR_ITERS}
+ORDER BY pr DESC, word ASC LIMIT {TR_TOPK}
+"""
+    return sql
+
+
+@register("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords by TEXTRANK (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — an undirected edge per
+    DISTINCT adjacent word pair, vocabulary bounded by corpus count ≥
+    {TR_MIN_COUNT} — then the top-{TR_TOPK} words by rank. The
+    graph×text crossover: the trade-graph PageRank operator
+    (operators/graph.py, exact fixed-point integer ranks) re-applied
+    unchanged to VARCHAR word nodes, which is the point — the
+    iterative operator is key-type-generic, and the oracle replays
+    the identical unrolled update over the identical word edges, so
+    the two graph instantiations share one proven kernel.
+
+    Unlike frequency top-k (`ngram_topk_corpus`) or tf-idf
+    (`tfidf_top_terms`), TextRank scores a word by the rank of its
+    NEIGHBORS — a hub word adjacent to many other hub words wins even
+    at moderate frequency; this is the standard unsupervised
+    keyword-extraction baseline.
+
+    Scale shape: adjacency pairs are one map-side explode (zip_with
+    of the token array against its own tail — no self-join), the
+    DISTINCT collapses them to the edge set, the vocabulary cutoff
+    bounds the graph size independent of corpus size, and each
+    PageRank round is one join + one aggregate on the cached
+    partitioned edge list. Result memoized to the artifact store like
+    every iterative-algorithm product.
+    """
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+    from iot_sparkstreaming_spark.operators.graph import pagerank
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        tk = docs.select(tokens(col("text")).alias("tk"))
+        vocab = (
+            tk.select(F.explode(col("tk")).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("c"))
+            .filter(col("c") >= TR_MIN_COUNT)
+            .select("t")
+        )
+        m = F.size(col("tk")) - 1
+        bg = (
+            tk.filter(F.size(col("tk")) >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(col("tk"), 1, m),
+                        F.slice(col("tk"), 2, m),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    )
+                ).alias("p")
+            )
+            .select(col("p.w1").alias("w1"), col("p.w2").alias("w2"))
+            .filter(col("w1") != col("w2"))
+        )
+        dpairs = bg.union(
+            bg.select(col("w2").alias("w1"), col("w1").alias("w2"))
+        ).distinct()
+        edges = dpairs.join(
+            vocab.withColumnRenamed("t", "w1"), "w1"
+        ).join(vocab.withColumnRenamed("t", "w2"), "w2")
+        ranked = pagerank(
+            edges, iterations=TR_ITERS, damping_pct=TR_DAMP, src="w1", dst="w2"
+        )
+        return (
+            ranked.orderBy(col("pr").desc(), col("node").asc())
+            .limit(TR_TOPK)
+            .select(col("node").alias("word"), "pr")
+        )
+
+    return artifact_memo(spark, ("textrank_keywords", sf_dir), build)
+
+
+textrank_keywords.__doc__ = textrank_keywords.__doc__.replace(
+    "{TR_MIN_COUNT}", str(TR_MIN_COUNT)
+).replace("{TR_TOPK}", str(TR_TOPK))

@@ -352,3 +352,75 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_prune_semijoin.__doc__ = bloom_prune_semijoin.__doc__.replace(
     "{BLOOM_BITS}", str(BLOOM_BITS)
 )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over a quasi-identifier tuple
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_BAND_CENTS = 100_000  # $1000 account-balance bands
+
+
+K_ANONYMITY_ORACLE = f"""
+SELECT c_nationkey AS nation_key,
+  c_mktsegment AS segment,
+  (CAST(c_acctbal * 100 AS BIGINT) + {KANON_BAND_CENTS})
+    // {KANON_BAND_CENTS} AS bal_band,
+  CAST(COUNT(*) AS BIGINT) AS class_size,
+  COUNT(*) < {KANON_K} AS violates_k
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+@register("k_anonymity_audit", oracle=K_ANONYMITY_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: the k-anonymity equivalence classes
+    of the quasi-identifier tuple (nation, market segment,
+    $1000-account-balance band) over customers, each with its class
+    size and a ``violates_k`` flag (size < {KANON_K}) — the release
+    gate a training-data pipeline runs before shipping records keyed
+    by demographic attributes (Sweeney's k-anonymity: any QI combo
+    matching fewer than k individuals re-identifies them).
+
+    Exactness: the balance band is derived from EXACT cents
+    (decimal·100 → bigint) shifted positive BEFORE the integral
+    division — Spark's ``div`` truncates toward zero while DuckDB's
+    ``//`` floors, so negative balances would band differently
+    without the shift (the house integral-division rule applied to a
+    signed domain).
+
+    Scale shape: one map-side-combined hash aggregate on a bounded
+    key space (nations × segments × ~110 bands); no joins, no
+    windows — the audit costs one scan at any corpus size, and the
+    violating-class report it feeds is classes-sized, not rows-sized.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    band = F.expr(
+        f"(CAST(c_acctbal * 100 AS BIGINT) + {KANON_BAND_CENTS})"
+        f" div {KANON_BAND_CENTS}"
+    )
+    return (
+        cust.select(
+            col("c_nationkey").alias("nation_key"),
+            col("c_mktsegment").alias("segment"),
+            band.alias("bal_band"),
+        )
+        .groupBy("nation_key", "segment", "bal_band")
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+        .select(
+            "nation_key",
+            "segment",
+            "bal_band",
+            "class_size",
+            (col("class_size") < KANON_K).alias("violates_k"),
+        )
+    )
+
+
+k_anonymity_audit.__doc__ = k_anonymity_audit.__doc__.replace(
+    "{KANON_K}", str(KANON_K)
+)

@@ -91,6 +91,10 @@ _PRIORITY_PREFIX = [
     # -- new in round 8 (first-exposure; insert new queries HERE)
     "image_gif_features",
     "bfs_distance_from_hub",
+    "textrank_keywords",
+    "k_anonymity_audit",
+    "ann_dim_truncation_overlap",
+    "dedup_weighted_sampling",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

@@ -1920,3 +1920,151 @@ rrf_fuse_rankers.__doc__ = (
     .replace("{RRF_SCALE}", str(RRF_SCALE))
     .replace("{TOP_K}", str(TOP_K))
 )
+
+
+# ---------------------------------------------------------------------------
+# Dimension-truncation retrieval evaluation (Matryoshka-style)
+# ---------------------------------------------------------------------------
+
+TRUNC_DIM = 16  # evaluate retrieval on the first 16 of 64 dims
+
+
+def _trunc_overlap_oracle() -> str:
+    cos_full = _COS_SQL.format(a="q.v", b="c.v")
+    cos_tr = _COS_SQL.format(a="list_slice(q.v, 1, 16)", b="list_slice(c.v, 1, 16)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {N_QUERIES}),
+full_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cos_full} AS cosine
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+),
+full_top AS (
+  SELECT query_id, neighbor_id FROM full_scored
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) <= {TOP_K}
+),
+tr_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cos_tr} AS cosine
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+),
+tr_top AS (
+  SELECT query_id, neighbor_id FROM tr_scored
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) <= {TOP_K}
+),
+ov AS (
+  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM full_top f JOIN tr_top t
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY f.query_id
+)
+SELECT q.query_id,
+  CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+  CAST(COALESCE(ov.n, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM q) q
+LEFT JOIN ov ON ov.query_id = q.query_id
+"""
+
+
+@register("ann_dim_truncation_overlap", oracle=_trunc_overlap_oracle())
+def ann_dim_truncation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: for each
+    query vector, exact top-{TOP_K} retrieval under the FULL {DIM}-dim
+    cosine vs under only the first {TRUNC_DIM} dims, reporting the
+    per-query overlap and recall@{TOP_K} — the measurement behind the
+    "can we serve the index at 1/4 the dimensions?" decision
+    (truncatable/Matryoshka embeddings trade dimensions for recall;
+    this query IS that tradeoff curve's data point, the same
+    calibration role `minhash_error_report` plays for MinHash k).
+
+    Exactness: both rankings use the house 6-dp-rounded cosine with
+    the (cosine DESC, neighbor_id) tie-break; the truncated side's
+    norms are computed over the SLICED arrays on both engines, so the
+    two top-k sets — and therefore the overlap counts — are
+    bit-deterministic.
+
+    Scale shape: the {N_QUERIES}-row query set broadcasts twice
+    (full + sliced); each corpus row pays one full dot and one
+    {TRUNC_DIM}-dim dot per query (norms precomputed per side, not
+    per pair); the rank windows shuffle only per-partition winners;
+    queries with zero overlap survive via the left join onto the
+    query list.
+    """
+    e = _vectors(spark, sf_dir)
+    tr = lambda c: F.slice(c, 1, TRUNC_DIM)  # noqa: E731
+    q = e.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("query_id"),
+        col("v").alias("qv"),
+        col("nv").alias("qn"),
+        tr(col("v")).alias("qt"),
+        F.sqrt(_dot(tr(col("v")), tr(col("v")))).alias("qtn"),
+    )
+    c = e.select(
+        col("vec_id").alias("neighbor_id"),
+        col("v").alias("cv"),
+        col("nv").alias("cn"),
+        tr(col("v")).alias("ct"),
+        F.sqrt(_dot(tr(col("v")), tr(col("v")))).alias("ctn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(col("query_id") != col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id")
+    full_top = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(col("qv"), col("cv"), col("qn"), col("cn")).alias("cosine"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(w.orderBy(col("cosine").desc(), col("neighbor_id"))),
+        )
+        .filter(col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    tr_top = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(col("qt"), col("ct"), col("qtn"), col("ctn")).alias("cosine"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(w.orderBy(col("cosine").desc(), col("neighbor_id"))),
+        )
+        .filter(col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ov = (
+        full_top.join(tr_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        q.select("query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (
+                F.coalesce(col("n"), F.lit(0)).cast("double") / float(TOP_K)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+ann_dim_truncation_overlap.__doc__ = (
+    ann_dim_truncation_overlap.__doc__.replace("{TOP_K}", str(TOP_K))
+    .replace("{DIM}", str(DIM))
+    .replace("{TRUNC_DIM}", str(TRUNC_DIM))
+    .replace("{N_QUERIES}", str(N_QUERIES))
+)

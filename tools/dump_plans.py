@@ -85,6 +85,10 @@ SHOWCASE = [
     ("rrf_fuse_rankers", "fuses two top-k ranker outputs (O(queries*k) rows each); union + hash agg on (query,doc), final top-k via rank window over tiny fused table"),
     ("image_gif_features", "two chained map-only Arrow passes (LZW encode, decode+reduce); no shuffle, payloads die in-batch"),
     ("bfs_distance_from_hub", "frontier BFS: per-round join touches only newly-reached nodes; edge list cached partitioned; anti-join vs visited"),
+    ("textrank_keywords", "map-side adjacency explode -> distinct edge set; vocab cutoff bounds the graph; 3 cached-partitioned PageRank rounds"),
+    ("k_anonymity_audit", "one map-side-combined hash agg on a bounded QI key space; no joins, no windows"),
+    ("ann_dim_truncation_overlap", "query set broadcast twice (full + sliced); per-side norms precomputed; rank windows shuffle winners only"),
+    ("dedup_weighted_sampling", "components from the memoized pair graph; corpus left join AQE-broadcast; keep predicate map-side md5 arithmetic"),
 ]
 
 

@@ -107,6 +107,10 @@ SHOWCASE = [
     ("rrf_fuse_rankers", "O(queries*k) rank fusion"),
     ("image_gif_features", "GIF87a LZW codec round-trip"),
     ("bfs_distance_from_hub", "4-round frontier BFS layers"),
+    ("textrank_keywords", "PageRank on the word graph"),
+    ("k_anonymity_audit", "bounded-key QI class audit"),
+    ("ann_dim_truncation_overlap", "full-vs-16-dim recall eval"),
+    ("dedup_weighted_sampling", "1/cluster-size HT sampling"),
 ]
 
 
