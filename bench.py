@@ -174,6 +174,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "ann_dim_truncation_overlap",
     "dedup_weighted_sampling",
+    "tar_shard_roundtrip",
+    "theil_sen_trend_user",
 ]
 
 

@@ -1245,3 +1245,143 @@ def gif_image_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         gen, schema=GIF_FEATURES_SCHEMA
     )
+
+
+# The USTAR shard pair: pack documents into deterministic POSIX-ustar
+# archives (the WebDataset shard layout every large-scale training
+# pipeline ships corpora in) and walk them back member by member.
+# Stdlib tarfile with pinned metadata (mtime 0, uid/gid 0, empty
+# uname/gname, USTAR_FORMAT) so identical inputs yield byte-identical
+# shards on every engine and every rerun.
+TAR_SHARD_MOD = 50
+
+
+def _make_tar_pack():
+    def pack_tar(members) -> bytes:
+        """members: iterable of (doc_id, text) → ustar archive bytes,
+        one ``<doc_id:012d>.txt`` member each, archive order = input
+        order (callers pre-sort by doc_id for determinism)."""
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for doc_id, text in members:
+                data = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(doc_id):012d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    return pack_tar
+
+
+def _make_tar_walk():
+    def walk_tar(payload: bytes):
+        """ustar bytes → [(doc_id, n_bytes, text)], archive order."""
+        import io
+        import tarfile
+
+        out = []
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
+            for info in tf.getmembers():
+                data = tf.extractfile(info).read()
+                out.append(
+                    (int(info.name.split(".")[0]), len(data), data.decode("utf-8"))
+                )
+        return out
+
+    return walk_tar
+
+
+pack_tar = _make_tar_pack()
+walk_tar = _make_tar_walk()
+
+
+def tar_shards(docs: DataFrame, shard_mod: int = TAR_SHARD_MOD) -> DataFrame:
+    """(shard_id, payload, n_members): documents packed into
+    ``shard_mod`` deterministic ustar shards (member order = doc_id).
+    One Arrow pass over pre-grouped member arrays — the collect_list
+    per shard bounds executor state at corpus_bytes/shard_mod."""
+    import pandas as pd  # noqa: F811
+
+    packer = pack_tar  # '<locals>' qualname → pickled by value
+
+    grouped = (
+        docs.select(
+            (col("doc_id") % shard_mod).alias("shard_id"),
+            F.struct(col("doc_id"), col("text")).alias("m"),
+        )
+        .groupBy("shard_id")
+        .agg(F.array_sort(F.collect_list("m")).alias("members"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_members", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for sid, members in zip(pdf["shard_id"], pdf["members"]):
+                pairs = [(m["doc_id"], m["text"]) for m in members]
+                rows.append(
+                    {
+                        "shard_id": int(sid),
+                        "payload": packer(pairs),
+                        "n_members": len(pairs),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "payload", "n_members"]
+            )
+
+    return grouped.mapInPandas(gen, schema=out_schema)
+
+
+def tar_shard_members(shards: DataFrame) -> DataFrame:
+    """(doc_id, shard_id, n_bytes, text): walk every shard archive
+    back to its members — the ingest half of the WebDataset pattern.
+    Map-only Arrow pass; payloads die in-batch."""
+    import pandas as pd  # noqa: F811
+
+    walker = walk_tar  # '<locals>' qualname → pickled by value
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for doc_id, n_bytes, text in walker(bytes(payload)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "shard_id": int(sid),
+                            "n_bytes": n_bytes,
+                            "text": text,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "shard_id", "n_bytes", "text"]
+            )
+
+    return shards.select("shard_id", "payload").mapInPandas(
+        gen, schema=out_schema
+    )

@@ -3735,3 +3735,116 @@ def bfs_distance_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
 bfs_distance_from_hub.__doc__ = bfs_distance_from_hub.__doc__.replace(
     "{BFS_ROUNDS}", str(BFS_ROUNDS)
 ).replace("{BFS_HUBS}", str(BFS_HUBS))
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes, bounded window)
+# ---------------------------------------------------------------------------
+
+TS_WINDOW = 16  # trailing samples per user — bounds pairs at 120/user
+
+
+THEIL_SEN_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS tms, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rk
+  FROM events
+),
+w AS (SELECT * FROM ev WHERE rk <= {TS_WINDOW}),
+pairs AS (
+  SELECT a.user_id,
+    (b.value - a.value)
+      / (CAST(b.tms - a.tms AS DOUBLE) / 3600000.0) AS slope
+  FROM w a JOIN w b
+    ON a.user_id = b.user_id AND b.rk < a.rk AND a.tms <> b.tms
+),
+ranked AS (
+  SELECT user_id, slope,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS srk,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM pairs
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs, slope AS theil_sen_slope
+FROM ranked WHERE srk = (n + 1) // 2
+"""
+
+
+@register("theil_sen_trend_user", oracle=THEIL_SEN_ORACLE)
+def theil_sen_trend_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user THEIL–SEN trend over the trailing {TS_WINDOW}
+    samples: the lower median of all pairwise slopes (Δvalue per
+    HOUR) — the robust regression estimator with a 29% breakdown
+    point, completing the robust-stats family beside the OLS
+    `rolling_trend_slope` (which one wild sample can flip) and the
+    MAD outlier flags. Pairs are (older, newer) with distinct
+    timestamps; slope x-units come from epoch-millis integer
+    deltas (calendar-free, the house time rule).
+
+    Determinism: both engines compute each slope with the identical
+    double expression, so the multiset of slopes is bit-equal; the
+    median is selected by POSITION (row_number = (n+1) div 2 over
+    slope order), and ties at the median position all carry the same
+    value, so the arbitrary tie order cannot change the answer.
+
+    Scale shape: the {TS_WINDOW}-row window bounds the per-user pair
+    self-join at {TS_WINDOW}·({TS_WINDOW}−1)/2 pairs regardless of
+    history length; everything — trailing-window rank, pair join,
+    median rank — rides ONE user_id partitioning, so the whole query
+    is a single exchange followed by per-partition work.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    w_recent = Window.partitionBy("user_id").orderBy(
+        col("ts").desc(), col("event_id").desc()
+    )
+    recent = (
+        ev.withColumn("rk", F.row_number().over(w_recent))
+        .filter(col("rk") <= TS_WINDOW)
+        .select("user_id", F.unix_millis(col("ts")).alias("tms"), "value", "rk")
+    )
+    a = recent.select(
+        "user_id",
+        col("tms").alias("tms_a"),
+        col("value").alias("v_a"),
+        col("rk").alias("rk_a"),
+    )
+    b = recent.select(
+        col("user_id").alias("user_b"),
+        col("tms").alias("tms_b"),
+        col("value").alias("v_b"),
+        col("rk").alias("rk_b"),
+    )
+    slope = (col("v_b") - col("v_a")) / (
+        (col("tms_b") - col("tms_a")).cast("double") / F.lit(3600000.0)
+    )
+    pairs = (
+        a.join(
+            b,
+            (col("user_id") == col("user_b"))
+            & (col("rk_b") < col("rk_a"))
+            & (col("tms_a") != col("tms_b")),
+        )
+        .select("user_id", slope.alias("slope"))
+    )
+    wp = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wp.orderBy(col("slope"))).alias("srk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return ranked.filter(
+        col("srk") == F.expr("(n + 1) div 2")
+    ).select(
+        "user_id",
+        col("n").cast("bigint").alias("n_pairs"),
+        col("slope").alias("theil_sen_slope"),
+    )
+
+
+theil_sen_trend_user.__doc__ = theil_sen_trend_user.__doc__.replace(
+    "{TS_WINDOW}", str(TS_WINDOW)
+)

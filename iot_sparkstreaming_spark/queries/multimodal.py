@@ -419,3 +419,39 @@ def image_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gif_image_features(gif_image_assets(docs))
+
+
+TAR_SHARD_ORACLE = """
+SELECT doc_id,
+  doc_id % 50 AS shard_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  text
+FROM documents
+"""
+
+
+@register("tar_shard_roundtrip", oracle=TAR_SHARD_ORACLE)
+def tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard archiving: the corpus packed into 50
+    deterministic POSIX-ustar TAR shards (stdlib tarfile, pinned
+    mtime/uid/uname so identical inputs give byte-identical shards)
+    and walked back member-by-member — the container format
+    large-scale training pipelines actually ship corpora in, proven
+    as a full pack → binary column → unpack round-trip: the oracle is
+    the documents table itself, so the hash matches only if every
+    byte of every member survives the archive (UTF-8 multibyte text
+    included — n_bytes is the encoded length, not the char count).
+
+    Scale shape: packing is one bounded collect_list per shard
+    (corpus_bytes / 50 per group) + one Arrow pass; unpacking is
+    map-only. In production the payload column is written straight to
+    object storage and the unpack pass IS the training-job reader;
+    shard count scales with corpus size to bound member-list state.
+    """
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        tar_shard_members,
+        tar_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tar_shard_members(tar_shards(docs))

@@ -95,6 +95,8 @@ _PRIORITY_PREFIX = [
     "k_anonymity_audit",
     "ann_dim_truncation_overlap",
     "dedup_weighted_sampling",
+    "tar_shard_roundtrip",
+    "theil_sen_trend_user",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

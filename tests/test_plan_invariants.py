@@ -33,6 +33,7 @@ ARROW_ALLOWED = {
     "image_png_features",
     "image_gif_features",
     "video_y4m_frames",
+    "tar_shard_roundtrip",
     "embedding_gram_matrix",
 }
 

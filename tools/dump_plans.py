@@ -89,6 +89,8 @@ SHOWCASE = [
     ("k_anonymity_audit", "one map-side-combined hash agg on a bounded QI key space; no joins, no windows"),
     ("ann_dim_truncation_overlap", "query set broadcast twice (full + sliced); per-side norms precomputed; rank windows shuffle winners only"),
     ("dedup_weighted_sampling", "components from the memoized pair graph; corpus left join AQE-broadcast; keep predicate map-side md5 arithmetic"),
+    ("tar_shard_roundtrip", "bounded collect_list per shard + two Arrow passes (ustar pack, member walk); payloads die in-batch"),
+    ("theil_sen_trend_user", "ONE user_id exchange: trailing-16 rank, bounded 120-pair self-join, and the median rank all ride it"),
 ]
 
 

@@ -111,6 +111,8 @@ SHOWCASE = [
     ("k_anonymity_audit", "bounded-key QI class audit"),
     ("ann_dim_truncation_overlap", "full-vs-16-dim recall eval"),
     ("dedup_weighted_sampling", "1/cluster-size HT sampling"),
+    ("tar_shard_roundtrip", "ustar WebDataset shard pack/walk"),
+    ("theil_sen_trend_user", "bounded-pair robust slope median"),
 ]
 
 
