@@ -698,3 +698,119 @@ def streaming_twap(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+THEIL_SEN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("theil_sen_slope", T.DoubleType()),
+    ]
+)
+
+THEIL_SEN_WINDOW = 16  # must match queries/analytics.py TS_WINDOW
+
+
+def streaming_theil_sen(events: DataFrame) -> DataFrame:
+    """Per-user Theil–Sen trend as a stateful streaming operator —
+    the STREAMING twin of the batch ``theil_sen_trend_user``
+    (queries/analytics.py). The batch query takes the trailing
+    {W}-sample window per user; that window IS the telescoped state —
+    a bounded deque of (epoch_ms, value) — so the stream holds
+    exactly {W} rows per key and recomputes the ≤{W}·({W}−1)/2
+    pairwise slopes on each arrival. Emits one row per event with the
+    trend so far; the last row per user equals the batch row exactly
+    (pinned by tests/test_stateful.py).
+
+    Bitwise parity: each slope is the identical IEEE chain both
+    engines run — (v_b − v_a) / ((ms_b − ms_a) / 3600000.0) in
+    doubles — and the median is selected by POSITION ((n+1)//2 in
+    ascending slope order; Python's sort and the SQL rank agree
+    because ties at the median position share one value). No
+    quantization is needed, unlike the TWAP twin: the batch query
+    never routes through decimal.
+
+    State is O({W}) per user (two parallel arrays + a monotone
+    events-seen counter so consumers can identify the latest row
+    without trusting event-id ordering), partitioned by
+    the group key — the same bounded-window discipline as the batch
+    side, so the state store scales with distinct users only.
+    In-order-feed contract within and across micro-batches, same as
+    ``streaming_ewma``.
+    """
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            tms_arr, val_arr, n_seen = state.get
+            tms = list(tms_arr)
+            vals = list(val_arr)
+        else:
+            tms, vals, n_seen = [], [], 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, value in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                ms = int(ts.value // 1_000_000)
+                tms.append(ms)
+                vals.append(float(value))
+                n_seen += 1
+                if len(tms) > THEIL_SEN_WINDOW:
+                    tms.pop(0)
+                    vals.pop(0)
+                slopes = []
+                for i in range(len(tms)):
+                    for j in range(i + 1, len(tms)):
+                        if tms[i] != tms[j]:
+                            slopes.append(
+                                (vals[j] - vals[i])
+                                / ((tms[j] - tms[i]) / 3600000.0)
+                            )
+                n = len(slopes)
+                if n:
+                    slopes.sort()
+                    med = slopes[(n + 1) // 2 - 1]
+                else:
+                    med = None
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "event_id": int(eid),
+                        "n_seen": n_seen,
+                        "n_pairs": n,
+                        "theil_sen_slope": med,
+                    }
+                )
+        state.update((tms, vals, n_seen))
+        yield pd.DataFrame(out, columns=[f.name for f in THEIL_SEN_OUTPUT_SCHEMA])
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=THEIL_SEN_OUTPUT_SCHEMA,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("tms", T.ArrayType(T.LongType())),
+                    T.StructField("vals", T.ArrayType(T.DoubleType())),
+                    T.StructField("n_seen", T.LongType()),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+streaming_theil_sen.__doc__ = streaming_theil_sen.__doc__.replace(
+    "{W}", str(THEIL_SEN_WINDOW)
+)

@@ -622,3 +622,55 @@ def test_twap_quantizer_replays_spark_decimal_cast(spark):
             .to_integral_value(rounding=ROUND_HALF_UP)
         )
         assert got == want, (r.value, got, want)
+
+
+def test_streaming_theil_sen_twin_parity(spark, tmp_path):
+    """The stateful Theil-Sen stream's LAST row per user must equal
+    the batch theil_sen_trend_user query bitwise — the trailing-16
+    deque state carries the window across the micro-batch boundary."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import theil_sen_trend_user
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_theil_sen
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_theil_sen(stream)
+        .writeStream.format("memory")
+        .queryName("ts_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT * FROM ts_twin").count()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1.parquet"))
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT user_id, n_pairs, theil_sen_slope FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_seen DESC) rk
+                 FROM ts_twin) WHERE rk = 1"""
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: (r.n_pairs, r.theil_sen_slope) for r in rows if r.n_pairs > 0
+    }
+    want = {
+        r.user_id: (r.n_pairs, r.theil_sen_slope)
+        for r in theil_sen_trend_user(spark, sf_dir).collect()
+    }
+    assert n_first > 0
+    assert got == want
