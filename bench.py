@@ -176,6 +176,9 @@ HEADLINE = [
     "dedup_weighted_sampling",
     "tar_shard_roundtrip",
     "theil_sen_trend_user",
+    "nearest_event_join",
+    "doc_novelty_ratio",
+    "sql_top_spenders_per_segment",
 ]
 
 

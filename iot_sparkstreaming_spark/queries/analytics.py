@@ -3848,3 +3848,113 @@ def theil_sen_trend_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 theil_sen_trend_user.__doc__ = theil_sen_trend_user.__doc__.replace(
     "{TS_WINDOW}", str(TS_WINDOW)
 )
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional nearest-event join (symmetric as-of)
+# ---------------------------------------------------------------------------
+
+NEAREST_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+  FROM events WHERE event_type IN ('error', 'click')
+),
+marked AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN tms END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+    first_value(CASE WHEN event_type = 'click' THEN tms END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY tms, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+  FROM ev
+)
+SELECT user_id, event_id AS error_event_id,
+  CASE
+    WHEN prev_click IS NULL THEN next_click
+    WHEN next_click IS NULL THEN prev_click
+    WHEN tms - prev_click <= next_click - tms THEN prev_click
+    ELSE next_click
+  END AS nearest_click_ms,
+  CASE
+    WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+    WHEN prev_click IS NULL THEN 'after'
+    WHEN next_click IS NULL THEN 'before'
+    WHEN tms - prev_click <= next_click - tms THEN 'before'
+    ELSE 'after'
+  END AS direction,
+  CASE
+    WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+    WHEN prev_click IS NULL THEN next_click - tms
+    WHEN next_click IS NULL THEN tms - prev_click
+    WHEN tms - prev_click <= next_click - tms THEN tms - prev_click
+    ELSE next_click - tms
+  END AS gap_ms
+FROM marked
+WHERE event_type = 'error'
+"""
+
+
+@register("nearest_event_join", oracle=NEAREST_JOIN_ORACLE)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIDIRECTIONAL nearest-event join: each error event matched to
+    the temporally closest click of the same user, looking both
+    backward and forward — the symmetric completion of the join
+    family's one-sided `asof_click_to_purchase` (backward only) and
+    the root-cause question as analysts actually ask it ("what was
+    the user doing around the failure?"). Ties go to the earlier
+    (backward) click; epoch-millis integer gaps keep it calendar-free
+    (the house time rule).
+
+    Merge-scan shape, NOT a join: both event sets union into ONE
+    per-user ordered pass where two ignore-nulls frame windows carry
+    the last-click-before and first-click-after — O(n log n) on one
+    user_id exchange, versus the O(n·m) band join a naive nearest
+    lookup would cost, and the same plan shape at any scale. The
+    1-PRECEDING/1-FOLLOWING frames exclude the current row, so a
+    click sharing an error's exact timestamp resolves by the
+    deterministic (tms, event_id) sort on both engines.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(col("event_type").isin("error", "click"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_millis(col("ts")).alias("tms"),
+        )
+    )
+    click_ts = F.when(col("event_type") == "click", col("tms"))
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "tms",
+        F.last(click_ts, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_click"),
+        F.first(click_ts, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_click"),
+    )
+    prev_gap = col("tms") - col("prev_click")
+    next_gap = col("next_click") - col("tms")
+    use_prev = col("next_click").isNull() | (
+        col("prev_click").isNotNull() & (prev_gap <= next_gap)
+    )
+    return marked.filter(col("event_type") == "error").select(
+        "user_id",
+        col("event_id").alias("error_event_id"),
+        F.when(use_prev, col("prev_click"))
+        .otherwise(col("next_click"))
+        .alias("nearest_click_ms"),
+        F.when(
+            col("prev_click").isNull() & col("next_click").isNull(), F.lit(None)
+        )
+        .when(use_prev, F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("direction"),
+        F.when(use_prev, prev_gap).otherwise(next_gap).alias("gap_ms"),
+    )

@@ -1682,3 +1682,85 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 textrank_keywords.__doc__ = textrank_keywords.__doc__.replace(
     "{TR_MIN_COUNT}", str(TR_MIN_COUNT)
 ).replace("{TR_TOPK}", str(TR_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence n-gram novelty per document
+# ---------------------------------------------------------------------------
+
+NOVELTY_K = 5  # shingle width for the novelty fingerprint
+
+
+DOC_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(tk) - {NOVELTY_K} + 1),
+      i -> array_to_string(tk[i:i + {NOVELTY_K} - 1], ' '))) AS gram
+  FROM toks WHERE len(tk) >= {NOVELTY_K}
+),
+owner AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM grams g JOIN owner o ON o.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+
+@register("doc_novelty_ratio", oracle=DOC_NOVELTY_ORACLE)
+def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CONTENT NOVELTY: the fraction of a document's
+    distinct {NOVELTY_K}-gram shingles whose FIRST corpus occurrence
+    (min doc_id — ingest order) is the document itself — the
+    curation signal between exact dedup and near-dup detection: a doc
+    can evade every duplicate detector yet contribute almost nothing
+    new (novelty → 0, boilerplate/recombination), and ordered-corpus
+    novelty is how training pipelines decide whether late crawl
+    batches still add content.
+
+    Scale shape: shingling is map-only; the distinct and the
+    first-owner aggregate are hash aggregates on the gram key with
+    map-side combine; the ownership join is an equi-join on the same
+    key, so the whole query is effectively two passes over one gram
+    partitioning. Documents shorter than {NOVELTY_K} tokens have no
+    grams and no row, identically on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                word_shingles(tokens(col("text")), NOVELTY_K)
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (col("first_doc") == col("doc_id")).cast("long")
+    return (
+        grams.join(owner, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (col("n_novel").cast("double") / col("n_grams").cast("double")).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+doc_novelty_ratio.__doc__ = doc_novelty_ratio.__doc__.replace(
+    "{NOVELTY_K}", str(NOVELTY_K)
+)

@@ -97,6 +97,9 @@ _PRIORITY_PREFIX = [
     "dedup_weighted_sampling",
     "tar_shard_roundtrip",
     "theil_sen_trend_user",
+    "nearest_event_join",
+    "doc_novelty_ratio",
+    "sql_top_spenders_per_segment",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

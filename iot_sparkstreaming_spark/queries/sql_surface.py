@@ -101,3 +101,46 @@ def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     range exchange (repartitionByRange on the z-value)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(ZORDER_LOCALITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Window functions through the SQL front-end — one text, two engines
+# ---------------------------------------------------------------------------
+
+TOP_SPENDERS_SQL = """
+SELECT c_mktsegment, c_custkey, total_cents, spend_rank
+FROM (
+  SELECT c_mktsegment, c_custkey,
+    CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+      AS total_cents,
+    RANK() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) DESC, c_custkey
+    ) AS spend_rank
+  FROM customer
+  JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey
+) ranked
+WHERE spend_rank <= 10
+"""
+
+
+@register("sql_top_spenders_per_segment", oracle=TOP_SPENDERS_SQL)
+def sql_top_spenders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lifetime spend per market segment, written
+    as ONE SQL text that runs verbatim on Spark and DuckDB — the SQL
+    surface's window-function proof point (the other two cover
+    join/EXTRACT aggregation and bit-twiddling scalar chains): a
+    RANK() window directly over a grouped aggregate, a derived-table
+    subquery, and rank predicate pushout, all inside the shared ANSI
+    subset. Spend is summed in DECIMAL(38,0) exact cents and cast to
+    BIGINT, so the rank order — including the c_custkey tie-break —
+    is bit-deterministic on both engines.
+
+    Plan shape: one shuffle for the (segment, customer) aggregate,
+    one segment-partitioned rank window over the aggregated (tiny)
+    table; RANK keeps ties so the result is order-insensitive.
+    """
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TOP_SPENDERS_SQL)

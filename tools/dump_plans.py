@@ -91,6 +91,9 @@ SHOWCASE = [
     ("dedup_weighted_sampling", "components from the memoized pair graph; corpus left join AQE-broadcast; keep predicate map-side md5 arithmetic"),
     ("tar_shard_roundtrip", "bounded collect_list per shard + two Arrow passes (ustar pack, member walk); payloads die in-batch"),
     ("theil_sen_trend_user", "ONE user_id exchange: trailing-16 rank, bounded 120-pair self-join, and the median rank all ride it"),
+    ("nearest_event_join", "merge-scan, not a join: two ignore-nulls frame windows on ONE user_id sort carry last-before/first-after"),
+    ("doc_novelty_ratio", "map-only shingles; distinct + first-owner agg + ownership join all on one gram partitioning"),
+    ("sql_top_spenders_per_segment", "SQL text verbatim on both engines: one (segment,customer) agg exchange, rank window over the tiny aggregate"),
 ]
 
 

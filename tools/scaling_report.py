@@ -113,6 +113,9 @@ SHOWCASE = [
     ("dedup_weighted_sampling", "1/cluster-size HT sampling"),
     ("tar_shard_roundtrip", "ustar WebDataset shard pack/walk"),
     ("theil_sen_trend_user", "bounded-pair robust slope median"),
+    ("nearest_event_join", "bidirectional as-of merge scan"),
+    ("doc_novelty_ratio", "first-occurrence gram novelty"),
+    ("sql_top_spenders_per_segment", "SQL-text rank window"),
 ]
 
 
