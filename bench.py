@@ -179,6 +179,8 @@ HEADLINE = [
     "nearest_event_join",
     "doc_novelty_ratio",
     "sql_top_spenders_per_segment",
+    "doc_novelty_incremental",
+    "seasonal_zscore_outliers",
 ]
 
 

@@ -3958,3 +3958,88 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("direction"),
         F.when(use_prev, prev_gap).otherwise(next_gap).alias("gap_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted z-score outliers (within hour-of-week cohort)
+# ---------------------------------------------------------------------------
+
+SEASONAL_Z_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type, value,
+    (epoch_ms(ts) // 3600000) % 168 AS how_bucket,
+    CAST(ROUND(value * 10000) AS BIGINT) AS x4
+  FROM events
+),
+cell AS (
+  SELECT event_type, how_bucket,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(CAST(x4 AS HUGEINT)) AS s,
+    SUM(CAST(x4 AS HUGEINT) * CAST(x4 AS HUGEINT)) AS ss
+  FROM ev GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+  CAST(e.how_bucket AS BIGINT) AS how_bucket,
+  e.value,
+  CAST(c.n AS BIGINT) AS n_cell
+FROM ev e
+JOIN cell c
+  ON c.event_type = e.event_type AND c.how_bucket = e.how_bucket
+WHERE (c.n * e.x4 - c.s) * (c.n * e.x4 - c.s) > 4 * (c.n * c.ss - c.s * c.s)
+"""
+
+
+@register("seasonal_zscore_outliers", oracle=SEASONAL_Z_ORACLE)
+def seasonal_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-ADJUSTED anomaly flags: an event is an outlier only
+    against its own (event_type × hour-of-week) cohort — |x − μ_cell|
+    > 2σ_cell — so the nightly-peak reading that would trip a global
+    z-score (`anomaly_zscore_events` flags against the trailing
+    window; this flags against the seasonal cohort) is judged beside
+    other nightly peaks. The calendar-free epoch-hour mod 168
+    bucketing is the `seasonal_hour_of_week` rule; this is that
+    baseline weaponized into a detector.
+
+    Exactness: the 2σ test is the cross-multiplied ALL-INTEGER
+    inequality (n·x − S)² > 4·(n·SS − S²) over 1e4 fixed-point
+    values — no float mean, no float variance, no sqrt — so both
+    engines flag the identical event set. Stated bound: n·x and S²
+    stay inside decimal(38,0) for n·x4 ≤ 1e19 (≈1e12 events/cell at
+    |value| ≤ 1e3), matching the oracle's HUGEINT headroom.
+
+    Scale shape: the cohort table collapses to ≤ 168·|types| cells
+    map-side; events join it on the bounded (type, bucket) key —
+    broadcast at any scale — and the flag is a per-row integer
+    comparison. One exchange for the cell aggregate, none for the
+    probe.
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("(unix_millis(ts) div 3600000) % 168").alias("how_bucket"),
+        F.round(col("value") * 10000).cast("bigint").alias("x4"),
+    )
+    cell = ev.groupBy("event_type", "how_bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d19(col("x4"))).cast("decimal(19,0)").alias("s"),
+        F.sum(d19(col("x4")) * d19(col("x4"))).cast("decimal(38,0)").alias("ss"),
+    )
+    dev = (d19(col("n")) * d19(col("x4")) - col("s")).cast("decimal(19,0)")
+    lhs = (dev * dev).cast("decimal(38,0)")
+    rhs = (
+        F.lit(4).cast("decimal(19,0)")
+        * (d19(col("n")) * col("ss") - col("s") * col("s")).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    return (
+        ev.join(F.broadcast(cell), ["event_type", "how_bucket"])
+        .filter(lhs > rhs)
+        .select(
+            "event_id",
+            "event_type",
+            col("how_bucket").cast("bigint").alias("how_bucket"),
+            "value",
+            col("n").cast("bigint").alias("n_cell"),
+        )
+    )

@@ -1764,3 +1764,97 @@ def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_novelty_ratio.__doc__ = doc_novelty_ratio.__doc__.replace(
     "{NOVELTY_K}", str(NOVELTY_K)
 )
+
+
+NOVELTY_BATCH_MOD = 10  # doc_id % 10 == 0 is "today's" batch
+
+
+DOC_NOVELTY_INCR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(tk) - {NOVELTY_K} + 1),
+      i -> array_to_string(tk[i:i + {NOVELTY_K} - 1], ' '))) AS gram
+  FROM toks WHERE len(tk) >= {NOVELTY_K}
+),
+hist AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams
+  WHERE doc_id % {NOVELTY_BATCH_MOD} <> 0 GROUP BY gram
+),
+batch AS (SELECT doc_id, gram FROM grams WHERE doc_id % {NOVELTY_BATCH_MOD} = 0)
+SELECT b.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN h.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(SUM(CASE WHEN h.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM batch b LEFT JOIN hist h ON h.gram = b.gram
+GROUP BY b.doc_id
+"""
+
+
+@register("doc_novelty_incremental", oracle=DOC_NOVELTY_INCR_ORACLE)
+def doc_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL novelty: today's batch (doc_id % {MOD} == 0)
+    scored against the HISTORICAL corpus's persisted gram-owner index
+    — the daily-ingest posture of `doc_novelty_ratio`, completing the
+    incremental trilogy (`dedup_incremental_minhash` for near-dup,
+    `ann_incremental_assign` for vectors, this for content novelty):
+    the decision "does today's crawl still add content?" must not
+    cost a full-corpus re-shingle every day.
+
+    Scale shape: the historical gram index ``(gram, first_doc)`` is
+    the memoized build-once artifact (in production: the table each
+    accepted batch is appended to); daily cost is |batch| shingling
+    (map-only) + one equi-join of batch grams against the index on
+    the gram key — independent of corpus re-processing. The left
+    join keeps all-novel batch docs (no index hit) in the report;
+    the oracle replays the full derivation, so the hash proves the
+    incremental path ≡ recompute.
+    """
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = col("doc_id") % NOVELTY_BATCH_MOD == 0
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(col("text")), NOVELTY_K)).alias(
+                "gram"
+            ),
+        ).distinct()
+
+    def build_index() -> DataFrame:
+        return (
+            grams_of(docs.filter(~is_batch))
+            .groupBy("gram")
+            .agg(F.min("doc_id").alias("first_doc"))
+            .localCheckpoint(eager=True)
+        )
+
+    hist = artifact_memo(spark, ("novelty_gram_index", sf_dir), build_index)
+    batch = grams_of(docs.filter(is_batch))
+    novel = col("first_doc").isNull().cast("long")
+    return (
+        batch.join(hist, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                col("n_novel").cast("double") / col("n_grams").cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+doc_novelty_incremental.__doc__ = doc_novelty_incremental.__doc__.replace(
+    "{MOD}", str(NOVELTY_BATCH_MOD)
+)

@@ -100,6 +100,8 @@ _PRIORITY_PREFIX = [
     "nearest_event_join",
     "doc_novelty_ratio",
     "sql_top_spenders_per_segment",
+    "doc_novelty_incremental",
+    "seasonal_zscore_outliers",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

@@ -94,6 +94,8 @@ SHOWCASE = [
     ("nearest_event_join", "merge-scan, not a join: two ignore-nulls frame windows on ONE user_id sort carry last-before/first-after"),
     ("doc_novelty_ratio", "map-only shingles; distinct + first-owner agg + ownership join all on one gram partitioning"),
     ("sql_top_spenders_per_segment", "SQL text verbatim on both engines: one (segment,customer) agg exchange, rank window over the tiny aggregate"),
+    ("doc_novelty_incremental", "batch grams join the memoized historical gram index; daily cost independent of corpus size"),
+    ("seasonal_zscore_outliers", "cohort cells collapse map-side to <=168*|types| rows, broadcast back; flag is per-row integer compare"),
 ]
 
 

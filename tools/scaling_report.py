@@ -116,6 +116,8 @@ SHOWCASE = [
     ("nearest_event_join", "bidirectional as-of merge scan"),
     ("doc_novelty_ratio", "first-occurrence gram novelty"),
     ("sql_top_spenders_per_segment", "SQL-text rank window"),
+    ("doc_novelty_incremental", "batch-vs-index novelty join"),
+    ("seasonal_zscore_outliers", "cohort-adjusted integer 2-sigma"),
 ]
 
 
