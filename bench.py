@@ -181,6 +181,7 @@ HEADLINE = [
     "sql_top_spenders_per_segment",
     "doc_novelty_incremental",
     "seasonal_zscore_outliers",
+    "mutual_nn_pairs",
 ]
 
 

@@ -1476,3 +1476,132 @@ def dedup_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_weighted_sampling.__doc__ = dedup_weighted_sampling.__doc__.replace(
     "{WSAMPLE_SCALE}", str(WSAMPLE_SCALE)
 )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal (mutual) nearest neighbors over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+
+def _mutual_nn_oracle() -> str:
+    """The banded sign-LSH construction (same literal hyperplanes),
+    followed by per-vector best-candidate selection on BOTH sides and
+    the reciprocity join."""
+    from iot_sparkstreaming_spark.queries.similarity import (
+        N_BANDS,
+        _band_bucket_sql,
+    )
+
+    band_selects = "\nUNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band, {_band_bucket_sql('v', b)} AS bucket FROM e"
+        for b in range(N_BANDS)
+    )
+    cos = (
+        "ROUND(list_dot_product(ea.v, eb.v) / sqrt(list_dot_product(ea.v, ea.v))"
+        " / sqrt(list_dot_product(eb.v, eb.v)), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b, {cos} AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = vec_a
+  JOIN e eb ON eb.vec_id = vec_b
+),
+sym AS (
+  SELECT vec_a AS src, vec_b AS dst, cosine FROM scored
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst, cosine FROM scored
+),
+best AS (
+  SELECT src, dst, cosine FROM sym
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY src ORDER BY cosine DESC, dst
+  ) = 1
+)
+SELECT a.src AS vec_a, a.dst AS vec_b, a.cosine
+FROM best a JOIN best b ON a.dst = b.src AND b.dst = a.src AND a.src < b.src
+"""
+
+
+@register("mutual_nn_pairs", oracle=_mutual_nn_oracle())
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL nearest-neighbor pairs over the banded sign-LSH
+    candidate graph: (a, b) qualifies only when b is a's best-cosine
+    candidate AND a is b's — the classic high-precision matching rule
+    (Hungarian-lite) that record linkage and bitext mining use when a
+    raw threshold over-merges: mutuality is a structural test no
+    single cutoff provides, and it pairs each vector with at most one
+    partner. Ties break to the smaller partner id on the
+    6-dp-rounded cosine, so the pick is deterministic on both
+    engines.
+
+    Scale shape: everything downstream of the banded candidate join
+    is candidate-bounded — the symmetric expansion doubles candidate
+    rows, the per-source argmax is one rank window on the src key,
+    and the reciprocity check is a self-join of the (|vectors|-row)
+    best table on (src, dst). No all-pairs anywhere; same survival
+    posture as `dedup_embedding_cosine`, whose candidate machinery
+    (shared `_lsh_bands` artifact) this reuses.
+    """
+    from pyspark.sql.window import Window
+
+    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
+
+    e = _emb_vectors(spark, sf_dir)
+    bands = _lsh_bands(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").alias("vec_a"), col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(
+        col("vec_id").alias("vec_a"), col("v").alias("va"), col("norm").alias("na")
+    )
+    eb = e.select(
+        col("vec_id").alias("vec_b"), col("v").alias("vb"), col("norm").alias("nb")
+    )
+    cosine = F.round(_dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+    )
+    sym = scored.select(
+        col("vec_a").alias("src"), col("vec_b").alias("dst"), "cosine"
+    ).unionByName(
+        scored.select(
+            col("vec_b").alias("src"), col("vec_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(col("cosine").desc(), col("dst").asc())
+    best = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") == 1)
+        .select("src", "dst", "cosine")
+    )
+    b2 = best.select(col("src").alias("b_src"), col("dst").alias("b_dst"))
+    return (
+        best.join(
+            b2,
+            (col("dst") == col("b_src"))
+            & (col("b_dst") == col("src"))
+            & (col("src") < col("b_src")),
+        )
+        .select(
+            col("src").alias("vec_a"), col("dst").alias("vec_b"), "cosine"
+        )
+    )

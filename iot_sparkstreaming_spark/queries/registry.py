@@ -102,6 +102,7 @@ _PRIORITY_PREFIX = [
     "sql_top_spenders_per_segment",
     "doc_novelty_incremental",
     "seasonal_zscore_outliers",
+    "mutual_nn_pairs",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

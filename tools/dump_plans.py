@@ -96,6 +96,7 @@ SHOWCASE = [
     ("sql_top_spenders_per_segment", "SQL text verbatim on both engines: one (segment,customer) agg exchange, rank window over the tiny aggregate"),
     ("doc_novelty_incremental", "batch grams join the memoized historical gram index; daily cost independent of corpus size"),
     ("seasonal_zscore_outliers", "cohort cells collapse map-side to <=168*|types| rows, broadcast back; flag is per-row integer compare"),
+    ("mutual_nn_pairs", "candidate-bounded throughout: banded join, one src-key rank window, best-table self-join for reciprocity"),
 ]
 
 

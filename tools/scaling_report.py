@@ -118,6 +118,7 @@ SHOWCASE = [
     ("sql_top_spenders_per_segment", "SQL-text rank window"),
     ("doc_novelty_incremental", "batch-vs-index novelty join"),
     ("seasonal_zscore_outliers", "cohort-adjusted integer 2-sigma"),
+    ("mutual_nn_pairs", "reciprocal-NN high-precision match"),
 ]
 
 
