@@ -182,6 +182,8 @@ HEADLINE = [
     "doc_novelty_incremental",
     "seasonal_zscore_outliers",
     "mutual_nn_pairs",
+    "user_activity_features",
+    "revenue_mom_growth",
 ]
 
 

@@ -4043,3 +4043,86 @@ def seasonal_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("n").cast("bigint").alias("n_cell"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store build: per-user RFM-style activity features
+# ---------------------------------------------------------------------------
+
+USER_FEATURES_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS tms,
+    CAST(ROUND(value * 10000) AS BIGINT) AS v4
+  FROM events
+),
+mx AS (SELECT MAX(tms) AS corpus_max FROM ev)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_errors,
+  MAX(tms) - MIN(tms) AS span_ms,
+  (SELECT corpus_max FROM mx) - MAX(tms) AS recency_ms,
+  CAST(SUM(CAST(v4 AS HUGEINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS mean_value
+FROM ev
+GROUP BY user_id
+"""
+
+
+@register("user_activity_features", oracle=USER_FEATURES_ORACLE)
+def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE build: the per-user RFM-style feature vector a
+    churn/propensity model trains on — frequency (event and
+    purchase/error counts, type diversity), tenure span, recency
+    against the corpus frontier, and the exact mean value. This is
+    the materialization the SCD2 point-in-time join serves; here is
+    the batch job that builds it.
+
+    Exactness: mean_value is the house decimal trick — values sum as
+    exact 1e4 fixed-point integers and ONE double division at the
+    end, so the feature is identical regardless of aggregation order;
+    recency/tenure are epoch-millis integer arithmetic (calendar-
+    free). The corpus frontier is a 1-row broadcast.
+
+    Scale shape: one map-side-combined hash aggregate on user_id
+    (conditional counts fold into the same pass — no pivot shuffle,
+    no per-type join), plus the 1-row global max. At 100 TB this is
+    a single exchange keyed by the feature-store's own primary key.
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(col("ts")).alias("tms"),
+        F.round(col("value") * 10000).cast("bigint").alias("v4"),
+    )
+    mx = ev.agg(F.max("tms").alias("corpus_max"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.sum((col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum((col("event_type") == "error").cast("long"))
+        .cast("bigint")
+        .alias("n_errors"),
+        (F.max("tms") - F.min("tms")).alias("span_ms"),
+        F.max("tms").alias("last_tms"),
+        F.sum(d19(col("v4"))).cast("decimal(38,0)").alias("v4_sum"),
+    )
+    return per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "n_purchases",
+        "n_errors",
+        "span_ms",
+        (col("corpus_max") - col("last_tms")).alias("recency_ms"),
+        (
+            col("v4_sum").cast("double")
+            / F.lit(10000.0)
+            / col("n_events").cast("double")
+        ).alias("mean_value"),
+    )

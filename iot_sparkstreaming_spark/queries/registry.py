@@ -103,6 +103,8 @@ _PRIORITY_PREFIX = [
     "doc_novelty_incremental",
     "seasonal_zscore_outliers",
     "mutual_nn_pairs",
+    "user_activity_features",
+    "revenue_mom_growth",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

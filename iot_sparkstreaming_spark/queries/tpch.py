@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.functions import broadcast, col
 
 from iot_sparkstreaming_spark.queries.registry import register
@@ -1371,4 +1372,67 @@ def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
         .orderBy("ship_mode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (DATE-part time series)
+# ---------------------------------------------------------------------------
+
+MOM_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+    EXTRACT(month FROM o_orderdate) AS o_month,
+    CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+      AS revenue_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+  CAST(o_month AS BIGINT) AS o_month,
+  revenue_cents, n_orders,
+  CAST(revenue_cents AS DOUBLE)
+    / LAG(CAST(revenue_cents AS DOUBLE)) OVER (
+        ORDER BY o_year, o_month) - 1.0 AS mom_growth
+FROM m
+"""
+
+
+@register("revenue_mom_growth", oracle=MOM_GROWTH_ORACLE)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the finance/BI drumbeat
+    series: exact-cents revenue per calendar month with the LAG-ratio
+    growth rate. Calendar parts are extracted from a DATE column,
+    which both engines bucket identically (the timestamp-side
+    calendar disagreements the house epoch-integer rule avoids do not
+    exist for dates — no timezone, no DST); the first month's growth
+    is NULL by LAG semantics on both engines.
+
+    Scale shape: the fact table collapses to ≤ |years|·12 cells with
+    map-side combine; the LAG window runs over the cell table only —
+    a single-partition window over dozens of rows, which is exactly
+    where a global window is legitimate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year(col("o_orderdate")).alias("o_year"),
+        F.month(col("o_orderdate")).alias("o_month"),
+    ).agg(
+        F.sum((col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("o_year", "o_month")
+    return m.select(
+        col("o_year").cast("bigint").alias("o_year"),
+        col("o_month").cast("bigint").alias("o_month"),
+        "revenue_cents",
+        "n_orders",
+        (
+            col("revenue_cents").cast("double")
+            / F.lag(col("revenue_cents").cast("double")).over(w)
+            - 1.0
+        ).alias("mom_growth"),
     )

@@ -703,3 +703,44 @@ def test_label_propagation_directed_chain(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], ["a", "b"])
     got = {r.node: r.label for r in label_propagation(df, iterations=2).collect()}
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    n_sources=st.integers(1, 3),
+)
+def test_bfs_layers_matches_python_bfs(spark, edges, n_sources):
+    """Frontier BFS must agree with a pure-Python BFS on random
+    directed graphs (distance = fewest hops, unreachable absent,
+    capped at the round budget)."""
+    from collections import deque
+
+    from iot_sparkstreaming_spark.operators.graph import bfs_layers
+
+    rounds = 4
+    nodes = sorted({n for e in edges for n in e})
+    sources = nodes[:n_sources]
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if want[u] >= rounds:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    src = spark.createDataFrame([(s,) for s in sources], ["node"])
+    got = {r.node: r.dist for r in bfs_layers(df, src, rounds=rounds).collect()}
+    assert got == want

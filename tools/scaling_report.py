@@ -119,6 +119,8 @@ SHOWCASE = [
     ("doc_novelty_incremental", "batch-vs-index novelty join"),
     ("seasonal_zscore_outliers", "cohort-adjusted integer 2-sigma"),
     ("mutual_nn_pairs", "reciprocal-NN high-precision match"),
+    ("user_activity_features", "RFM feature-store build"),
+    ("revenue_mom_growth", "cents-exact MoM growth series"),
 ]
 
 
