@@ -184,6 +184,7 @@ HEADLINE = [
     "mutual_nn_pairs",
     "user_activity_features",
     "revenue_mom_growth",
+    "kmeans_centroid_drift",
 ]
 
 

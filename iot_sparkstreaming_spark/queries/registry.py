@@ -105,6 +105,7 @@ _PRIORITY_PREFIX = [
     "mutual_nn_pairs",
     "user_activity_features",
     "revenue_mom_growth",
+    "kmeans_centroid_drift",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

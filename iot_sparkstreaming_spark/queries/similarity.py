@@ -2068,3 +2068,113 @@ ann_dim_truncation_overlap.__doc__ = (
     .replace("{TRUNC_DIM}", str(TRUNC_DIM))
     .replace("{N_QUERIES}", str(N_QUERIES))
 )
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift monitor (the retrain trigger for the frozen index)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_drift_oracle() -> str:
+    d2a = _D2_SQL.format(a="e.v", b="c.cvec")
+    return _kmeans_ctes() + f""",
+fin AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT e.vec_id, e.sv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2a}, c.cid) AS rk
+    FROM e CROSS JOIN c{KM_ITERS} c
+  ) WHERE rk = 1
+),
+cc AS (
+  SELECT cid, t.r AS d,
+    CAST(ROUND(cvec[t.r + 1] * {KM_SCALE}) AS HUGEINT) AS c4
+  FROM c{KM_ITERS}, range(0, {DIM}) t(r)
+),
+csum AS (
+  SELECT f.cid, t.r AS d, CAST(SUM(sv[t.r + 1]) AS HUGEINT) AS s,
+    CAST(COUNT(*) AS HUGEINT) AS n
+  FROM fin f, range(0, {DIM}) t(r) GROUP BY 1, 2
+),
+numer AS (
+  SELECT cs.cid, cs.n,
+    (cs.s - cs.n * cc.c4) * (cs.s - cs.n * cc.c4) AS q
+  FROM csum cs JOIN cc ON cc.cid = cs.cid AND cc.d = cs.d
+)
+SELECT cid, CAST(MAX(n) AS BIGINT) AS n_members,
+  CAST(SUM(q) AS DOUBLE)
+    / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+       * {KM_SCALE * KM_SCALE}.0) AS drift_sq
+FROM numer GROUP BY cid
+"""
+
+
+@register("kmeans_centroid_drift", oracle=_centroid_drift_oracle())
+def kmeans_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN TRIGGER for the frozen-index serving posture: per
+    cluster, the squared L2 distance between the FROZEN Lloyd
+    centroid (1e4-quantized) and the TRUE mean of the vectors
+    currently assigned to it — when drift_sq grows, the index
+    partitions no longer sit on the data and `ann_incremental_assign`
+    / `ann_ivf_kmeans` recall decays; this query is the monitoring
+    job that decides when the train-once artifact must be rebuilt,
+    closing the loop on the incremental family (ingest daily, monitor
+    drift, retrain on threshold).
+
+    Exactness: the comparison runs entirely in integers — per-dim
+    member sums S_d in 1e4 fixed point (exact, order-free), the
+    frozen centroid quantized identically on both engines, and the
+    per-dim term (S_d − n·c4)² summed exactly — with ONE double
+    division at the end, so the drift numbers are bit-identical. The
+    oracle replays the full unrolled Lloyd + assignment + drift
+    derivation.
+
+    Scale shape: the assignment table is the memoized artifact
+    (loaded, not rebuilt); per-(cid, dim) sums combine map-side to
+    k·d rows; the frozen-centroid table is k·d rows joined on the
+    tiny (cid, d) key. Monitoring cost ≈ one scan of the assignment
+    table at any corpus size.
+    """
+    parts = _kmeans_parts(spark, sf_dir)
+    e, cent = parts["e"], parts["cent"]
+    assigned = _kmeans_ivf_assigned(spark, sf_dir, e, cent)
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
+    sv = F.transform(
+        col("v"), lambda x: F.round(x * KM_SCALE).cast("bigint")
+    )
+    csum = (
+        assigned.select("cid", F.posexplode(sv).alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(
+            F.sum(d19(col("x"))).cast("decimal(19,0)").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    cc = cent.select(
+        "cid",
+        F.posexplode(
+            F.transform(
+                col("cvec"), lambda x: F.round(x * KM_SCALE).cast("bigint")
+            )
+        ).alias("d", "c4"),
+    )
+    numer = csum.join(cc, ["cid", "d"]).select(
+        "cid",
+        "n",
+        (
+            (col("s") - d19(col("n")) * d19(col("c4"))).cast("decimal(19,0)")
+            * (col("s") - d19(col("n")) * d19(col("c4"))).cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    return numer.groupBy("cid").agg(
+        F.max("n").cast("bigint").alias("n_members"),
+        (
+            F.sum(col("q")).cast("double")
+            / (
+                F.max("n").cast("double")
+                * F.max("n").cast("double")
+                * F.lit(float(KM_SCALE * KM_SCALE))
+            )
+        ).alias("drift_sq"),
+    )

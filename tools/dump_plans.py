@@ -99,6 +99,7 @@ SHOWCASE = [
     ("mutual_nn_pairs", "candidate-bounded throughout: banded join, one src-key rank window, best-table self-join for reciprocity"),
     ("user_activity_features", "ONE map-side-combined user_id agg (conditional counts fused, no pivot); 1-row frontier broadcast"),
     ("revenue_mom_growth", "fact collapses to <=|years|*12 cells map-side; LAG window over the cell table only"),
+    ("kmeans_centroid_drift", "assignment table is the loaded artifact; (cid,dim) sums combine map-side to k*d rows; tiny key join"),
 ]
 
 

@@ -121,6 +121,7 @@ SHOWCASE = [
     ("mutual_nn_pairs", "reciprocal-NN high-precision match"),
     ("user_activity_features", "RFM feature-store build"),
     ("revenue_mom_growth", "cents-exact MoM growth series"),
+    ("kmeans_centroid_drift", "frozen-index drift monitor"),
 ]
 
 
