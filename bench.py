@@ -185,6 +185,7 @@ HEADLINE = [
     "user_activity_features",
     "revenue_mom_growth",
     "kmeans_centroid_drift",
+    "cdc_apply_changes",
 ]
 
 

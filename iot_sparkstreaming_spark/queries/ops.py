@@ -424,3 +424,58 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 k_anonymity_audit.__doc__ = k_anonymity_audit.__doc__.replace(
     "{KANON_K}", str(KANON_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: replay the diff onto the old snapshot (MERGE proof)
+# ---------------------------------------------------------------------------
+
+CDC_APPLY_ORACLE = f"""
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % {UPD_MOD} = 0
+       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000
+       ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS price_cents
+FROM orders WHERE o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {INS_MOD} = 0
+"""
+
+
+@register("cdc_apply_changes", oracle=CDC_APPLY_ORACLE)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE half of the CDC pair: take `snapshot_diff_orders`'s
+    change feed (insert/update/delete rows) and APPLY it to the old
+    snapshot — deletes anti-joined out, updates overwriting the
+    price, inserts unioned in. The oracle is the NEW snapshot
+    directly, so the hash proves diff ∘ apply ≡ snapshot: the
+    round-trip identity every incremental-materialization pipeline
+    silently depends on (ship diffs, replay downstream, trust the
+    result), here made an explicit checked invariant.
+
+    Scale shape: ONE left join of the old snapshot against the
+    (change-volume-sized, typically tiny → AQE-broadcast) change
+    feed on the primary key, a row-local CASE, and a union with the
+    inserts — the standard MERGE plan. No full-outer join here; the
+    diff query already paid it.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cents = F.round(col("o_totalprice") * 100).cast("bigint")
+    old = orders.filter(col("o_orderkey") % INS_MOD != 0).select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    diff = snapshot_diff_orders(spark, sf_dir).select(
+        "o_orderkey", "change_type", "new_price_cents"
+    )
+    merged = old.join(diff, "o_orderkey", "left")
+    kept = merged.filter(
+        col("change_type").isNull() | (col("change_type") == "update")
+    ).select(
+        "o_orderkey",
+        F.when(col("change_type") == "update", col("new_price_cents"))
+        .otherwise(col("price_cents"))
+        .alias("price_cents"),
+    )
+    inserts = diff.filter(col("change_type") == "insert").select(
+        "o_orderkey", col("new_price_cents").alias("price_cents")
+    )
+    return kept.unionByName(inserts)

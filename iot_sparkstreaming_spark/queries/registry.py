@@ -106,6 +106,7 @@ _PRIORITY_PREFIX = [
     "user_activity_features",
     "revenue_mom_growth",
     "kmeans_centroid_drift",
+    "cdc_apply_changes",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",

@@ -100,6 +100,7 @@ SHOWCASE = [
     ("user_activity_features", "ONE map-side-combined user_id agg (conditional counts fused, no pivot); 1-row frontier broadcast"),
     ("revenue_mom_growth", "fact collapses to <=|years|*12 cells map-side; LAG window over the cell table only"),
     ("kmeans_centroid_drift", "assignment table is the loaded artifact; (cid,dim) sums combine map-side to k*d rows; tiny key join"),
+    ("cdc_apply_changes", "one left join vs the change-volume-sized feed (AQE-broadcast), row-local CASE, union with inserts"),
 ]
 
 

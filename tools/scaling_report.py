@@ -122,6 +122,7 @@ SHOWCASE = [
     ("user_activity_features", "RFM feature-store build"),
     ("revenue_mom_growth", "cents-exact MoM growth series"),
     ("kmeans_centroid_drift", "frozen-index drift monitor"),
+    ("cdc_apply_changes", "MERGE replay: diff o apply = new"),
 ]
 
 
