@@ -186,6 +186,15 @@ HEADLINE = [
     "revenue_mom_growth",
     "kmeans_centroid_drift",
     "cdc_apply_changes",
+    # round 8 batch 2: bitmap-index retention, rank-stat U test, Gini
+    # concentration, zone-map skipping report, Holt level+trend
+    # recursion, MMR diversified re-rank
+    "activity_bitmap_retention",
+    "mann_whitney_events",
+    "gini_concentration_segment",
+    "zonemap_skipping_report",
+    "holt_linear_forecast_user",
+    "mmr_diversified_topk",
 ]
 
 

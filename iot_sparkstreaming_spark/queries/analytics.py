@@ -4126,3 +4126,428 @@ def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             / col("n_events").cast("double")
         ).alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index activity: 30-day per-user bitmaps, popcount + streaks
+# ---------------------------------------------------------------------------
+
+BITMAP_DAYS = 30  # one monthly shard of the bitmap index
+
+
+def _streak_layers_sql(steps: int) -> str:
+    """Chained-CTE longest-run-of-1s fold: layer k ANDs the iterate
+    with itself shifted right by one; the iterate survives k layers
+    iff some run has length > k, so the streak is the count of
+    non-zero iterates. Each layer references the previous ITERATE
+    COLUMN (never inlines the expression), so generated SQL is
+    LINEAR in steps — the naive expression substitution doubles per
+    step and detonates at 2^steps text. Pure bigint AND/shift."""
+    layers = [
+        "st0 AS (SELECT user_id, bitmap, bitmap AS s,"
+        " CASE WHEN bitmap <> 0 THEN 1 ELSE 0 END AS acc FROM bm)"
+    ]
+    for k in range(1, steps):
+        layers.append(
+            f"st{k} AS (SELECT user_id, bitmap, (s & (s >> 1)) AS s,"
+            f" acc + CASE WHEN (s & (s >> 1)) <> 0 THEN 1 ELSE 0 END AS acc"
+            f" FROM st{k - 1})"
+        )
+    return ",\n".join(layers)
+
+
+BITMAP_ORACLE = f"""
+WITH t0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+days AS (
+  SELECT DISTINCT user_id,
+    date_diff('day', (SELECT d0 FROM t0), CAST(ts AS DATE)) AS day_idx
+  FROM events
+),
+bm AS (
+  SELECT user_id,
+    bit_or(CAST(1 AS BIGINT) << CAST(day_idx AS INTEGER)) AS bitmap
+  FROM days WHERE day_idx >= 0 AND day_idx < {BITMAP_DAYS}
+  GROUP BY user_id
+),
+{_streak_layers_sql(BITMAP_DAYS)}
+SELECT user_id, bitmap,
+  CAST(bit_count(bitmap) AS BIGINT) AS active_days,
+  CAST(acc AS BIGINT) AS longest_streak,
+  ((bitmap >> {BITMAP_DAYS - 2}) & 3) <> 0 AS retained_last2
+FROM st{BITMAP_DAYS - 1}
+"""
+
+
+@register("activity_bitmap_retention", oracle=BITMAP_ORACLE)
+def activity_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-style BITMAP INDEX over user activity: one bigint per
+    user per {BITMAP_DAYS}-day shard, bit i = "active on corpus day
+    i", built with bit_or(1 << day_idx). Popcount (`bit_count`) gives
+    active-day totals, an AND-shift fold gives the LONGEST STREAK
+    (step k zeroes the bitmap unless some run exceeds k — {BITMAP_DAYS}
+    unrolled steps, all bigint ops), and a 2-bit mask tests tail
+    retention. This is the segment-bitmap trick OLAP engines use for
+    retention/cohort queries: set intersections become AND+popcount on
+    8-byte words instead of joins on event rows.
+
+    Scale shape: the event scan collapses to DISTINCT (user, day) —
+    map-side combinable — then ONE hash aggregate builds every bitmap;
+    streak/popcount/retention are per-row expressions after that. A
+    year of history is 12 such shards OR-merged per user; nothing here
+    depends on per-user event counts. Both engines run the identical
+    bigint fold, so every column checks bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", col("ts").cast("date").alias("d")
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    days = (
+        ev.crossJoin(F.broadcast(d0))
+        .select("user_id", F.datediff(col("d"), col("d0")).alias("day_idx"))
+        .filter((col("day_idx") >= 0) & (col("day_idx") < BITMAP_DAYS))
+        .distinct()
+    )
+    # SQL-form shiftleft: the PySpark wrapper only takes a literal
+    # shift amount, but the underlying function shifts by a column.
+    bm = days.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), day_idx)")).alias("bitmap")
+    )
+    # linear fold via column chaining (mirrors the oracle's CTE
+    # layers): each step references the PREVIOUS iterate column, so
+    # the plan is O(steps), not the 2^steps of naive inlining.
+    it = bm.withColumn("s", col("bitmap")).withColumn(
+        "acc", (col("bitmap") != 0).cast("int")
+    )
+    for _ in range(1, BITMAP_DAYS):
+        it = it.withColumn(
+            "s", col("s").bitwiseAND(F.shiftright(col("s"), 1))
+        ).withColumn("acc", col("acc") + (col("s") != 0).cast("int"))
+    return it.select(
+        "user_id",
+        "bitmap",
+        F.bit_count(col("bitmap")).cast("bigint").alias("active_days"),
+        col("acc").cast("bigint").alias("longest_streak"),
+        (
+            F.shiftright(col("bitmap"), BITMAP_DAYS - 2).bitwiseAND(F.lit(3)) != 0
+        ).alias("retained_last2"),
+    )
+
+
+activity_bitmap_retention.__doc__ = activity_bitmap_retention.__doc__.replace(
+    "{BITMAP_DAYS}", str(BITMAP_DAYS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum with tie correction, exact integers)
+# ---------------------------------------------------------------------------
+
+MW_A, MW_B = "click", "error"
+
+
+MANN_WHITNEY_ORACLE = f"""
+WITH hist AS (
+  SELECT value,
+    SUM(CASE WHEN event_type = '{MW_A}' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN event_type = '{MW_B}' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
+  GROUP BY value
+),
+scan AS (
+  SELECT ca, cb,
+    COALESCE(SUM(cb) OVER (
+      ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb_below
+  FROM hist
+),
+agg AS (
+  SELECT
+    CAST(SUM(ca) AS BIGINT) AS n1,
+    CAST(SUM(cb) AS BIGINT) AS n2,
+    CAST(SUM(2 * ca * cb_below + ca * cb) AS BIGINT) AS u1_x2,
+    CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+      AS tie_cubes
+  FROM scan
+)
+SELECT n1, n2, u1_x2, 2 * n1 * n2 - u1_x2 AS u2_x2, tie_cubes,
+  (CAST(u1_x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+  / sqrt(
+      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+      * (CAST(n1 + n2 + 1 AS DOUBLE)
+         - CAST(tie_cubes AS DOUBLE)
+           / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+    ) AS z_score
+FROM agg
+"""
+
+
+@register("mann_whitney_events", oracle=MANN_WHITNEY_ORACLE)
+def mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample MANN–WHITNEY U comparing `{MW_A}` vs `{MW_B}`
+    event values — the non-parametric location test that pairs with
+    the distribution-shape KS drift check (`ks_drift_events`). U is
+    computed by DISTRIBUTION COUNTING, not ranking rows: collapse both
+    samples to a per-distinct-value histogram, one ordered scan
+    accumulates opposite-sample counts below each value, and
+    U1 = Σ cA·cB_below + cA·cB/2. Everything rides DOUBLED integers
+    (u1_x2) so half-ties stay exact bigints; the tie-correction term
+    Σ t³−t is exact too, and the normal-approximation z-score is one
+    shared double formula over those exact integers.
+
+    Scale shape: the rank statistic never sorts the 2n rows — the
+    histogram shrinks the data to distinct values (map-side
+    combinable), and the single-partition ordered scan touches only
+    that histogram. At 100 TB you'd range-partition the value domain
+    and prefix-sum partition totals; the fixture's distinct-value
+    count keeps one partition honest here.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(col("event_type").isin(MW_A, MW_B))
+        .select("event_type", "value")
+    )
+    hist = ev.groupBy("value").agg(
+        F.sum((col("event_type") == MW_A).cast("long")).alias("ca"),
+        F.sum((col("event_type") == MW_B).cast("long")).alias("cb"),
+    )
+    w = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scan = hist.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("cb_below"),
+    )
+    t = col("ca") + col("cb")
+    agg = scan.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+        F.sum(2 * col("ca") * col("cb_below") + col("ca") * col("cb"))
+        .cast("bigint")
+        .alias("u1_x2"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_cubes"),
+    )
+    n1d, n2d = col("n1").cast("double"), col("n2").cast("double")
+    nd = (col("n1") + col("n2")).cast("double")
+    z = (col("u1_x2").cast("double") / F.lit(2.0) - n1d * n2d / F.lit(2.0)) / F.sqrt(
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (col("n1") + col("n2") + 1).cast("double")
+            - col("tie_cubes").cast("double")
+            / (nd * (col("n1") + col("n2") - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        (2 * col("n1") * col("n2") - col("u1_x2")).alias("u2_x2"),
+        "tie_cubes",
+        z.alias("z_score"),
+    )
+
+
+mann_whitney_events.__doc__ = mann_whitney_events.__doc__.replace(
+    "{MW_A}", MW_A
+).replace("{MW_B}", MW_B)
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend per market segment (exact decimal)
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+    COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+ranked AS (
+  SELECT c_mktsegment, cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment ORDER BY cents, c_custkey
+    ) AS i,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM spend
+)
+SELECT c_mktsegment AS segment,
+  CAST(MAX(n) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS DECIMAL(38,0)) AS total_cents,
+  CAST(SUM((2 * i - n - 1) * CAST(cents AS DECIMAL(38,0)))
+    AS DECIMAL(38,0)) AS gini_num,
+  CAST(SUM((2 * i - n - 1) * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+    / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini
+FROM ranked
+GROUP BY c_mktsegment
+"""
+
+
+@register("gini_concentration_segment", oracle=GINI_ORACLE)
+def gini_concentration_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer lifetime spend per market segment
+    — the revenue-concentration audit ("do 20% of customers carry 80%
+    of the segment?") via the exact rank formula
+    G = Σ(2i−n−1)·x(i) / (n·Σx) with x in integer CENTS and the
+    numerator accumulated in DECIMAL(38,0), so both engines agree
+    bit-for-bit; only the final ratio is a double. Zero-spend
+    customers enter through the LEFT join (a Gini over buyers-only
+    overstates equality). Tie safety: (2i−n−1) varies across a run of
+    equal spends, but x is constant within the run, so the run's
+    Σ(2i−n−1)·x is invariant to tie order — the (cents, custkey)
+    tie-break is belt-and-braces, not load-bearing.
+
+    Scale shape: spend rolls up map-side per custkey; ranking and both
+    sums ride ONE c_mktsegment exchange (5 segments ⇒ salt or
+    two-level aggregate at extreme skew; the window is a single
+    per-partition scan). Output is 5 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    spend = (
+        cust.join(orders, col("o_custkey") == col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    ranked = spend.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number()
+        .over(wseg.orderBy(col("cents"), col("c_custkey")))
+        .alias("i"),
+        F.count("*").over(wseg).alias("n"),
+    )
+    num = F.sum(
+        (2 * col("i") - col("n") - 1).cast("decimal(38,0)")
+        * col("cents").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    return (
+        ranked.groupBy(col("c_mktsegment").alias("segment"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("decimal(38,0)").alias("total_cents"),
+            num.alias("gini_num"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            "gini_num",
+            (
+                col("gini_num").cast("double")
+                / (col("n_customers").cast("double") * col("total_cents").cast("double"))
+            ).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level+trend recursion, dyadic α/β)
+# ---------------------------------------------------------------------------
+
+HW_WINDOW = 32  # trailing samples per user — bounds recursion depth
+
+
+HOLT_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rkd
+  FROM events
+),
+w AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rkd DESC) AS rk,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM ev WHERE rkd <= {HW_WINDOW}
+),
+hw AS (
+  SELECT user_id, 1 AS step, n, value AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM w WHERE rk = 1
+  UNION ALL
+  SELECT w.user_id, hw.step + 1, hw.n,
+    0.5 * w.value + 0.5 * (hw.l + hw.b),
+    0.25 * ((0.5 * w.value + 0.5 * (hw.l + hw.b)) - hw.l) + 0.75 * hw.b
+  FROM hw JOIN w ON w.user_id = hw.user_id AND w.rk = hw.step + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_samples, l AS level, b AS trend,
+  l + 3.0 * b AS forecast_3
+FROM hw WHERE step = n
+"""
+
+
+@register("holt_linear_forecast_user", oracle=HOLT_ORACLE)
+def holt_linear_forecast_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double-exponential smoothing per user (level + trend, the
+    classic short-horizon forecaster) over the trailing {HW_WINDOW}
+    samples: l_t = α·x_t + (1−α)(l_(t−1)+b_(t−1)),
+    b_t = β(l_t − l_(t−1)) + (1−β)·b_(t−1), α=1/2 β=1/4, init
+    l_1=x_1, b_1=0; output the final state and a 3-step-ahead
+    forecast l+3b. The recursion is genuinely sequential — the op
+    built-ins can't express — so it runs as a grouped Pandas kernel
+    (`applyInPandas`), the sanctioned Python shape; α,β are DYADIC so
+    every multiply is a power-of-two scale, and both engines evaluate
+    the IDENTICAL double expression tree in the identical order, so
+    the DuckDB RECURSIVE-CTE oracle (one iterate per step) matches
+    bit-for-bit — no tolerance anywhere.
+
+    Scale shape: one user_id exchange; each group is capped at
+    {HW_WINDOW} rows by the window-rank prefilter BEFORE the Python
+    stage, so Arrow batches are tiny and bounded regardless of
+    history length. The streaming twin of this recursion family lives
+    in streaming/stateful.py (EWMA); this is the batch
+    level+trend member.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w_recent = Window.partitionBy("user_id").orderBy(
+        col("ts").desc(), col("event_id").desc()
+    )
+    recent = (
+        ev.withColumn("rkd", F.row_number().over(w_recent))
+        .filter(col("rkd") <= HW_WINDOW)
+        .select("user_id", "rkd", "value")
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        xs = pdf.sort_values("rkd", ascending=False)["value"].values
+        l, b = float(xs[0]), 0.0
+        for x in xs[1:]:
+            x = float(x)
+            ln = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (ln - l) + 0.75 * b
+            l = ln
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "n_samples": len(xs),
+                    "level": l,
+                    "trend": b,
+                    "forecast_3": l + 3.0 * b,
+                }
+            ]
+        )
+
+    return recent.groupBy("user_id").applyInPandas(
+        holt,
+        schema=(
+            "user_id bigint, n_samples bigint, level double, "
+            "trend double, forecast_3 double"
+        ),
+    )
+
+
+holt_linear_forecast_user.__doc__ = holt_linear_forecast_user.__doc__.replace(
+    "{HW_WINDOW}", str(HW_WINDOW)
+)

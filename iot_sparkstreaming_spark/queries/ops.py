@@ -479,3 +479,105 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", col("new_price_cents").alias("price_cents")
     )
     return kept.unionByName(inserts)
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data-skipping effectiveness report
+# ---------------------------------------------------------------------------
+
+ZONE_ROWS = 512  # rows per simulated row-group / file zone
+ZM_HOURS = 72  # recency predicate: ts within the trailing 72 h
+ZM_VALUE = 400.0  # value predicate: value >= 400
+
+
+ZONEMAP_ORACLE = f"""
+WITH mx AS (SELECT MAX(epoch_ms(ts)) AS max_ms FROM events),
+zones AS (
+  SELECT event_id // {ZONE_ROWS} AS zone,
+    COUNT(*) AS n_rows,
+    MIN(epoch_ms(ts)) AS min_ms, MAX(epoch_ms(ts)) AS max_ms_z,
+    MIN(value) AS min_v, MAX(value) AS max_v,
+    SUM(CASE WHEN epoch_ms(ts) >= (SELECT max_ms FROM mx)
+                  - {ZM_HOURS} * 3600000 THEN 1 ELSE 0 END) AS rows_recent,
+    SUM(CASE WHEN value >= {ZM_VALUE} THEN 1 ELSE 0 END) AS rows_hot
+  FROM events GROUP BY event_id // {ZONE_ROWS}
+)
+SELECT CAST(zone AS BIGINT) AS zone, CAST(n_rows AS BIGINT) AS n_rows,
+  min_ms, max_ms_z AS max_ms, min_v, max_v,
+  max_ms_z < (SELECT max_ms FROM mx) - {ZM_HOURS} * 3600000
+    AS pruned_by_ts,
+  max_v < {ZM_VALUE} AS pruned_by_value,
+  CAST(rows_recent AS BIGINT) AS rows_recent,
+  CAST(rows_hot AS BIGINT) AS rows_hot
+FROM zones
+"""
+
+
+@register("zonemap_skipping_report", oracle=ZONEMAP_ORACLE)
+def zonemap_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP (min/max data-skipping) effectiveness report — the
+    stats a lakehouse keeps per parquet row-group, computed per
+    {ZONE_ROWS}-row storage zone (event_id IS the fixture's storage
+    order: ts is monotone in it), then each zone judged against two
+    predicates: a trailing-{ZM_HOURS}h recency filter and a
+    `value >= {ZM_VALUE}` filter. The report makes the skipping story
+    QUANTITATIVE: ts is clustered with storage order, so its min/max
+    bands are narrow and most zones prune (`pruned_by_ts`); value is
+    unclustered, so every zone's [min,max] straddles the threshold
+    and nothing prunes (`pruned_by_value`) — exactly why you Z-order
+    or sort data before relying on row-group skipping (see
+    `zorder_locality_events` for the fix). `rows_recent`/`rows_hot`
+    carry the exact per-zone selectivity so pruned-zone correctness
+    (pruned ⇒ 0 matching rows) is checkable from the output.
+
+    Scale shape: one hash aggregate keyed by zone id (map-side
+    combinable: each input partition touches few zones); the corpus
+    max-ts is a 1-row broadcast. min/max of doubles are exact picks
+    of input values, so every column hash-matches bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {ZONE_ROWS}").cast("bigint").alias("zone"),
+        F.unix_millis(col("ts")).alias("ms"),
+        "value",
+    )
+    mx = ev.agg(F.max("ms").alias("corpus_max_ms"))
+    cutoff = col("corpus_max_ms") - ZM_HOURS * 3600000
+    zones = (
+        ev.crossJoin(broadcast(mx))
+        .groupBy("zone")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("ms").alias("min_ms"),
+            F.max("ms").alias("max_ms"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.sum((col("ms") >= cutoff).cast("long"))
+            .cast("bigint")
+            .alias("rows_recent"),
+            F.sum((col("value") >= ZM_VALUE).cast("long"))
+            .cast("bigint")
+            .alias("rows_hot"),
+            F.max("corpus_max_ms").alias("corpus_max_ms"),
+        )
+    )
+    return zones.select(
+        "zone",
+        "n_rows",
+        "min_ms",
+        "max_ms",
+        "min_v",
+        "max_v",
+        (col("max_ms") < col("corpus_max_ms") - ZM_HOURS * 3600000).alias(
+            "pruned_by_ts"
+        ),
+        (col("max_v") < ZM_VALUE).alias("pruned_by_value"),
+        "rows_recent",
+        "rows_hot",
+    )
+
+
+zonemap_skipping_report.__doc__ = (
+    zonemap_skipping_report.__doc__.replace("{ZONE_ROWS}", str(ZONE_ROWS))
+    .replace("{ZM_HOURS}", str(ZM_HOURS))
+    .replace("{ZM_VALUE}", str(ZM_VALUE))
+)

@@ -89,6 +89,12 @@ _PRIORITY_PREFIX = [
     "ks_drift_events",
     "rrf_fuse_rankers",
     # -- new in round 8 (first-exposure; insert new queries HERE)
+    "activity_bitmap_retention",
+    "mann_whitney_events",
+    "gini_concentration_segment",
+    "zonemap_skipping_report",
+    "holt_linear_forecast_user",
+    "mmr_diversified_topk",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

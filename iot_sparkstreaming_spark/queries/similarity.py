@@ -2178,3 +2178,192 @@ def kmeans_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("drift_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k re-rank (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+MMR_C = 16  # exact-cosine candidates fed to the re-ranker, per query
+MMR_K = 5  # diversified picks returned per query (λ = 1/2, dyadic)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in plain CTEs: candidate top-{MMR_C} by
+    exact cosine, the pairwise candidate-cosine table, then {MMR_K}
+    argmax steps — step t picks ROW_NUMBER()=1 by
+    (0.5·rel − 0.5·maxsim) DESC with cid tie-break and folds the
+    pick's similarity into every survivor's running maxsim."""
+    steps, picks = [], []
+    prev = "st0"
+    for t in range(1, MMR_K + 1):
+        picks.append(
+            f"""pick{t} AS (
+  SELECT query_id, cid AS sel, rel, score, {t} AS rk FROM (
+    SELECT *, 0.5 * rel - 0.5 * maxsim AS score,
+      ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY 0.5 * rel - 0.5 * maxsim DESC, cid
+      ) AS rn
+    FROM {prev}
+  ) WHERE rn = 1
+)"""
+        )
+        if t < MMR_K:
+            steps.append(
+                f"""st{t} AS (
+  SELECT s.query_id, s.cid, s.rel,
+    GREATEST(s.maxsim, pc.cos_ab) AS maxsim
+  FROM {prev} s
+  JOIN pick{t} p ON p.query_id = s.query_id AND s.cid <> p.sel
+  JOIN pc ON pc.query_id = s.query_id AND pc.ca = s.cid AND pc.cb = p.sel
+)"""
+            )
+        prev = f"st{t}"
+    chain = ",\n".join(
+        x for pair in zip(picks, steps + [""]) for x in pair if x
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, rk, sel AS neighbor_id, rel, score FROM pick{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         {_COS_SQL.format(a="q.v", b="c.v")} AS rel
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, cid) AS crk
+    FROM scored
+  ) WHERE crk <= {MMR_C}
+),
+pc AS (
+  SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+         {_COS_SQL.format(a="va.v", b="vb.v")} AS cos_ab
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id AND b.cid <> a.cid
+  JOIN e va ON va.vec_id = a.cid
+  JOIN e vb ON vb.vec_id = b.cid
+),
+st0 AS (
+  SELECT query_id, cid, rel, CAST(0.0 AS DOUBLE) AS maxsim FROM cand
+),
+{chain}
+SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, rel, score
+FROM ({union})
+"""
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-rank — the standard
+    retrieval-diversification pass (Carbonell & Goldstein 1998) an
+    LLM RAG stack runs between ANN recall and the context window:
+    from each query's exact top-{MMR_C} cosine candidates, greedily
+    pick {MMR_K} maximizing 0.5·rel − 0.5·max-sim-to-already-picked
+    (λ = 1/2, dyadic ⇒ exact doubles), cid tie-break.
+
+    Engine split: everything O(corpus) is DECLARATIVE — candidate
+    recall is the broadcast-query scan + rank (knn shape), and the
+    {MMR_C}×{MMR_C} candidate-pair cosines come from a self-join on
+    the candidate table, all 6-dp-rounded JVM-side so Python never
+    recomputes a cosine. Only the inherently sequential {MMR_K}-step
+    greedy runs as a grouped Pandas kernel over each query's ≤
+    {MMR_C}² pair rows — bounded Arrow batches regardless of corpus
+    size. The oracle unrolls the identical greedy into {MMR_K}
+    argmax CTEs over the same rounded doubles, so selection order,
+    scores, and ties all check bit-for-bit.
+
+    Scale shape: one broadcast scan for recall (corpus never
+    shuffles), candidate tables are O(queries·{MMR_C}) rows, and the
+    Python stage is O(queries·{MMR_C}²) — independent of corpus row
+    count. Reference had no retrieval surface at all (SURVEY §2.8);
+    this completes recall → rescore → fuse (rrf) → DIVERSIFY.
+    """
+    import pandas as pd
+
+    e = _vectors(spark, sf_dir)
+    q = e.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("query_id"), col("v").alias("qv"), col("nv").alias("qn")
+    )
+    c = e.select(col("vec_id").alias("cid"), col("v").alias("cv"), col("nv").alias("cn"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(col("query_id") != col("cid"))
+        .select(
+            "query_id",
+            "cid",
+            _cosine_pre(col("qv"), col("cv"), col("qn"), col("cn")).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(col("rel").desc(), col("cid"))
+    cand = (
+        scored.withColumn("crk", F.row_number().over(wq))
+        .filter(col("crk") <= MMR_C)
+        .select("query_id", "cid", "rel")
+    )
+    cv = cand.join(c, "cid").select("query_id", "cid", "rel", "cv", "cn")
+    a = cv.select(
+        "query_id", col("cid").alias("ca"), col("rel").alias("rel_a"),
+        col("cv").alias("va"), col("cn").alias("na"),
+    )
+    b = cv.select(
+        col("query_id").alias("qb"), col("cid").alias("cb"),
+        col("cv").alias("vb"), col("cn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (col("query_id") == col("qb")) & (col("ca") != col("cb")))
+        .select(
+            "query_id",
+            "ca",
+            "rel_a",
+            "cb",
+            _cosine_pre(col("va"), col("vb"), col("na"), col("nb")).alias("cos_ab"),
+        )
+    )
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = pdf["query_id"].iloc[0]
+        rel = dict(zip(pdf["ca"], pdf["rel_a"]))
+        cos = dict(zip(zip(pdf["ca"], pdf["cb"]), pdf["cos_ab"]))
+        maxsim = {cid: 0.0 for cid in rel}
+        out, picked = [], set()
+        for t in range(1, MMR_K + 1):
+            best = None
+            for cid in sorted(rel):
+                if cid in picked:
+                    continue
+                score = 0.5 * rel[cid] - 0.5 * maxsim[cid]
+                if best is None or score > best[1]:
+                    best = (cid, score)
+            cid, score = best
+            picked.add(cid)
+            out.append(
+                {"query_id": qid, "rk": t, "neighbor_id": cid,
+                 "rel": rel[cid], "score": score}
+            )
+            for other in rel:
+                if other not in picked:
+                    maxsim[other] = max(maxsim[other], cos[(other, cid)])
+        return pd.DataFrame(out)
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy,
+        schema=(
+            "query_id bigint, rk bigint, neighbor_id bigint, "
+            "rel double, score double"
+        ),
+    )
+
+
+mmr_diversified_topk.__doc__ = (
+    mmr_diversified_topk.__doc__.replace("{MMR_C}", str(MMR_C))
+    .replace("{MMR_K}", str(MMR_K))
+)

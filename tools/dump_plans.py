@@ -101,6 +101,12 @@ SHOWCASE = [
     ("revenue_mom_growth", "fact collapses to <=|years|*12 cells map-side; LAG window over the cell table only"),
     ("kmeans_centroid_drift", "assignment table is the loaded artifact; (cid,dim) sums combine map-side to k*d rows; tiny key join"),
     ("cdc_apply_changes", "one left join vs the change-volume-sized feed (AQE-broadcast), row-local CASE, union with inserts"),
+    ("activity_bitmap_retention", "event scan collapses to DISTINCT (user,day) map-side; ONE hash agg builds every bitmap; streak/popcount are row-local bigint folds"),
+    ("mann_whitney_events", "rank stat without ranking rows: distinct-value histogram (map-side combinable), one ordered scan over the histogram, exact doubled-integer U"),
+    ("gini_concentration_segment", "spend rolls up map-side per custkey; rank window and both sums ride ONE segment exchange; decimal(38,0) numerator"),
+    ("zonemap_skipping_report", "one hash agg keyed by zone id (each input partition touches few zones); corpus max-ts is a 1-row broadcast"),
+    ("holt_linear_forecast_user", "window-rank prefilter caps groups at 32 rows BEFORE the Python stage; one user_id exchange, bounded Arrow batches"),
+    ("mmr_diversified_topk", "recall is the broadcast-query scan (corpus never shuffles); pair cosines from a candidate-table self-join; Python sees only O(queries*C^2) rows"),
 ]
 
 

@@ -123,6 +123,12 @@ SHOWCASE = [
     ("revenue_mom_growth", "cents-exact MoM growth series"),
     ("kmeans_centroid_drift", "frozen-index drift monitor"),
     ("cdc_apply_changes", "MERGE replay: diff o apply = new"),
+    ("activity_bitmap_retention", "bitmap index: AND+popcount retention"),
+    ("mann_whitney_events", "histogram-counted exact U test"),
+    ("gini_concentration_segment", "decimal-exact Gini rank formula"),
+    ("zonemap_skipping_report", "min/max zone-map skipping audit"),
+    ("holt_linear_forecast_user", "bounded level+trend recursion"),
+    ("mmr_diversified_topk", "greedy MMR over bounded candidates"),
 ]
 
 
