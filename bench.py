@@ -195,6 +195,12 @@ HEADLINE = [
     "zonemap_skipping_report",
     "holt_linear_forecast_user",
     "mmr_diversified_topk",
+    # round 8 batch 3: community quality, lead/lag correlation,
+    # correlated-subquery SQL surface, triplet hard-negative mining
+    "graph_modularity_communities",
+    "cross_correlation_types",
+    "sql_above_segment_average",
+    "ann_hard_negatives",
 ]
 
 

@@ -2165,10 +2165,11 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 LP_ITERS = 3
 
 
-def _lpa_oracle() -> str:
-    """Unrolled fixed-iteration LPA: each round is one plain CTE
-    running the identical argmax update (count DESC, label ASC) the
-    Spark loop runs — the same unroll trick as the PageRank oracle."""
+def _lpa_ctes() -> str:
+    """The shared WITH-chain: trade pairs, both-direction edges, and
+    LP_ITERS unrolled label-propagation rounds ending at l{LP_ITERS}
+    — reused verbatim by the LPA oracle and the modularity oracle so
+    both replay the identical community assignment."""
     sql = """
 WITH pairs AS (
   SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
@@ -2188,13 +2189,22 @@ l{i} AS (
     GROUP BY e.b, l.label
   ) WHERE rk = 1
 )"""
-    sql += f"""
+    return sql
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-iteration LPA: each round is one plain CTE
+    running the identical argmax update (count DESC, label ASC) the
+    Spark loop runs — the same unroll trick as the PageRank oracle."""
+    return (
+        _lpa_ctes()
+        + f"""
 SELECT node AS node_id, node % 2 = 1 AS is_supplier,
   CAST(label AS BIGINT) AS community,
   CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
 FROM l{LP_ITERS}
 """
-    return sql
+    )
 
 
 @register("label_propagation_communities", oracle=_lpa_oracle())
@@ -4376,9 +4386,9 @@ ranked AS (
 )
 SELECT c_mktsegment AS segment,
   CAST(MAX(n) AS BIGINT) AS n_customers,
-  CAST(SUM(cents) AS DECIMAL(38,0)) AS total_cents,
-  CAST(SUM((2 * i - n - 1) * CAST(cents AS DECIMAL(38,0)))
-    AS DECIMAL(38,0)) AS gini_num,
+  CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS VARCHAR) AS total_cents,
+  CAST(CAST(SUM((2 * i - n - 1) * CAST(cents AS DECIMAL(38,0)))
+    AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
   CAST(SUM((2 * i - n - 1) * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
     / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini
 FROM ranked
@@ -4431,8 +4441,11 @@ def gini_concentration_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy(col("c_mktsegment").alias("segment"))
         .agg(
             F.max("n").cast("bigint").alias("n_customers"),
-            F.sum("cents").cast("decimal(38,0)").alias("total_cents"),
-            num.alias("gini_num"),
+            # exact DECIMAL(38,0) values ride as strings: the driver's
+            # value-hash compares reprs, and decimal reprs differ across
+            # engines while integer-string reprs cannot
+            F.sum("cents").cast("decimal(38,0)").cast("string").alias("total_cents"),
+            num.cast("string").alias("gini_num"),
         )
         .select(
             "segment",
@@ -4550,4 +4563,233 @@ def holt_linear_forecast_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 holt_linear_forecast_user.__doc__ = holt_linear_forecast_user.__doc__.replace(
     "{HW_WINDOW}", str(HW_WINDOW)
+)
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA communities (exact-integer Q terms)
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    """Replays the LPA rounds (shared CTE chain), then computes each
+    community's exact modularity term 4·m·e_c − d_c² in DECIMAL —
+    zero floats until the final Q division."""
+    return (
+        _lpa_ctes()
+        + f""",
+comm AS (SELECT node, label FROM l{LP_ITERS}),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a),
+intra AS (
+  SELECT ca.label AS community, COUNT(*) AS e_c
+  FROM pairs p
+  JOIN comm ca ON p.a = ca.node
+  JOIN comm cb ON p.b = cb.node AND cb.label = ca.label
+  GROUP BY ca.label
+),
+dsum AS (
+  SELECT c.label AS community, CAST(SUM(d.d) AS BIGINT) AS d_c,
+    COUNT(*) AS n_nodes
+  FROM comm c JOIN deg d ON d.node = c.node GROUP BY c.label
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs)
+SELECT dsum.community, CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(COALESCE(e_c, 0) AS BIGINT) AS intra_edges, d_c AS degree_sum,
+  CAST(CAST(4 * CAST(m AS DECIMAL(38,0)) * COALESCE(e_c, 0)
+       - CAST(d_c AS DECIMAL(38,0)) * CAST(d_c AS DECIMAL(38,0))
+    AS DECIMAL(38,0)) AS VARCHAR) AS q_term_scaled,
+  CAST(4 * CAST(m AS DECIMAL(38,0)) * COALESCE(e_c, 0)
+       - CAST(d_c AS DECIMAL(38,0)) * CAST(d_c AS DECIMAL(38,0)) AS DOUBLE)
+    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS q_term
+FROM dsum LEFT JOIN intra ON intra.community = dsum.community CROSS JOIN mm
+"""
+    )
+
+
+@register("graph_modularity_communities", oracle=_modularity_oracle())
+def graph_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY of the LPA communities — the quality metric
+    that closes the community-detection loop (detect with
+    `label_propagation_communities`, SCORE the partition here): per
+    community c, Q_c = e_c/m − (d_c/2m)², reported as the EXACT
+    integer 4·m·e_c − d_c² accumulated in DECIMAL(38,0) and emitted
+    as its digit string (so Σ terms / 4m² = Q and both engines agree
+    bit-for-bit) plus the double term. A
+    partition whose Σ q_term ≈ 0 is no better than random wiring —
+    the retrain/reject signal for any community-based downstream
+    (fraud rings, supplier clusters).
+
+    Scale shape: the community table is the MEMOIZED LPA artifact
+    (loaded, not recomputed); intra-edge counting is one pair-table
+    join against the (node → label) map on each endpoint — shuffles
+    carry only (node, label) pairs; degree and d_c are
+    map-side-combinable aggregates; m is a 1-row broadcast. The
+    oracle replays the full unrolled LPA + the same integer algebra.
+    """
+    comm = label_propagation_communities(spark, sf_dir).select(
+        col("node_id").alias("node"), col("community").alias("label")
+    )
+    pairs = _trade_pairs(spark, sf_dir)
+    edges = pairs.union(pairs.select(col("b").alias("a"), col("a").alias("b")))
+    deg = edges.groupBy(col("a").alias("node")).agg(F.count("*").alias("d"))
+    ca = comm.select(col("node").alias("na"), col("label").alias("la"))
+    cb = comm.select(col("node").alias("nb"), col("label").alias("lb"))
+    intra = (
+        pairs.join(ca, col("a") == col("na"))
+        .join(cb, (col("b") == col("nb")) & (col("lb") == col("la")))
+        .groupBy(col("la").alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    dsum = (
+        comm.join(deg, "node")
+        .groupBy(col("label").alias("community"))
+        .agg(
+            F.sum("d").cast("bigint").alias("d_c"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+        )
+    )
+    mm = pairs.agg(F.count("*").cast("bigint").alias("m"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — house cast
+    term = (
+        F.lit(4) * d38(col("m")) * F.coalesce(col("e_c"), F.lit(0))
+        - d38(col("d_c")) * d38(col("d_c"))
+    ).cast("decimal(38,0)")
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(col("e_c"), F.lit(0)).cast("bigint").alias("intra_edges"),
+            col("d_c").alias("degree_sum"),
+            # exact integer rides as a string (house hash-safety rule)
+            term.cast("string").alias("q_term_scaled"),
+            (
+                term.cast("double")
+                / (F.lit(4.0) * col("m").cast("double") * col("m").cast("double"))
+            ).alias("q_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two event-type hourly series
+# ---------------------------------------------------------------------------
+
+XC_A, XC_B = "click", "error"
+XC_MAX_LAG = 3
+
+
+XCORR_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events
+  WHERE event_type IN ('{XC_A}', '{XC_B}')
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+spine AS (
+  SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+),
+cells AS (
+  SELECT s.h,
+    COALESCE(SUM(CASE WHEN e.event_type = '{XC_A}' THEN 1 END), 0) AS xa,
+    COALESCE(SUM(CASE WHEN e.event_type = '{XC_B}' THEN 1 END), 0) AS xb
+  FROM spine s LEFT JOIN ev e ON e.h = s.h GROUP BY s.h
+),
+lags AS (
+  SELECT g - {XC_MAX_LAG} AS lag
+  FROM generate_series(0, {2 * XC_MAX_LAG}) AS t(g)
+),
+paired AS (
+  SELECT l.lag, a.xa, b.xb
+  FROM lags l JOIN cells a ON TRUE JOIN cells b ON b.h = a.h + l.lag
+),
+moments AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+    CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+    CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+    CAST(SUM(xb * xb) AS BIGINT) AS syy
+  FROM paired GROUP BY lag
+)
+SELECT lag, n_pairs, sx, sy, sxy, sxx, syy,
+  (CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+  / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+     * sqrt(CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r
+FROM moments
+"""
+
+
+@register("cross_correlation_types", oracle=XCORR_ORACLE)
+def cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAGGED CROSS-CORRELATION between the `{XC_A}` and `{XC_B}`
+    hourly count series (lags −{XC_MAX_LAG}..+{XC_MAX_LAG}) — the
+    lead/lag diagnostic ("do clicks foreshadow errors?") behind
+    alert-correlation and causal-ordering hunches. The series are
+    ZERO-FILLED on a dense epoch-hour spine (missing hours are real
+    zeros, not dropped rows — dropping them biases r toward busy
+    hours), every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact bigint,
+    and r is one shared double formula per lag.
+
+    Scale shape: the event scan collapses map-side to hourly cells
+    (≤ corpus-hours rows); the spine is generated, not scanned; the
+    7 lag offsets join cell-to-cell on the hour key — everything
+    after the first aggregate is O(hours), independent of event
+    count. Epoch-hour integer bucketing (epoch_ms div 3600000) is
+    the house calendar-free time rule.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(col("event_type").isin(XC_A, XC_B))
+        .select(
+            "event_type", F.expr("unix_millis(ts) div 3600000").alias("h")
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(col("h0"), col("h1"))).alias("h")
+    )
+    cells = (
+        spine.join(ev, "h", "left")
+        .groupBy("h")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(col("event_type") == XC_A, 1)), F.lit(0)
+            ).alias("xa"),
+            F.coalesce(
+                F.sum(F.when(col("event_type") == XC_B, 1)), F.lit(0)
+            ).alias("xb"),
+        )
+    )
+    lags = spark.range(2 * XC_MAX_LAG + 1).select(
+        (col("id") - XC_MAX_LAG).cast("bigint").alias("lag")
+    )
+    a = cells.select(col("h").alias("ha"), "xa")
+    b = cells.select(col("h").alias("hb"), "xb")
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, col("hb") == col("ha") + col("lag"))
+    )
+    moments = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("xa").cast("bigint").alias("sx"),
+        F.sum("xb").cast("bigint").alias("sy"),
+        F.sum(col("xa") * col("xb")).cast("bigint").alias("sxy"),
+        F.sum(col("xa") * col("xa")).cast("bigint").alias("sxx"),
+        F.sum(col("xb") * col("xb")).cast("bigint").alias("syy"),
+    )
+    nd = col("n_pairs").cast("double")
+    r = (nd * col("sxy") - col("sx").cast("double") * col("sy")) / (
+        F.sqrt(nd * col("sxx") - col("sx").cast("double") * col("sx"))
+        * F.sqrt(nd * col("syy") - col("sy").cast("double") * col("sy"))
+    )
+    return moments.select(
+        "lag", "n_pairs", "sx", "sy", "sxy", "sxx", "syy", r.alias("r")
+    )
+
+
+cross_correlation_types.__doc__ = (
+    cross_correlation_types.__doc__.replace("{XC_A}", XC_A)
+    .replace("{XC_B}", XC_B)
+    .replace("{XC_MAX_LAG}", str(XC_MAX_LAG))
 )

@@ -95,6 +95,10 @@ _PRIORITY_PREFIX = [
     "zonemap_skipping_report",
     "holt_linear_forecast_user",
     "mmr_diversified_topk",
+    "graph_modularity_communities",
+    "cross_correlation_types",
+    "sql_above_segment_average",
+    "ann_hard_negatives",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

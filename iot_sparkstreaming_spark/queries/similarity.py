@@ -2367,3 +2367,123 @@ mmr_diversified_topk.__doc__ = (
     mmr_diversified_topk.__doc__.replace("{MMR_C}", str(MMR_C))
     .replace("{MMR_K}", str(MMR_K))
 )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (triplet margins for contrastive training)
+# ---------------------------------------------------------------------------
+
+HN_K = 5  # hard negatives per query
+
+
+HARD_NEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+    c.vec_id AS cid, c.label AS clabel,
+    {_COS_SQL.format(a="q.v", b="c.v")} AS cosine
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+pos AS (
+  SELECT query_id, cid AS pos_id, cosine AS pos_cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cid) AS rk
+    FROM scored WHERE clabel = qlabel
+  ) WHERE rk = 1
+),
+neg AS (
+  SELECT query_id, cid AS neighbor_id, clabel AS neighbor_label,
+    cosine, CAST(rk AS BIGINT) AS rk
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cid) AS rk
+    FROM scored WHERE clabel <> qlabel
+  ) WHERE rk <= {HN_K}
+)
+SELECT n.query_id, n.neighbor_id, n.neighbor_label, n.cosine, n.rk,
+  p.pos_id, p.pos_cosine, n.cosine - p.pos_cosine AS margin
+FROM neg n JOIN pos p ON p.query_id = n.query_id
+"""
+
+
+@register("ann_hard_negatives", oracle=HARD_NEG_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive/embedding training: for
+    each query vector, the top-{HN_K} highest-cosine OTHER-label
+    vectors (the negatives that actually teach the model something)
+    beside the best SAME-label vector (the positive), with the
+    triplet margin cos(neg) − cos(pos). Positive-margin rows are the
+    violations a triplet loss would push on — this query IS the
+    batch-mining job a two-tower training pipeline runs per epoch.
+
+    Plan shape: the tiny query set broadcasts against the corpus
+    (one scan, corpus never shuffles — the knn recall shape); the
+    same scored table feeds BOTH rank windows (same-label argmax,
+    different-label top-{HN_K}), each shuffling only
+    query-partitioned winners; the final join is query-keyed on
+    {N_QUERIES} rows. Cosines are 6-dp-rounded JVM-side, ties broken
+    by cid — bit-deterministic on both engines.
+    """
+    e = _vectors(spark, sf_dir)
+    q = e.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("query_id"),
+        col("label").alias("qlabel"),
+        col("v").alias("qv"),
+        col("nv").alias("qn"),
+    )
+    c = e.select(
+        col("vec_id").alias("cid"),
+        col("label").alias("clabel"),
+        col("v").alias("cv"),
+        col("nv").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(col("query_id") != col("cid"))
+        .select(
+            "query_id",
+            "qlabel",
+            "cid",
+            "clabel",
+            _cosine_pre(col("qv"), col("cv"), col("qn"), col("cn")).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(col("cosine").desc(), col("cid"))
+    pos = (
+        scored.filter(col("clabel") == col("qlabel"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(col("rk") == 1)
+        .select("query_id", col("cid").alias("pos_id"), col("cosine").alias("pos_cosine"))
+    )
+    neg = (
+        scored.filter(col("clabel") != col("qlabel"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(col("rk") <= HN_K)
+        .select(
+            "query_id",
+            col("cid").alias("neighbor_id"),
+            col("clabel").alias("neighbor_label"),
+            "cosine",
+            col("rk").cast("bigint").alias("rk"),
+        )
+    )
+    return neg.join(pos, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        "cosine",
+        "rk",
+        "pos_id",
+        "pos_cosine",
+        (col("cosine") - col("pos_cosine")).alias("margin"),
+    )
+
+
+ann_hard_negatives.__doc__ = ann_hard_negatives.__doc__.replace(
+    "{HN_K}", str(HN_K)
+).replace("{N_QUERIES}", str(N_QUERIES))

@@ -144,3 +144,52 @@ def sql_top_spenders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(TOP_SPENDERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries: scalar-agg decorrelation + EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+ABOVE_SEGMENT_AVG_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+    CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+      AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT s.c_custkey, s.c_mktsegment, s.cents
+FROM spend s
+WHERE s.cents * (SELECT COUNT(*) FROM spend t
+                 WHERE t.c_mktsegment = s.c_mktsegment)
+      > (SELECT SUM(t.cents) FROM spend t
+         WHERE t.c_mktsegment = s.c_mktsegment)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = s.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@register("sql_above_segment_average", oracle=ABOVE_SEGMENT_AVG_SQL)
+def sql_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers spending ABOVE their segment's average who also have
+    an urgent order — ONE SQL text, two engines, exercising the two
+    correlated-subquery shapes the rest of the SQL surface doesn't:
+    a correlated SCALAR AGGREGATE subquery (twice — count and sum
+    over the sibling rows of the outer row's segment) and a
+    correlated EXISTS semi-join. Catalyst must DECORRELATE both
+    (rewrite to a grouped join + left-semi join) for this to run at
+    all, so the query is a parser-to-optimizer proof point, not just
+    an answer check. The average comparison is CROSS-MULTIPLIED
+    (cents·n > Σcents) so it stays in exact bigints — no AVG double.
+
+    Plan shape after decorrelation: the spend CTE aggregates once;
+    the two scalar subqueries collapse into ONE segment-level
+    aggregate joined back (5 rows, broadcast); EXISTS becomes a
+    left-semi join on o_custkey against the priority-filtered orders
+    scan (filter pushed to parquet). Nothing here scales worse than
+    the spend rollup itself.
+    """
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(ABOVE_SEGMENT_AVG_SQL)

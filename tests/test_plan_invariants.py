@@ -35,6 +35,11 @@ ARROW_ALLOWED = {
     "video_y4m_frames",
     "tar_shard_roundtrip",
     "embedding_gram_matrix",
+    # bounded per-group Python recursions: Holt's level/trend fold over a
+    # ≤32-sample trailing window per user, and MMR's 16-candidate greedy —
+    # both applyInPandas over pre-aggregated, size-capped groups
+    "holt_linear_forecast_user",
+    "mmr_diversified_topk",
 }
 
 

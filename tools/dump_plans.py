@@ -107,6 +107,10 @@ SHOWCASE = [
     ("zonemap_skipping_report", "one hash agg keyed by zone id (each input partition touches few zones); corpus max-ts is a 1-row broadcast"),
     ("holt_linear_forecast_user", "window-rank prefilter caps groups at 32 rows BEFORE the Python stage; one user_id exchange, bounded Arrow batches"),
     ("mmr_diversified_topk", "recall is the broadcast-query scan (corpus never shuffles); pair cosines from a candidate-table self-join; Python sees only O(queries*C^2) rows"),
+    ("graph_modularity_communities", "community table is the memoized LPA artifact; intra count joins (node,label) maps per endpoint; m is a 1-row broadcast"),
+    ("cross_correlation_types", "events collapse map-side to hourly cells; spine generated not scanned; 7 lag offsets join cell-to-cell on the hour key"),
+    ("sql_above_segment_average", "Catalyst decorrelates both scalar subqueries into ONE segment aggregate joined back; EXISTS becomes a left-semi with the priority filter pushed to parquet"),
+    ("ann_hard_negatives", "query set broadcasts once; ONE scored table feeds both rank windows (pos argmax, neg top-5); final join is query-keyed"),
 ]
 
 

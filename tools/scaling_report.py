@@ -129,6 +129,10 @@ SHOWCASE = [
     ("zonemap_skipping_report", "min/max zone-map skipping audit"),
     ("holt_linear_forecast_user", "bounded level+trend recursion"),
     ("mmr_diversified_topk", "greedy MMR over bounded candidates"),
+    ("graph_modularity_communities", "exact-integer modularity terms"),
+    ("cross_correlation_types", "zero-filled lead/lag correlation"),
+    ("sql_above_segment_average", "correlated-subquery decorrelation"),
+    ("ann_hard_negatives", "triplet-margin negative mining"),
 ]
 
 
