@@ -201,6 +201,12 @@ HEADLINE = [
     "cross_correlation_types",
     "sql_above_segment_average",
     "ann_hard_negatives",
+    # round 8 batch 4: recursive-CTE SQL surface, compaction planner,
+    # classifier-eval confusion matrix, anti-join audience
+    "sql_recursive_month_spine",
+    "compaction_bin_packing",
+    "lang_confusion_matrix",
+    "viewers_without_purchase",
 ]
 
 

@@ -1858,3 +1858,54 @@ def doc_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_novelty_incremental.__doc__ = doc_novelty_incremental.__doc__.replace(
     "{MOD}", str(NOVELTY_BATCH_MOD)
 )
+
+
+# ---------------------------------------------------------------------------
+# Funnel-dropout audience (anti-join: browsed but never bought)
+# ---------------------------------------------------------------------------
+
+DROPOUT_ORACLE = """
+SELECT v.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_views,
+  CAST(epoch_ms(MIN(v.ts)) AS BIGINT) AS first_view_ms,
+  CAST(epoch_ms(MAX(v.ts)) AS BIGINT) AS last_view_ms
+FROM events v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+  )
+GROUP BY v.user_id
+"""
+
+
+@register("viewers_without_purchase", oracle=DROPOUT_ORACLE)
+def viewers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROPOUT AUDIENCE: users who viewed but NEVER purchased — the
+    retargeting segment every funnel report feeds, and the registry's
+    explicit LEFT ANTI join showcase (``funnel_analysis`` counts the
+    stage conversions; this materializes the non-converting cohort
+    with its engagement stats). Each survivor carries view count and
+    first/last view epoch-millis.
+
+    Scale shape: BOTH sides pre-aggregate to one row per user before
+    the anti join — views roll up map-side behind the pushed
+    event_type filter, the purchaser key set is DISTINCT user_ids of
+    one filtered scan — so the anti join shuffles two deduplicated
+    key-sized tables, never raw events. At 100 TB the purchaser set is
+    the small side (conversion < 100%); AQE can broadcast it into a
+    null-free anti join. The oracle's NOT EXISTS is the same left-anti
+    semi-plan decorrelated.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_views"),
+            F.unix_millis(F.min("ts")).cast("bigint").alias("first_view_ms"),
+            F.unix_millis(F.max("ts")).cast("bigint").alias("last_view_ms"),
+        )
+    )
+    buyers = ev.filter(col("event_type") == "purchase").select("user_id").distinct()
+    return views.join(buyers, "user_id", "left_anti")

@@ -581,3 +581,98 @@ zonemap_skipping_report.__doc__ = (
     .replace("{ZM_HOURS}", str(ZM_HOURS))
     .replace("{ZM_VALUE}", str(ZM_VALUE))
 )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (running-sum bin packing)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 500  # target rows per compacted output file
+
+COMPACTION_ORACLE = f"""
+WITH shards AS (
+  SELECT event_type, CAST(ts AS DATE) AS shard_date,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+planned AS (
+  SELECT event_type, shard_date, n_rows,
+    CAST((SUM(n_rows) OVER (
+            PARTITION BY event_type ORDER BY shard_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) - n_rows) // {COMPACT_TARGET} AS BIGINT) AS bin_id
+  FROM shards
+)
+SELECT event_type, bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shards,
+  CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+  CAST(MIN(shard_date) AS DATE) AS first_date,
+  CAST(MAX(shard_date) AS DATE) AS last_date,
+  CAST(SUM(n_rows) AS BIGINT) >= {COMPACT_TARGET} AS full_bin
+FROM planned
+GROUP BY event_type, bin_id
+"""
+
+
+@register("compaction_bin_packing", oracle=COMPACTION_ORACLE)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLAN: treat each (event_type, day) group
+    as one data file and assign files to compacted output bins of
+    ~{COMPACT_TARGET} rows by RUNNING-SUM bucketing — bin_id =
+    (prefix_rows_before_this_file) // target, the deterministic,
+    fully-parallel alternative to greedy first-fit (same bins as a
+    sequential packer that closes a bin once it reaches target; a bin
+    can overflow by at most one file, flagged by ``full_bin``). The
+    report per bin — file count, total rows, covered date range — IS
+    the compaction job list a lakehouse maintenance pass (cf.
+    io/maintenance.py's z-order rewrite) would execute; dates stay
+    contiguous per bin because the prefix sum orders by shard_date, so
+    compaction preserves time-range pruning.
+
+    All-integer plan: counts, prefix sums, and the integer division
+    are exact on both engines.
+
+    Scale shape: the shard list is METADATA-sized (one row per file —
+    millions of rows at worst, not billions), rolled up map-side from
+    the raw scan; the prefix sum is one window over the tiny shard
+    table partitioned by event_type; the bin rollup reuses the same
+    partitioning. Nothing downstream of the first rollup touches raw
+    rows, which is exactly why this plan survives a 100-TB table: the
+    planner's cost is O(files), not O(rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        "event_type", col("ts").cast("date").alias("shard_date")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("shard_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = shards.select(
+        "event_type",
+        "shard_date",
+        "n_rows",
+        (F.sum("n_rows").over(w) - col("n_rows")).alias("offset_rows"),
+    ).select(
+        "event_type",
+        "shard_date",
+        "n_rows",
+        # bigint `div`, not `/`: double division loses exactness past
+        # 2^53 prefix rows; DuckDB's `//` on BIGINT is the same exact op
+        F.expr(f"offset_rows div {COMPACT_TARGET}").alias("bin_id"),
+    )
+    return planned.groupBy("event_type", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.sum("n_rows").cast("bigint").alias("bin_rows"),
+        F.min("shard_date").alias("first_date"),
+        F.max("shard_date").alias("last_date"),
+        (F.sum("n_rows") >= COMPACT_TARGET).alias("full_bin"),
+    )
+
+
+compaction_bin_packing.__doc__ = compaction_bin_packing.__doc__.replace(
+    "{COMPACT_TARGET}", str(COMPACT_TARGET)
+)

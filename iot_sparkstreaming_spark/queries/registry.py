@@ -99,6 +99,10 @@ _PRIORITY_PREFIX = [
     "cross_correlation_types",
     "sql_above_segment_average",
     "ann_hard_negatives",
+    "sql_recursive_month_spine",
+    "compaction_bin_packing",
+    "lang_confusion_matrix",
+    "viewers_without_purchase",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

@@ -193,3 +193,82 @@ def sql_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(ABOVE_SEGMENT_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: data-driven month spine with zero-filled gap months
+# ---------------------------------------------------------------------------
+
+#: WITH RECURSIVE is new in Spark 4.0 (SPARK-24497); DuckDB has had it
+#: for years — so the identical text below is runnable on both engines
+#: only because the anchor/step/termination stay inside the shared ANSI
+#: recursion subset: a plain-CTE anchor, one self-reference in the
+#: step, the bound CARRIED AS A COLUMN (a scalar subquery in the step
+#: re-evaluates per iteration on Spark — 80 extra orders scans; a
+#: carried column is row arithmetic). The recursion steps by YEAR and a
+#: 12-row VALUES table expands months: each UnionLoop iteration is a
+#: scheduled mini-job on Spark, so depth-7 recursion × 12-way expansion
+#: beats depth-80 recursion ~4× in wall clock at identical output.
+#: DATE_TRUNC returns TIMESTAMP on Spark but DATE on DuckDB, and
+#: DATE + INTERVAL returns TIMESTAMP on DuckDB but DATE on Spark — both
+#: are CAST ... AS DATE so the spine is the same type on both sides.
+MONTH_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(DATE_TRUNC('year', MIN(o_orderdate)) AS DATE) AS ylo,
+         CAST(DATE_TRUNC('year', MAX(o_orderdate)) AS DATE) AS yhi,
+         CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) AS mlo,
+         CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE) AS mhi
+  FROM orders
+),
+years(y, yhi) AS (
+  SELECT ylo, yhi FROM bounds
+  UNION ALL
+  SELECT CAST(y + INTERVAL 1 YEAR AS DATE), yhi FROM years WHERE y < yhi
+),
+months AS (
+  SELECT CAST(y + (k - 1) * INTERVAL 1 MONTH AS DATE) AS m
+  FROM years CROSS JOIN (
+    VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12)
+  ) AS twelve(k)
+  CROSS JOIN bounds
+  WHERE CAST(y + (k - 1) * INTERVAL 1 MONTH AS DATE) BETWEEN mlo AND mhi
+),
+rev AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 480000
+  GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS DATE)
+)
+SELECT months.m AS month_start,
+  CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+  CAST(COALESCE(rev.cents, 0) AS BIGINT) AS revenue_cents
+FROM months LEFT JOIN rev ON rev.m = months.m
+"""
+
+
+@register("sql_recursive_month_spine", oracle=MONTH_SPINE_SQL)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled monthly revenue of high-value urgent orders over a
+    RECURSIVE-CTE month spine — ONE SQL text, two engines, proving the
+    SQL surface's newest entry point: Spark 4's ``WITH RECURSIVE``
+    (the other four texts cover join/EXTRACT, bit-twiddling scalars,
+    windows-over-aggregates, and correlated decorrelation). The spine
+    is DATA-DRIVEN (anchor = min order month, termination = a scalar
+    subquery on the max), so a reporting month with zero qualifying
+    orders still appears with explicit zeros — the absence-is-a-row
+    semantics every calendar dashboard needs and a bare GROUP BY
+    cannot produce (~19 of 80 months are gaps at the sf0.01 cutoff).
+    Revenue rides exact bigint cents.
+
+    Scale shape: recursion depth = #distinct YEARS (single digits;
+    months come from a 12-row VALUES expansion — see the module
+    comment for why depth is the cost driver), every step one row —
+    driver-trivial and INDEPENDENT of table size; the spine is tiny
+    so the LEFT join against the revenue rollup broadcasts, and that
+    rollup's one exchange is the only real shuffle; the
+    priority+price filter pushes to the parquet scan.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(MONTH_SPINE_SQL)

@@ -975,3 +975,65 @@ tfidf_cosine_pairs.__doc__ = (
     .replace("{COS_FP}", str(COS_FP))
     .replace("{COS_TOP_K}", str(COS_TOP_K))
 )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier-eval harness)
+# ---------------------------------------------------------------------------
+
+CONFUSION_ORACLE = (
+    "WITH pred AS (" + LANG_ID_ORACLE + """)
+SELECT lang, predicted,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+  CAST(SUM(COUNT(*)) OVER (PARTITION BY predicted) AS BIGINT) AS pred_total,
+  CAST(COUNT(*) AS DOUBLE)
+    / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE) AS frac_of_lang,
+  CAST(COUNT(*) AS DOUBLE)
+    / CAST(SUM(COUNT(*)) OVER (PARTITION BY predicted) AS DOUBLE)
+    AS frac_of_pred
+FROM pred
+GROUP BY lang, predicted
+"""
+)
+
+
+@register("lang_confusion_matrix", oracle=CONFUSION_ORACLE)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the marker-profile classifier against the
+    gold ``lang`` column — the eval harness every classifier in a data
+    pipeline needs before its output gates anything: per (gold,
+    predicted) cell the count, both marginals, and the two normalized
+    fractions (row-normalized = recall-style "where does each gold
+    language go", column-normalized = precision-style "what feeds
+    each predicted bucket"). The label spaces differ (gold ISO codes
+    vs heuristic profiles), which is the realistic shape: the matrix
+    IS the mapping evidence you'd use to calibrate or reject the
+    heuristic per language. Counts and marginals are exact bigints;
+    the two fractions are single ratios of those bigints, so both
+    engines produce bit-identical doubles.
+
+    Scale shape: rides the map-only lang-ID pass, then ONE hash
+    aggregate to the (gold × predicted) grid (≤ |langs|·|profiles| ≈
+    dozens of rows); the marginal windows run over that tiny grid, not
+    the corpus. Adding 100× documents changes only the first rollup.
+    """
+    pred = lang_id_heuristic(spark, sf_dir)
+    cells = pred.groupBy("lang", "predicted").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    wp = Window.partitionBy("predicted")
+    return cells.select(
+        "lang",
+        "predicted",
+        "n",
+        F.sum("n").over(wl).cast("bigint").alias("lang_total"),
+        F.sum("n").over(wp).cast("bigint").alias("pred_total"),
+        (col("n").cast("double") / F.sum("n").over(wl).cast("double")).alias(
+            "frac_of_lang"
+        ),
+        (col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "frac_of_pred"
+        ),
+    )

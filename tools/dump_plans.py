@@ -111,6 +111,10 @@ SHOWCASE = [
     ("cross_correlation_types", "events collapse map-side to hourly cells; spine generated not scanned; 7 lag offsets join cell-to-cell on the hour key"),
     ("sql_above_segment_average", "Catalyst decorrelates both scalar subqueries into ONE segment aggregate joined back; EXISTS becomes a left-semi with the priority filter pushed to parquet"),
     ("ann_hard_negatives", "query set broadcasts once; ONE scored table feeds both rank windows (pos argmax, neg top-5); final join is query-keyed"),
+    ("sql_recursive_month_spine", "WITH RECURSIVE spine is rows=#months driver-trivial; tiny spine broadcast into the LEFT join vs the one revenue-rollup exchange; filters pushed to parquet"),
+    ("compaction_bin_packing", "planner cost is O(files) not O(rows): raw scan collapses map-side to the shard list; prefix-sum window and bin rollup share the event_type partitioning"),
+    ("lang_confusion_matrix", "rides the map-only lang-ID pass; ONE hash agg to the gold*pred grid; marginal windows run over dozens of cells"),
+    ("viewers_without_purchase", "both sides pre-aggregate to per-user rows behind pushed filters; anti join shuffles key-sized tables, purchaser set AQE-broadcastable"),
 ]
 
 

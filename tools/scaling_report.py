@@ -133,6 +133,10 @@ SHOWCASE = [
     ("cross_correlation_types", "zero-filled lead/lag correlation"),
     ("sql_above_segment_average", "correlated-subquery decorrelation"),
     ("ann_hard_negatives", "triplet-margin negative mining"),
+    ("sql_recursive_month_spine", "recursive-CTE zero-filled spine"),
+    ("compaction_bin_packing", "running-sum small-file packing"),
+    ("lang_confusion_matrix", "gold-vs-pred eval marginals"),
+    ("viewers_without_purchase", "anti-join dropout audience"),
 ]
 
 
