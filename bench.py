@@ -207,6 +207,11 @@ HEADLINE = [
     "compaction_bin_packing",
     "lang_confusion_matrix",
     "viewers_without_purchase",
+    # round 8 batch 5: exact OLS fit, common-neighbor link prediction,
+    # inter-annotator kappa
+    "ols_time_regression_user",
+    "link_prediction_suppliers",
+    "classifier_agreement_kappa",
 ]
 
 

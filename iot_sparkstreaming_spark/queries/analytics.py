@@ -4793,3 +4793,197 @@ cross_correlation_types.__doc__ = (
     .replace("{XC_B}", XC_B)
     .replace("{XC_MAX_LAG}", str(XC_MAX_LAG))
 )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS of value on elapsed time per user (slope/intercept/R²)
+# ---------------------------------------------------------------------------
+
+OLS_ORACLE = """
+WITH xy AS (
+  SELECT user_id,
+    CAST((epoch_ms(ts) - epoch_ms(MIN(ts) OVER (PARTITION BY user_id)))
+         // 1000 AS BIGINT) AS x,
+    value AS y
+  FROM events
+),
+m AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sy2
+  FROM xy GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+  (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope_per_sec,
+  (sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n AS intercept,
+  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+    / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS r2
+FROM m
+WHERE n >= 2 AND (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+"""
+
+
+@register("ols_time_regression_user", oracle=OLS_ORACLE)
+def ols_time_regression_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED-FORM OLS of each user's event value against ELAPSED
+    SECONDS since their first event — slope, intercept, and R² from
+    the five moment sums, the parametric complement of
+    ``theil_sen_trend_user`` (robust slope) and the whole-series
+    counterpart of ``rolling_trend_slope`` (positional window): this
+    one regresses on REAL time, so irregular sampling is handled, and
+    R² says how much of the variance the linear drift explains — the
+    "is a linear detrend enough?" gate before seasonal modeling.
+
+    Exactness discipline (the ``acf_user_value`` pattern): x is an
+    exact bigint second offset, the five moments accumulate in
+    DECIMAL (order-free), each is cast to double ONCE, and
+    slope/intercept/R² are fixed parenthesization chains of those
+    doubles — bit-identical on both engines. Degenerate series (one
+    event, zero x- or y-variance) are filtered by exact predicates,
+    not NaN checks.
+
+    Scale shape: the min-ts window and the moment aggregate ride ONE
+    user_id exchange (the window's sort feeds a partial-agg-friendly
+    groupBy); everything after is per-user arithmetic on a
+    one-row-per-user table. 100× events = the same single exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wmin = Window.partitionBy("user_id")
+    xy = ev.select(
+        "user_id",
+        (F.unix_millis(col("ts")) - F.unix_millis(F.min("ts").over(wmin))).alias(
+            "ms_off"
+        ),
+        col("value").alias("y"),
+    ).select(
+        "user_id",
+        # bigint `div` (== DuckDB's `//`): keeps x exact — double
+        # division is only float-exact below 2^53 ms offsets
+        F.expr("ms_off div 1000").alias("x"),
+        "y",
+    )
+    d = lambda c, t: c.cast(t)  # noqa: E731 — house cast
+    m = xy.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(d(col("x"), "decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(d(col("y"), "decimal(38,4)")).cast("double").alias("sy"),
+        F.sum(d(col("x"), "decimal(19,0)") * d(col("y"), "decimal(19,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(d(col("x"), "decimal(19,0)") * d(col("x"), "decimal(19,0)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum(d(col("y"), "decimal(19,4)") * d(col("y"), "decimal(19,4)"))
+        .cast("double")
+        .alias("sy2"),
+    )
+    num = col("n") * col("sxy") - col("sx") * col("sy")
+    denx = col("n") * col("sx2") - col("sx") * col("sx")
+    deny = col("n") * col("sy2") - col("sy") * col("sy")
+    slope = num / denx
+    return (
+        m.filter((col("n") >= 2) & (denx > 0) & (deny > 0))
+        .select(
+            "user_id",
+            col("n").cast("bigint").alias("n_events"),
+            slope.alias("slope_per_sec"),
+            ((col("sy") - slope * col("sx")) / col("n")).alias("intercept"),
+            ((num * num) / (denx * deny)).alias("r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard supplier similarity
+# ---------------------------------------------------------------------------
+
+LP_MAX_DEG = 48  # wedge-pivot cutoff: customers above this degree are skipped
+
+
+LINKPRED_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY a),
+kept AS (
+  SELECT p.a, p.b FROM pairs p JOIN deg ON deg.a = p.a
+  WHERE deg.d <= {LP_MAX_DEG}
+),
+sdeg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS d FROM kept GROUP BY b),
+wedges AS (
+  SELECT p1.b AS s1, p2.b AS s2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM kept p1 JOIN kept p2 ON p1.a = p2.a AND p1.b < p2.b
+  GROUP BY p1.b, p2.b
+)
+SELECT w.s1, w.s2, w.common,
+  d1.d AS deg1, d2.d AS deg2,
+  CAST(w.common AS DOUBLE) / CAST(d1.d + d2.d - w.common AS DOUBLE)
+    AS jaccard
+FROM wedges w
+JOIN sdeg d1 ON d1.b = w.s1
+JOIN sdeg d2 ON d2.b = w.s2
+"""
+
+
+@register("link_prediction_suppliers", oracle=LINKPRED_ORACLE)
+def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMON-NEIGHBOR LINK PREDICTION over the bipartite trade graph:
+    for every supplier pair, how many customers buy from BOTH, plus
+    the neighborhood Jaccard — the classic link-prediction /
+    substitutability score ("suppliers serving the same demand") that
+    feeds recommendation and consolidation decisions. Wedge
+    enumeration pivots on the CUSTOMER side (mean degree ~32) with a
+    degree cutoff of {LP_MAX_DEG} on the pivot — the standard
+    hub-capping trick that bounds wedge count at Σ min(deg,cap)² and
+    keeps the quadratic side of the join off the heavy tail. Both
+    degrees in the Jaccard union are computed on the SAME capped
+    graph, so the score is internally consistent.
+
+    Exactness: common counts and degrees are bigints; Jaccard is one
+    division of exact integers.
+
+    Scale shape: the edge list is the memoized `_trade_pairs`
+    artifact; the wedge self-join shuffles on the pivot key (customer)
+    where the cutoff bounds the per-key fan-out; the rollup to
+    supplier pairs combines map-side. On a power-law graph the cutoff
+    is what turns an O(Σd²) blowup into a tunable budget — cf. the
+    degree-ordered orientation in `triangle_count_parts`.
+    """
+    pairs = _trade_pairs(spark, sf_dir)
+    deg = pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    kept = pairs.join(deg.filter(col("d") <= LP_MAX_DEG).select("a"), "a")
+    sdeg = kept.groupBy("b").agg(F.count("*").cast("bigint").alias("d"))
+    p1 = kept.select(col("a").alias("ca"), col("b").alias("s1"))
+    p2 = kept.select(col("a").alias("ca"), col("b").alias("s2"))
+    wedges = (
+        p1.join(p2, (p1.ca == p2.ca) & (col("s1") < col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    d1 = sdeg.select(col("b").alias("s1"), col("d").alias("deg1"))
+    d2 = sdeg.select(col("b").alias("s2"), col("d").alias("deg2"))
+    return (
+        wedges.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            "deg1",
+            "deg2",
+            (
+                col("common").cast("double")
+                / (col("deg1") + col("deg2") - col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+link_prediction_suppliers.__doc__ = link_prediction_suppliers.__doc__.replace(
+    "{LP_MAX_DEG}", str(LP_MAX_DEG)
+)

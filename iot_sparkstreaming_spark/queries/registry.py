@@ -103,6 +103,9 @@ _PRIORITY_PREFIX = [
     "compaction_bin_packing",
     "lang_confusion_matrix",
     "viewers_without_purchase",
+    "ols_time_regression_user",
+    "link_prediction_suppliers",
+    "classifier_agreement_kappa",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

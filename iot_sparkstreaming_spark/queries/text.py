@@ -1037,3 +1037,139 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_pred"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two lang-ID variants (annotator agreement)
+# ---------------------------------------------------------------------------
+
+#: annotator B: same three labels, different marker vocabulary — the
+#: plausible alternative heuristic whose agreement with PROFILES
+#: (annotator A) kappa quantifies beyond chance
+PROFILES_B = {
+    "sqlish": ("join", "filter", "sort", "group", "query"),
+    "streamish": ("stream", "window", "batch", "key"),
+    "perfish": ("fast", "slow", "merge", "hash"),
+}
+
+
+def _profile_b_sql(name: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in PROFILES_B[name])
+    return f"CAST(len(list_filter(tk, t -> t IN ({markers}))) AS BIGINT)"
+
+
+def _kappa_oracle() -> str:
+    pa = {k: _profile_sql(k) for k in PROFILES}
+    pb = {k: _profile_b_sql(k) for k in PROFILES_B}
+
+    def argmax(p: dict) -> str:
+        return f"""CASE
+    WHEN {p['sqlish']} = 0 AND {p['streamish']} = 0
+         AND {p['perfish']} = 0 THEN 'und'
+    WHEN {p['sqlish']} >= {p['streamish']}
+         AND {p['sqlish']} >= {p['perfish']} THEN 'sqlish'
+    WHEN {p['streamish']} >= {p['perfish']} THEN 'streamish'
+    ELSE 'perfish'
+  END"""
+
+    return (
+        TOKS_CTE
+        + f""",
+pred AS (
+  SELECT doc_id, {argmax(pa)} AS la, {argmax(pb)} AS lb FROM toks
+),
+cells AS (
+  SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY la, lb
+),
+rows_ AS (SELECT la AS lbl, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY la),
+cols_ AS (SELECT lb AS lbl, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY lb),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+),
+pe AS (
+  SELECT CAST(SUM(CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+    AS DECIMAL(38,0)) AS rc
+  FROM rows_ JOIN cols_ USING (lbl)
+)
+SELECT nn AS n_docs, agree AS n_agree,
+  CAST(rc AS VARCHAR) AS sum_rc,
+  CAST(CAST(nn AS DECIMAL(38,0)) * agree - rc AS DOUBLE)
+    / CAST(CAST(nn AS DECIMAL(38,0)) * nn - rc AS DOUBLE) AS kappa
+FROM tot CROSS JOIN pe
+"""
+    )
+
+
+@register("classifier_agreement_kappa", oracle=_kappa_oracle())
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two marker-profile classifiers over the
+    same label space — the inter-annotator-agreement statistic that
+    tells a labeling pipeline whether two cheap heuristics agree
+    beyond chance (kappa ≈ 0 means their agreement is what random
+    marginals would produce; production rule-of-thumb: don't
+    auto-label where kappa is low). Cross-multiplied exact form:
+    kappa = (N·agree − Σ_l r_l·c_l) / (N² − Σ_l r_l·c_l), every term
+    an exact integer in DECIMAL(38,0) (emitted as a digit string) and
+    ONE final double division — no p_o/p_e intermediate floats.
+
+    Scale shape: one map-only pass scores BOTH annotators (two
+    fixed-size marker scans per row), one hash aggregate to the ≤16
+    confusion cells, and everything after runs on that constant-size
+    table. Output is a single row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(col("text"))
+
+    def _marker_hits(markers):
+        # closure factory: a 2-arg lambda would be read as (value, index)
+        return F.size(F.filter(tk, lambda t: t.isin(*markers))).cast("bigint")
+
+    def argmax_col(profiles: dict):
+        scores = {name: _marker_hits(markers) for name, markers in profiles.items()}
+        s1, s2, s3 = scores["sqlish"], scores["streamish"], scores["perfish"]
+        return (
+            F.when((s1 == 0) & (s2 == 0) & (s3 == 0), F.lit("und"))
+            .when((s1 >= s2) & (s1 >= s3), F.lit("sqlish"))
+            .when(s2 >= s3, F.lit("streamish"))
+            .otherwise(F.lit("perfish"))
+        )
+
+    pred = docs.select(
+        argmax_col(PROFILES).alias("la"), argmax_col(PROFILES_B).alias("lb")
+    )
+    cells = pred.groupBy("la", "lb").agg(F.count("*").cast("bigint").alias("n"))
+    rows_ = cells.groupBy(col("la").alias("lbl")).agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    cols_ = cells.groupBy(col("lb").alias("lbl")).agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.when(col("la") == col("lb"), col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    pe = (
+        rows_.join(cols_, "lbl")
+        .agg(
+            F.sum(col("r").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("rc")
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — house cast
+    return (
+        tot.crossJoin(pe)
+        .select(
+            col("nn").alias("n_docs"),
+            col("agree").alias("n_agree"),
+            col("rc").cast("string").alias("sum_rc"),
+            (
+                (d38(col("nn")) * col("agree") - col("rc")).cast("double")
+                / (d38(col("nn")) * col("nn") - col("rc")).cast("double")
+            ).alias("kappa"),
+        )
+    )

@@ -115,6 +115,9 @@ SHOWCASE = [
     ("compaction_bin_packing", "planner cost is O(files) not O(rows): raw scan collapses map-side to the shard list; prefix-sum window and bin rollup share the event_type partitioning"),
     ("lang_confusion_matrix", "rides the map-only lang-ID pass; ONE hash agg to the gold*pred grid; marginal windows run over dozens of cells"),
     ("viewers_without_purchase", "both sides pre-aggregate to per-user rows behind pushed filters; anti join shuffles key-sized tables, purchaser set AQE-broadcastable"),
+    ("ols_time_regression_user", "min-ts window and moment aggregate ride ONE user_id exchange; slope/intercept/R2 are per-row arithmetic on the one-row-per-user table"),
+    ("link_prediction_suppliers", "wedge self-join pivots on the degree-capped customer key; supplier-pair rollup combines map-side; degree joins are key-sized"),
+    ("classifier_agreement_kappa", "one map-only pass scores both annotators; hash agg to <=16 cells; kappa algebra runs on constant-size tables"),
 ]
 
 

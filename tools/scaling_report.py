@@ -137,6 +137,9 @@ SHOWCASE = [
     ("compaction_bin_packing", "running-sum small-file packing"),
     ("lang_confusion_matrix", "gold-vs-pred eval marginals"),
     ("viewers_without_purchase", "anti-join dropout audience"),
+    ("ols_time_regression_user", "exact closed-form OLS + R2"),
+    ("link_prediction_suppliers", "degree-capped wedge Jaccard"),
+    ("classifier_agreement_kappa", "cross-multiplied Cohen's kappa"),
 ]
 
 
