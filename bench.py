@@ -212,6 +212,9 @@ HEADLINE = [
     "ols_time_regression_user",
     "link_prediction_suppliers",
     "classifier_agreement_kappa",
+    # round 8 batch 6: OHLC downsampling, positional phrase search
+    "ohlc_bars_type_hour",
+    "phrase_search_positional",
 ]
 
 

@@ -4987,3 +4987,74 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 link_prediction_suppliers.__doc__ = link_prediction_suppliers.__doc__.replace(
     "{LP_MAX_DEG}", str(LP_MAX_DEG)
 )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: order-dependent open/close + high/low per (type, hour)
+# ---------------------------------------------------------------------------
+
+OHLC_ORACLE = """
+WITH o AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type, date_trunc('hour', ts)
+      ORDER BY ts, event_id
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt
+  FROM events
+)
+SELECT event_type, CAST(h AS TIMESTAMP) AS bar_hour,
+  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn = cnt THEN value END) AS close,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS volume_e4
+FROM o
+GROUP BY event_type, h
+"""
+
+
+@register("ohlc_bars_type_hour", oracle=OHLC_ORACLE)
+def ohlc_bars_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC BAR downsampling — open/high/low/close + volume per
+    (event_type, hour) — the hypertable/candlestick rollup every
+    time-series store ships, and the ORDER-DEPENDENT complement of
+    `rollup_minute_to_hour` (whose sum/min/max aggregates are
+    order-free): open and close are defined by POSITION in the
+    (ts, event_id) order, so the bar is only well-defined once the
+    tie-break is total — the unique event_id makes it so, and both
+    engines pick the identical rows. Open/close are picked values
+    (no arithmetic), high/low are plain extrema, volume is the exact
+    1e4-fixed-point sum.
+
+    Implementation: first/last via ONE ascending row_number plus the
+    partition count (rn = cnt marks the last row) — the
+    count-over-window trick avoids a second descending sort; the bar
+    rollup then groups by the same key, so the window's exchange is
+    the only shuffle. At 100 TB this is the classic downsample: one
+    exchange on (type, hour), bounded state per window frame, output
+    rows = #bars not #events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", col("ts"))
+    wb = Window.partitionBy("event_type", "h")
+    o = ev.select(
+        "event_type", h.alias("h"), "value", "ts", "event_id"
+    ).select(
+        "event_type",
+        "h",
+        "value",
+        F.row_number().over(wb.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(wb).alias("cnt"),
+    )
+    return o.groupBy("event_type", col("h").alias("bar_hour")).agg(
+        F.max(F.when(col("rn") == 1, col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(col("rn") == col("cnt"), col("value"))).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("volume_e4"),
+    )

@@ -106,6 +106,8 @@ _PRIORITY_PREFIX = [
     "ols_time_regression_user",
     "link_prediction_suppliers",
     "classifier_agreement_kappa",
+    "ohlc_bars_type_hour",
+    "phrase_search_positional",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

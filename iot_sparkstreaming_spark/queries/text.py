@@ -1173,3 +1173,79 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (exact adjacent-term match via a position index)
+# ---------------------------------------------------------------------------
+
+#: the fixed phrase book: exact 2-term phrases to locate
+PHRASES = (("table", "hash"), ("merge", "group"), ("customer", "join"))
+
+_PHRASE_VALUES = ", ".join(f"('{a} {b}', '{a}', '{b}')" for a, b in PHRASES)
+
+PHRASE_SEARCH_ORACLE = (
+    TOKS_CTE
+    + f""",
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p FROM toks
+),
+terms AS (SELECT doc_id, CAST(p AS BIGINT) AS p, tk[p] AS term FROM pos),
+phrases(phrase, w1, w2) AS (VALUES {_PHRASE_VALUES})
+SELECT ph.phrase, a.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_hits,
+  CAST(MIN(a.p) AS BIGINT) AS first_pos
+FROM phrases ph
+JOIN terms a ON a.term = ph.w1
+JOIN terms b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.term = ph.w2
+GROUP BY ph.phrase, a.doc_id
+"""
+)
+
+
+@register("phrase_search_positional", oracle=PHRASE_SEARCH_ORACLE)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PHRASE SEARCH over a positional token index — the
+    search-engine primitive BM25 term matching cannot express (it
+    scores bags; "table hash" as a PHRASE needs adjacency): explode
+    each document into (doc, position, term) postings, then match a
+    fixed phrase book by joining consecutive positions (p, p+1) on the
+    two phrase words. Per (phrase, doc) hit: occurrence count and the
+    first match position (both exact bigints) — the skeleton of
+    proximity search, snippet extraction, and the n-gram contamination
+    scanner's phrase-level variant.
+
+    Scale shape: the posting list is filtered to PHRASE VOCABULARY
+    words before the self-join (the tiny phrase book broadcasts into
+    both filters), so the position join shuffles only postings of
+    queried words — at 100 TB that is the inverted-index discipline:
+    candidate postings, never the full corpus, and each side is
+    (doc_id, p)-keyed so the adjacency join co-partitions on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w1s = tuple(a for a, _ in PHRASES)
+    w2s = tuple(b for _, b in PHRASES)
+    phrase_rows = [(f"{a} {b}", a, b) for a, b in PHRASES]
+    phrases = spark.createDataFrame(phrase_rows, "phrase string, w1 string, w2 string")
+    terms = docs.select(
+        "doc_id", F.posexplode(tokens(col("text"))).alias("p0", "term")
+    ).select("doc_id", (col("p0") + 1).cast("bigint").alias("p"), "term")
+    a = terms.filter(col("term").isin(*w1s)).select(
+        "doc_id", col("p").alias("pa"), col("term").alias("ta")
+    )
+    b = terms.filter(col("term").isin(*w2s)).select(
+        col("doc_id").alias("doc_b"), col("p").alias("pb"), col("term").alias("tb")
+    )
+    hits = (
+        a.join(F.broadcast(phrases), col("ta") == col("w1"))
+        .join(
+            b,
+            (col("doc_b") == col("doc_id"))
+            & (col("pb") == col("pa") + 1)
+            & (col("tb") == col("w2")),
+        )
+    )
+    return hits.groupBy("phrase", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.min("pa").cast("bigint").alias("first_pos"),
+    )

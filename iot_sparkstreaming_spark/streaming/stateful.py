@@ -814,3 +814,132 @@ def streaming_theil_sen(events: DataFrame) -> DataFrame:
 streaming_theil_sen.__doc__ = streaming_theil_sen.__doc__.replace(
     "{W}", str(THEIL_SEN_WINDOW)
 )
+
+
+OHLC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bar_ms", T.LongType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("volume_e4", T.LongType()),
+    ]
+)
+
+#: state = the full bar plus the (ms, event_id) keys that DEFINE
+#: open/close — kept so late rows can still win/lose the first/last
+#: comparison exactly as the batch sort would decide it
+OHLC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_ms", T.LongType()),
+        T.StructField("open_eid", T.LongType()),
+        T.StructField("open_v", T.DoubleType()),
+        T.StructField("close_ms", T.LongType()),
+        T.StructField("close_eid", T.LongType()),
+        T.StructField("close_v", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("vol", T.LongType()),
+    ]
+)
+
+
+def streaming_ohlc(events: DataFrame) -> DataFrame:
+    """Per-(event_type, hour) OHLC bar maintenance as a stateful
+    streaming operator — the STREAMING twin of the batch
+    ``ohlc_bars_type_hour`` query (queries/analytics.py): each
+    micro-batch folds its rows into O(1) per-bar state and emits the
+    bar's CURRENT values; the last emission per key equals the batch
+    bar exactly (parity pinned in tests/test_stateful.py).
+
+    Unlike the in-order twins (ewma, transitions), this one is
+    ORDER-INDEPENDENT across batches: open/close carry their defining
+    (ts-millis, event_id) key in state, so a late row re-fights the
+    first/last comparison with exactly the total order the batch
+    row_number uses — high/low/count/volume are commutative folds.
+    Volume replays Spark's ``ROUND(value * 10000)`` bit-for-bit:
+    the double multiply happens first, then half-up rounding on the
+    exact binary value (``Decimal(m).quantize(..., ROUND_HALF_UP)``
+    — the ``streaming_twap`` discipline).
+
+    State per key: ten scalars. Keys per store: #types × #hours —
+    time-bounded retention would use event-time timeout; surfaced as
+    the same NoTimeout parameter family as the other operators.
+
+    Input columns: ``event_type``, ``event_id``, ``ts``, ``value``.
+    """
+
+    def fn(
+        key: tuple[str, int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        event_type, bar_ms = key
+        if state.exists:
+            (o_ms, o_eid, o_v, c_ms, c_eid, c_v, hi, lo, n, vol) = state.get
+        else:
+            o_ms = o_eid = o_v = c_ms = c_eid = c_v = hi = lo = None
+            n, vol = 0, 0
+        for pdf in pdfs:
+            for eid, ms, v in zip(
+                pdf["event_id"], pdf["ms"], pdf["value"]
+            ):
+                eid, ms, v = int(eid), int(ms), float(v)
+                if o_ms is None or (ms, eid) < (o_ms, o_eid):
+                    o_ms, o_eid, o_v = ms, eid, v
+                if c_ms is None or (ms, eid) > (c_ms, c_eid):
+                    c_ms, c_eid, c_v = ms, eid, v
+                hi = v if hi is None or v > hi else hi
+                lo = v if lo is None or v < lo else lo
+                n += 1
+                vol += int(
+                    Decimal(v * 10000.0).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+        state.update((o_ms, o_eid, o_v, c_ms, c_eid, c_v, hi, lo, n, vol))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "bar_ms": int(bar_ms),
+                    "open": o_v,
+                    "high": hi,
+                    "low": lo,
+                    "close": c_v,
+                    "n_events": n,
+                    "volume_e4": vol,
+                }
+            ],
+            columns=[f.name for f in OHLC_OUTPUT_SCHEMA],
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "event_type",
+            (
+                F.unix_millis(F.date_trunc("hour", F.col("ts")))
+            ).alias("bar_ms"),
+            "event_id",
+            F.unix_millis(F.col("ts")).alias("ms"),
+            "value",
+        )
+        .groupBy("event_type", "bar_ms")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OHLC_OUTPUT_SCHEMA,
+            stateStructType=OHLC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -674,3 +674,72 @@ def test_streaming_theil_sen_twin_parity(spark, tmp_path):
     }
     assert n_first > 0
     assert got == want
+
+
+def test_streaming_ohlc_twin_parity(spark, tmp_path):
+    """The stateful OHLC stream must converge to exactly the batch
+    ``ohlc_bars_type_hour`` bars. The feed is split by event_id
+    PARITY — so nearly every bar spans both micro-batches and rows
+    arrive out of (ts, event_id) order across the boundary — proving
+    the open/close state comparison reproduces the batch total order,
+    not just in-order folding."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import ohlc_bars_type_hour
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_ohlc
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_ohlc(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_twin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT * FROM ohlc_twin").count()
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM ohlc_twin").collect()
+    finally:
+        q.stop()
+
+    # last emission per key = the one with the largest n_events
+    # (n is nondecreasing; ties mean identical repeated rows)
+    best = {}
+    for r in emitted:
+        k = (r.event_type, r.bar_ms)
+        if k not in best or r.n_events > best[k].n_events:
+            best[k] = r
+    got = {
+        k: (r.open, r.high, r.low, r.close, r.n_events, r.volume_e4)
+        for k, r in best.items()
+    }
+    want = {
+        (r.event_type, r.bar_ms): (
+            r.open,
+            r.high,
+            r.low,
+            r.close,
+            r.n_events,
+            r.volume_e4,
+        )
+        for r in ohlc_bars_type_hour(spark, "/root/testdata/sf0.001")
+        .withColumn("bar_ms", F.unix_millis(F.col("bar_hour")))
+        .collect()
+    }
+    assert n_first > 0
+    assert got == want

@@ -118,6 +118,8 @@ SHOWCASE = [
     ("ols_time_regression_user", "min-ts window and moment aggregate ride ONE user_id exchange; slope/intercept/R2 are per-row arithmetic on the one-row-per-user table"),
     ("link_prediction_suppliers", "wedge self-join pivots on the degree-capped customer key; supplier-pair rollup combines map-side; degree joins are key-sized"),
     ("classifier_agreement_kappa", "one map-only pass scores both annotators; hash agg to <=16 cells; kappa algebra runs on constant-size tables"),
+    ("ohlc_bars_type_hour", "ONE (type,hour) exchange: asc row_number + count-over-window mark first/last (no desc re-sort); bar rollup reuses the key"),
+    ("phrase_search_positional", "postings filtered to phrase vocabulary BEFORE the position self-join; phrase book broadcasts; adjacency join co-partitions on doc_id"),
 ]
 
 

@@ -140,6 +140,8 @@ SHOWCASE = [
     ("ols_time_regression_user", "exact closed-form OLS + R2"),
     ("link_prediction_suppliers", "degree-capped wedge Jaccard"),
     ("classifier_agreement_kappa", "cross-multiplied Cohen's kappa"),
+    ("ohlc_bars_type_hour", "order-dependent OHLC downsample"),
+    ("phrase_search_positional", "positional-index phrase match"),
 ]
 
 
