@@ -215,6 +215,11 @@ HEADLINE = [
     # round 8 batch 6: OHLC downsampling, positional phrase search
     "ohlc_bars_type_hour",
     "phrase_search_positional",
+    # round 8 batch 7: exact-cents attribution, RANGE-frame rate audit,
+    # Pareto knee
+    "attribution_linear_touches",
+    "rate_limit_sliding_audit",
+    "pareto_front_customers",
 ]
 
 

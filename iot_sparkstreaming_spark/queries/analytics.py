@@ -5058,3 +5058,279 @@ def ohlc_bars_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("volume_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution with exact largest-remainder cent split
+# ---------------------------------------------------------------------------
+
+ATTR_HOURS = 72  # lookback window for qualifying touches
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.pid, p.user_id, p.cents,
+    v.event_id AS vid, v.ts AS vts
+  FROM purchases p JOIN events v
+    ON v.event_type = 'view' AND v.user_id = p.user_id
+   AND v.ts >= p.pts - INTERVAL {ATTR_HOURS} HOUR AND v.ts < p.pts
+),
+ranked AS (
+  SELECT pid, user_id, cents, vid,
+    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY vts, vid) AS rn,
+    COUNT(*) OVER (PARTITION BY pid) AS n_touches
+  FROM touches
+)
+SELECT pid AS purchase_id, user_id, vid AS touch_id,
+  CAST(rn AS BIGINT) AS touch_rank,
+  CAST(n_touches AS BIGINT) AS n_touches,
+  CAST(cents // n_touches
+    + CASE WHEN rn <= cents % n_touches THEN 1 ELSE 0 END
+    AS BIGINT) AS alloc_cents
+FROM ranked
+"""
+
+
+@register("attribution_linear_touches", oracle=ATTRIBUTION_ORACLE)
+def attribution_linear_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MULTI-TOUCH ATTRIBUTION with an EXACT money split: each
+    purchase's cents are divided equally across the user's view
+    touches in the prior {ATTR_HOURS} h, using the LARGEST-REMAINDER
+    rule — every touch gets cents // n, and the first (cents % n)
+    touches in (ts, event_id) order get one extra cent — so the
+    per-purchase allocations sum to the purchase EXACTLY, no floating
+    split, no lost pennies (the invariant double division breaks and
+    finance reconciliations reject). The single-touch degenerate case
+    collapses to last/first-touch attribution; `asof_click_to_purchase`
+    is the nearest-single-touch sibling.
+
+    Scale shape: the touch join is user-equi (the range predicate
+    rides the equi-join as a residual filter), so it shuffles the two
+    filtered event slices on user_id — never a time cross-join; rank
+    and count share ONE pid-partitioned window sort; the split is
+    row-local integer arithmetic. Skewed users (many views AND many
+    purchases) are the same salting candidates as every user-keyed
+    join here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("pid"),
+        "user_id",
+        col("ts").alias("pts"),
+        F.round(col("value") * 100).cast("bigint").alias("cents"),
+    )
+    views = ev.filter(col("event_type") == "view").select(
+        col("user_id").alias("vuser"),
+        col("event_id").alias("vid"),
+        col("ts").alias("vts"),
+    )
+    touches = purchases.join(
+        views,
+        (col("vuser") == col("user_id"))
+        & (col("vts") >= col("pts") - F.expr(f"INTERVAL {ATTR_HOURS} HOURS"))
+        & (col("vts") < col("pts")),
+    )
+    wp = Window.partitionBy("pid")
+    ranked = touches.select(
+        "pid",
+        "user_id",
+        "cents",
+        "vid",
+        F.row_number().over(wp.orderBy("vts", "vid")).alias("rn"),
+        F.count("*").over(wp).alias("n_touches"),
+    )
+    return ranked.select(
+        col("pid").alias("purchase_id"),
+        "user_id",
+        col("vid").alias("touch_id"),
+        col("rn").cast("bigint").alias("touch_rank"),
+        col("n_touches").cast("bigint").alias("n_touches"),
+        (
+            F.expr("cents div n_touches")
+            + F.when(col("rn") <= col("cents") % col("n_touches"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    )
+
+
+attribution_linear_touches.__doc__ = attribution_linear_touches.__doc__.replace(
+    "{ATTR_HOURS}", str(ATTR_HOURS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate-limit audit (RANGE frame over event-time millis)
+# ---------------------------------------------------------------------------
+
+RATE_WINDOW_MS = 6 * 3600 * 1000  # trailing window
+RATE_LIMIT = 12  # breach threshold: > LIMIT events inside the window
+
+
+RATE_LIMIT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events
+)
+SELECT user_id, event_id, ms,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ms
+    RANGE BETWEEN {RATE_WINDOW_MS - 1} PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS n_trailing,
+  COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ms
+    RANGE BETWEEN {RATE_WINDOW_MS - 1} PRECEDING AND CURRENT ROW
+  ) > {RATE_LIMIT} AS breach
+FROM e
+"""
+
+
+@register("rate_limit_sliding_audit", oracle=RATE_LIMIT_ORACLE)
+def rate_limit_sliding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW RATE-LIMIT AUDIT: for every event, the count of
+    that user's events in the trailing {RATE_HOURS} h by EVENT TIME —
+    a RANGE frame (value-based, includes time-peers symmetrically on
+    both engines), not a ROWS frame, which is the distinction that
+    matters for rate limiting: bursts of same-millisecond events must
+    all see each other. Events over {RATE_LIMIT} in the window flag
+    ``breach`` — the retroactive audit of an API/ingest throttle, and
+    the batch ground truth a streaming limiter (token bucket per key
+    in ``applyInPandasWithState`` state) would be verified against.
+
+    Exactness: counts over an integer-millis RANGE frame are exact;
+    the breach flag is an integer compare.
+
+    Scale shape: ONE user_id exchange and one sort carry the frame;
+    state per frame is a count (Spark's sliding frame keeps the
+    window buffer — bounded by the densest {RATE_HOURS} h per user,
+    the natural knob). Output is per-event; a production audit would
+    add the breach filter, which pushes into the same window pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", F.unix_millis(col("ts")).alias("ms"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-(RATE_WINDOW_MS - 1), Window.currentRow)
+    )
+    n = F.count("*").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ms",
+        n.cast("bigint").alias("n_trailing"),
+        (n > RATE_LIMIT).alias("breach"),
+    )
+
+
+rate_limit_sliding_audit.__doc__ = rate_limit_sliding_audit.__doc__.replace(
+    "{RATE_HOURS}", str(RATE_WINDOW_MS // 3600000)
+).replace("{RATE_LIMIT}", str(RATE_LIMIT))
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20: minimal top-k customers covering the revenue threshold
+# ---------------------------------------------------------------------------
+
+PARETO_NUM, PARETO_DEN = 4, 5  # threshold = 4/5 = 80% of segment revenue
+
+
+PARETO_ORACLE = f"""
+WITH spend AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+    CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+      AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey
+    ) AS rn,
+    SUM(cents) OVER (
+      PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum,
+    SUM(cents) OVER (PARTITION BY c_mktsegment) AS total,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM spend
+)
+SELECT c_mktsegment AS segment,
+  CAST(MIN(n) AS BIGINT) AS n_customers,
+  CAST(MIN(rn) AS BIGINT) AS k_top,
+  CAST(MIN(rn) AS DOUBLE) / CAST(MIN(n) AS DOUBLE) AS k_frac,
+  CAST(MIN(cum) AS BIGINT) AS cum_cents_at_k,
+  CAST(MIN(total) AS BIGINT) AS total_cents,
+  CAST(MIN(cum) AS DOUBLE) / CAST(MIN(total) AS DOUBLE) AS share_at_k
+FROM ranked
+WHERE {PARETO_DEN} * cum >= {PARETO_NUM} * total
+GROUP BY c_mktsegment
+"""
+
+
+@register("pareto_front_customers", oracle=PARETO_ORACLE)
+def pareto_front_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO 80/20 CONCENTRATION: per market segment, the MINIMAL
+    number of top customers whose cumulative spend reaches 80% of the
+    segment — "how few customers carry the business", the actionable
+    counterpart of `gini_concentration_segment`'s index (Gini scores
+    the whole curve; this names the knee). The threshold compare is
+    CROSS-MULTIPLIED ({PARETO_DEN}·cum ≥ {PARETO_NUM}·total) so the
+    cut is decided in exact bigint cents; k is then MIN(rn) over the
+    qualifying suffix — MIN(cum)/MIN(total) ride the same trick since
+    cum is increasing in rn. Only the two reported fractions are
+    doubles.
+
+    Scale shape: spend rolls up map-side per custkey; ranking,
+    running sum, total, and count share ONE segment exchange and one
+    sort (all four windows use the same partitioning, three the same
+    order); the qualifying-suffix aggregate reuses the partition key.
+    Output is one row per segment.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    spend = (
+        cust.join(orders, col("o_custkey") == col("c_custkey"), "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    word = wseg.orderBy(col("cents").desc(), col("c_custkey"))
+    ranked = spend.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(word).alias("rn"),
+        F.sum("cents")
+        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cents").over(wseg).alias("total"),
+        F.count("*").over(wseg).alias("n"),
+    )
+    return (
+        ranked.filter(
+            F.lit(PARETO_DEN) * col("cum") >= F.lit(PARETO_NUM) * col("total")
+        )
+        .groupBy(col("c_mktsegment").alias("segment"))
+        .agg(
+            F.min("n").cast("bigint").alias("n_customers"),
+            F.min("rn").cast("bigint").alias("k_top"),
+            (F.min("rn").cast("double") / F.min("n").cast("double")).alias("k_frac"),
+            F.min("cum").cast("bigint").alias("cum_cents_at_k"),
+            F.min("total").cast("bigint").alias("total_cents"),
+            (F.min("cum").cast("double") / F.min("total").cast("double")).alias(
+                "share_at_k"
+            ),
+        )
+    )
+
+
+pareto_front_customers.__doc__ = pareto_front_customers.__doc__.replace(
+    "{PARETO_DEN}", str(PARETO_DEN)
+).replace("{PARETO_NUM}", str(PARETO_NUM))

@@ -108,6 +108,9 @@ _PRIORITY_PREFIX = [
     "classifier_agreement_kappa",
     "ohlc_bars_type_hour",
     "phrase_search_positional",
+    "attribution_linear_touches",
+    "rate_limit_sliding_audit",
+    "pareto_front_customers",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

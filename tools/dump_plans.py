@@ -120,6 +120,9 @@ SHOWCASE = [
     ("classifier_agreement_kappa", "one map-only pass scores both annotators; hash agg to <=16 cells; kappa algebra runs on constant-size tables"),
     ("ohlc_bars_type_hour", "ONE (type,hour) exchange: asc row_number + count-over-window mark first/last (no desc re-sort); bar rollup reuses the key"),
     ("phrase_search_positional", "postings filtered to phrase vocabulary BEFORE the position self-join; phrase book broadcasts; adjacency join co-partitions on doc_id"),
+    ("attribution_linear_touches", "user-equi join with the time range as residual filter (no time cross-join); rank+count share ONE pid window sort; split is row-local int math"),
+    ("rate_limit_sliding_audit", "ONE user_id exchange + sort carries the RANGE frame; window buffer bounded by densest window per user"),
+    ("pareto_front_customers", "four windows share one segment exchange and sort; threshold decided in cross-multiplied bigint cents; suffix aggregate reuses the key"),
 ]
 
 

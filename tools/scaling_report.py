@@ -142,6 +142,9 @@ SHOWCASE = [
     ("classifier_agreement_kappa", "cross-multiplied Cohen's kappa"),
     ("ohlc_bars_type_hour", "order-dependent OHLC downsample"),
     ("phrase_search_positional", "positional-index phrase match"),
+    ("attribution_linear_touches", "largest-remainder cent split"),
+    ("rate_limit_sliding_audit", "event-time RANGE-frame audit"),
+    ("pareto_front_customers", "cross-multiplied 80/20 knee"),
 ]
 
 
