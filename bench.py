@@ -220,6 +220,9 @@ HEADLINE = [
     "attribution_linear_touches",
     "rate_limit_sliding_audit",
     "pareto_front_customers",
+    # round 8 batch 8: continuous-aggregate merge, weighted shortest path
+    "rollup_incremental_merge",
+    "cheapest_path_lead_time",
 ]
 
 

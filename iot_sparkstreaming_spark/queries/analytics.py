@@ -5334,3 +5334,194 @@ def pareto_front_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 pareto_front_customers.__doc__ = pareto_front_customers.__doc__.replace(
     "{PARETO_DEN}", str(PARETO_DEN)
 ).replace("{PARETO_NUM}", str(PARETO_NUM))
+
+
+# ---------------------------------------------------------------------------
+# Incremental continuous-aggregate maintenance (rollup merge vs recompute)
+# ---------------------------------------------------------------------------
+
+ROLLUP_INCR_ORACLE = """
+SELECT date_trunc('hour', ts) AS h, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4,
+  MIN(value) AS vmin,
+  MAX(value) AS vmax
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("rollup_incremental_merge", oracle=ROLLUP_INCR_ORACLE)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CONTINUOUS-AGGREGATE MAINTENANCE — the fourth (and
+    most common in production) member of the incremental family
+    (`dedup_incremental_minhash` near-dup, `ann_incremental_assign`
+    vectors, `doc_novelty_incremental` content): the hourly rollup of
+    ALL HISTORY (every day before the last observed midnight) is the
+    persisted build-once artifact; the daily job rolls up ONLY the
+    final day's events and MERGES (sum-of-sums / count-of-counts /
+    min-of-mins / max-of-maxes — the decomposable-aggregate merge
+    that makes rollups mergeable at all). The oracle recomputes the
+    whole rollup from raw events, so the hash proves
+    merge(hist_artifact, batch) ≡ recompute — the invariant every
+    materialized-view maintenance system must hold.
+
+    Scale shape: daily cost = one map-side-combined rollup of the
+    batch day (partition-pruned at the scan when events are
+    date-partitioned) + a merge aggregate over two ROLLUP-sized
+    tables — corpus re-scan cost: zero, which is the entire point at
+    100 TB. The exact sum rides 1e4 fixed-point bigints.
+    """
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+
+    ev = load_table(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.to_date(col("ts"))).alias("maxd"))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", col("ts")).alias("h"), "event_type"
+        ).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_e4"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+
+    def build_hist() -> DataFrame:
+        return rollup(
+            ev.crossJoin(F.broadcast(maxd)).filter(F.to_date(col("ts")) < col("maxd"))
+        ).localCheckpoint(eager=True)
+
+    hist = artifact_memo(spark, ("hourly_rollup_hist", sf_dir), build_hist)
+    batch = rollup(
+        ev.crossJoin(F.broadcast(maxd)).filter(F.to_date(col("ts")) == col("maxd"))
+    )
+    return (
+        hist.unionByName(batch)
+        .groupBy("h", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_e4").cast("bigint").alias("sum_e4"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop cheapest path (Bellman-Ford on fulfillment-lag weights)
+# ---------------------------------------------------------------------------
+
+BF_ROUNDS = 3  # ≤3-hop relaxation: bounded Bellman-Ford, no convergence test
+
+
+def _cheapest_path_oracle() -> str:
+    """Unrolled Bellman-Ford: each round relaxes every edge once
+    (JOIN + MIN), then folds into the running distance table — the
+    min-plus twin of the BFS unroll."""
+    sql = f"""
+WITH links AS (
+  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+    CAST(MIN(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+      AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS (SELECT a, b, w FROM links UNION ALL SELECT b, a, w FROM links),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a),
+hub AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM hub)"""
+    for r in range(1, BF_ROUNDS + 1):
+        sql += f""",
+c{r} AS (
+  SELECT e.b AS node, MIN(d.dist + e.w) AS dist
+  FROM d{r - 1} d JOIN edges e ON e.a = d.node GROUP BY e.b
+),
+d{r} AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{r - 1} UNION ALL SELECT node, dist FROM c{r}
+  ) u GROUP BY node
+)"""
+    sql += f"""
+SELECT node AS node_id, node % 2 = 1 AS is_supplier,
+  dist AS lead_days
+FROM d{BF_ROUNDS}
+"""
+    return sql
+
+
+@register("cheapest_path_lead_time", oracle=_cheapest_path_oracle())
+def cheapest_path_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED shortest path — {BF_ROUNDS} rounds of Bellman-Ford
+    min-plus relaxation from the highest-degree trade-graph node,
+    where each customer–supplier edge costs its MINIMUM fulfillment
+    lag (ship date − order date, integer days): the result is, per
+    reachable node, the smallest CUMULATIVE lead time over paths of
+    ≤{BF_ROUNDS} hops — the supply-chain reachability question BFS
+    (`bfs_distance_from_hub`) cannot answer because hop count ≠ cost.
+    Bounded-hop relaxation is exact by construction (round k holds
+    the optimum over ≤k-edge paths), so there is no convergence test
+    to get wrong, and all distances are exact bigint day sums.
+
+    Scale shape: each round is ONE edge-list join shuffling (node,
+    dist) pairs plus a min-aggregate — the PageRank/LPA edge-join
+    shape; the distance table is ≤ |reached nodes| rows and each
+    retired round is unpersisted (LPA's O(1)-cached-storage
+    discipline). Weights come from the same orders⋈lineitem rollup
+    as the pair graph, combined map-side.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    links = (
+        orders.join(li, col("o_orderkey") == col("l_orderkey"))
+        .groupBy(
+            (col("o_custkey") * 2).alias("a"),
+            (col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(
+            F.min(F.datediff(col("l_shipdate"), col("o_orderdate")))
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    edges = links.unionByName(
+        links.select(col("b").alias("a"), col("a").alias("b"), "w")
+    )
+    deg = edges.groupBy(col("a").alias("node")).agg(F.count("*").alias("d"))
+    hub = deg.orderBy(col("d").desc(), col("node").asc()).limit(1).select("node")
+    dist = hub.select("node", F.lit(0).cast("bigint").alias("dist"))
+    edges = edges.persist()
+    prev = None
+    for _ in range(BF_ROUNDS):
+        cand = (
+            dist.join(edges, dist.node == edges.a)
+            .groupBy(col("b").alias("node"))
+            .agg(F.min(col("dist") + col("w")).alias("dist"))
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .persist()
+        )
+        new.count()  # materialize before retiring the previous round
+        if prev is not None:
+            prev.unpersist()
+        prev, dist = new, new
+    result = dist.select(
+        col("node").alias("node_id"),
+        (col("node") % 2 == 1).alias("is_supplier"),
+        col("dist").alias("lead_days"),
+    )
+    return result
+
+
+cheapest_path_lead_time.__doc__ = cheapest_path_lead_time.__doc__.replace(
+    "{BF_ROUNDS}", str(BF_ROUNDS)
+)

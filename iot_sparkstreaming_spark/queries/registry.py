@@ -111,6 +111,8 @@ _PRIORITY_PREFIX = [
     "attribution_linear_touches",
     "rate_limit_sliding_audit",
     "pareto_front_customers",
+    "rollup_incremental_merge",
+    "cheapest_path_lead_time",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

@@ -123,6 +123,8 @@ SHOWCASE = [
     ("attribution_linear_touches", "user-equi join with the time range as residual filter (no time cross-join); rank+count share ONE pid window sort; split is row-local int math"),
     ("rate_limit_sliding_audit", "ONE user_id exchange + sort carries the RANGE frame; window buffer bounded by densest window per user"),
     ("pareto_front_customers", "four windows share one segment exchange and sort; threshold decided in cross-multiplied bigint cents; suffix aggregate reuses the key"),
+    ("rollup_incremental_merge", "hist rollup is the loaded artifact; daily cost = one batch-day rollup + a merge agg over two rollup-sized tables; zero corpus re-scan"),
+    ("cheapest_path_lead_time", "each relax round = ONE edge join + min agg (PageRank shape); retired rounds unpersisted; weights from the map-side pair rollup"),
 ]
 
 

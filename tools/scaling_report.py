@@ -145,6 +145,8 @@ SHOWCASE = [
     ("attribution_linear_touches", "largest-remainder cent split"),
     ("rate_limit_sliding_audit", "event-time RANGE-frame audit"),
     ("pareto_front_customers", "cross-multiplied 80/20 knee"),
+    ("rollup_incremental_merge", "merge(hist, batch) == recompute"),
+    ("cheapest_path_lead_time", "bounded Bellman-Ford min-plus"),
 ]
 
 
