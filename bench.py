@@ -223,6 +223,11 @@ HEADLINE = [
     # round 8 batch 8: continuous-aggregate merge, weighted shortest path
     "rollup_incremental_merge",
     "cheapest_path_lead_time",
+    # round 8 batch 9: weighted median, unpivot, density grid, FS linkage
+    "weighted_median_value_type",
+    "sql_unpivot_user_metrics",
+    "grid_density_core",
+    "er_fellegi_sunter",
 ]
 
 

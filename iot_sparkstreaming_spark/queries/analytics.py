@@ -5525,3 +5525,77 @@ def cheapest_path_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 cheapest_path_lead_time.__doc__ = cheapest_path_lead_time.__doc__.replace(
     "{BF_ROUNDS}", str(BF_ROUNDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (cumulative-weight threshold crossing)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH w AS (
+  SELECT event_type, value, event_id,
+    CAST(json_extract(props, '$.k') AS BIGINT) + 1 AS wt
+  FROM events
+),
+c AS (
+  SELECT event_type, value, wt,
+    SUM(wt) OVER (
+      PARTITION BY event_type ORDER BY value, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cumw,
+    SUM(wt) OVER (PARTITION BY event_type) AS totw
+  FROM w
+)
+SELECT event_type,
+  MIN(value) AS wmedian,
+  CAST(MIN(totw) AS BIGINT) AS total_weight
+FROM c
+WHERE 2 * cumw >= totw
+GROUP BY event_type
+"""
+
+
+@register("weighted_median_value_type", oracle=WEIGHTED_MEDIAN_ORACLE)
+def weighted_median_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median of event value per type, weighted by the
+    integer payload weight ``k+1`` (importance sampling's inverse
+    weights, ad-value weighting, token counts — anywhere the median
+    must respect row mass, which plain ``percentile`` cannot). The
+    weighted median is the smallest value whose CUMULATIVE weight
+    reaches half the total; both engines compare ``2*cumw >= totw``
+    in exact bigints, so there is no fractional threshold to round
+    differently. Rows tied on value are ordered by event_id inside
+    the cumsum, but the SELECTED value is order-invariant (the
+    crossing row always lands inside the tied run), so the result is
+    a function of the data, not the partitioning.
+
+    Scale shape: one hash exchange on event_type feeds both window
+    sums and the final min-aggregate — the same single-shuffle
+    cumulative-window pattern as ``window_running_total``; weights
+    stay bigint end to end (no double accumulation to drift). A
+    skewed giant type degrades to one partition's sort, the standard
+    cumulative-window bound (noted in docs/SCALING.md).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wt = (F.get_json_object(col("props"), "$.k").cast("bigint") + 1).alias("wt")
+    w = ev.select("event_type", "value", "event_id", wt)
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    c = w.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(win).alias("cumw"),
+        F.sum("wt").over(tot).alias("totw"),
+    )
+    return (
+        c.filter(2 * col("cumw") >= col("totw"))
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("wmedian"),
+            F.min("totw").cast("bigint").alias("total_weight"),
+        )
+    )

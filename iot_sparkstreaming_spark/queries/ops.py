@@ -676,3 +676,102 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 compaction_bin_packing.__doc__ = compaction_bin_packing.__doc__.replace(
     "{COMPACT_TARGET}", str(COMPACT_TARGET)
 )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked Fellegi-Sunter match scoring
+# ---------------------------------------------------------------------------
+
+#: agreement/disagreement log-likelihood weights, pre-scaled to
+#: integers (production systems EM-estimate m/u per field and take
+#: round(10*log2(m/u)); fixed constants keep both engines exact).
+FS_BAL_AGREE, FS_BAL_DISAGREE = 8, -3  # balance within $100
+FS_CENTS_AGREE, FS_CENTS_DISAGREE = 5, -2  # identical cent fraction
+FS_PARITY_AGREE, FS_PARITY_DISAGREE = 2, -1  # key last-digit parity
+FS_MATCH_THRESHOLD = 10
+
+FELLEGI_SUNTER_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_cents,
+    CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS blk
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, s_nationkey,
+    CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_cents,
+    CAST(FLOOR(s_acctbal / 500.0) AS BIGINT) AS blk
+  FROM supplier
+),
+pairs AS (
+  SELECT c_custkey, s_suppkey,
+    CASE WHEN ABS(c_cents - s_cents) <= 10000
+         THEN {FS_BAL_AGREE} ELSE {FS_BAL_DISAGREE} END
+    + CASE WHEN c_cents % 100 = s_cents % 100
+           THEN {FS_CENTS_AGREE} ELSE {FS_CENTS_DISAGREE} END
+    + CASE WHEN c_custkey % 10 = s_suppkey % 10
+           THEN {FS_PARITY_AGREE} ELSE {FS_PARITY_DISAGREE} END AS score
+  FROM c JOIN s ON c.c_nationkey = s.s_nationkey AND c.blk = s.blk
+)
+SELECT c_custkey, s_suppkey, CAST(score AS BIGINT) AS score,
+  score >= {FS_MATCH_THRESHOLD} AS is_match
+FROM pairs
+"""
+
+
+@register("er_fellegi_sunter", oracle=FELLEGI_SUNTER_ORACLE)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY-RESOLUTION match scoring in the Fellegi-Sunter model:
+    candidate pairs come from BLOCKING (same nation + same $500
+    balance band — never the full cross product), each compared
+    field contributes a fixed integer agreement/disagreement weight
+    (the log-likelihood-ratio weights of the FS model, pre-scaled to
+    integers so both engines sum exactly), and a pair is declared a
+    match when the summed score clears the threshold. This is the
+    probabilistic record-linkage pattern (customer account vs
+    supplier account here) that the dedup family's deterministic
+    keys/sketches cannot express — graded evidence rather than
+    equality. Balances compare in exact bigint cents (ROUND once at
+    ingestion); a real deployment would EM-estimate the weights, a
+    fixed public-constant set keeps the oracle bit-exact.
+
+    Scale shape: the blocked equi-join shuffles each side once on
+    (nation, band) and pair count is bounded by block sizes (two
+    skew-bounded attributes), the textbook ER blocking contract;
+    scoring is a narrow projection. Band-boundary misses are the
+    standard blocking recall trade-off (a second pass with offset
+    bands would close it) — noted, not hidden.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(col("c_acctbal") * 100).cast("bigint").alias("c_cents"),
+        F.floor(col("c_acctbal") / 500.0).cast("bigint").alias("blk"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(col("s_acctbal") * 100).cast("bigint").alias("s_cents"),
+        F.floor(col("s_acctbal") / 500.0).cast("bigint").alias("sblk"),
+    )
+    pairs = cust.join(
+        supp,
+        (col("c_nationkey") == col("s_nationkey")) & (col("blk") == col("sblk")),
+    )
+    score = (
+        F.when(
+            F.abs(col("c_cents") - col("s_cents")) <= 10000, F.lit(FS_BAL_AGREE)
+        ).otherwise(F.lit(FS_BAL_DISAGREE))
+        + F.when(
+            col("c_cents") % 100 == col("s_cents") % 100, F.lit(FS_CENTS_AGREE)
+        ).otherwise(F.lit(FS_CENTS_DISAGREE))
+        + F.when(
+            col("c_custkey") % 10 == col("s_suppkey") % 10, F.lit(FS_PARITY_AGREE)
+        ).otherwise(F.lit(FS_PARITY_DISAGREE))
+    )
+    return pairs.select(
+        "c_custkey",
+        "s_suppkey",
+        score.cast("bigint").alias("score"),
+        (score >= FS_MATCH_THRESHOLD).alias("is_match"),
+    )

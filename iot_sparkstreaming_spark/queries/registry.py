@@ -113,6 +113,10 @@ _PRIORITY_PREFIX = [
     "pareto_front_customers",
     "rollup_incremental_merge",
     "cheapest_path_lead_time",
+    "weighted_median_value_type",
+    "sql_unpivot_user_metrics",
+    "grid_density_core",
+    "er_fellegi_sunter",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

@@ -2487,3 +2487,89 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_hard_negatives.__doc__ = ann_hard_negatives.__doc__.replace(
     "{HN_K}", str(HN_K)
 ).replace("{N_QUERIES}", str(N_QUERIES))
+
+
+# ---------------------------------------------------------------------------
+# Grid-density core cells (DBSCAN's density test, bucketed exactly)
+# ---------------------------------------------------------------------------
+
+GRID_SCALE = 20  # cell width = 1/20 in embedding units
+GRID_MINPTS = 40  # 3x3-neighborhood mass for a cell to be "core"
+
+GRID_DENSITY_ORACLE = f"""
+WITH pts AS (
+  SELECT
+    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {GRID_SCALE}) AS BIGINT) AS gx,
+    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {GRID_SCALE}) AS BIGINT) AS gy
+  FROM embeddings
+),
+cells AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY gx, gy),
+off(dx, dy) AS (VALUES
+  (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+SELECT c.gx AS gx, c.gy AS gy,
+  CAST(MIN(c.n) AS BIGINT) AS n_cell,
+  CAST(SUM(nb.n) AS BIGINT) AS n_neigh,
+  SUM(nb.n) >= {GRID_MINPTS} AS is_core
+FROM cells c
+JOIN off o ON TRUE
+JOIN cells nb ON nb.gx = c.gx + o.dx AND nb.gy = c.gy + o.dy
+GROUP BY c.gx, c.gy
+"""
+
+
+@register("grid_density_core", oracle=GRID_DENSITY_ORACLE)
+def grid_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSITY-BASED clustering's core test (DBSCAN's ``|N_eps(p)| >=
+    minPts``) made exact and distributed by GRID BUCKETING: quantize
+    the first two embedding dimensions to integer cells of width
+    1/{GRID_SCALE}, count per cell, and call a cell core when its
+    3x3 neighborhood holds >= {GRID_MINPTS} points. This is the
+    standard scale-out surrogate for DBSCAN (cell-graph density
+    instead of per-point radius queries) and the one clustering
+    family (density) the k-means/LSH surface did not yet cover; the
+    grid quantization is FLOOR on an IEEE double product, identical
+    on both engines, and all masses are exact bigints.
+
+    Scale shape: points collapse to cells in ONE map-side-combined
+    aggregate (the only scan of the data); the 9-offset neighborhood
+    is a broadcast expansion of the CELL table joined to itself —
+    cell count is bounded by the grid (data-independent), so the
+    self-join is over a tiny relation no matter the corpus size. At
+    100 TB the same plan holds: the big table is touched once, and
+    density logic runs on the bounded summary.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.floor(F.element_at(col("embedding"), 1).cast("double") * GRID_SCALE)
+        .cast("bigint")
+        .alias("gx"),
+        F.floor(F.element_at(col("embedding"), 2).cast("double") * GRID_SCALE)
+        .cast("bigint")
+        .alias("gy"),
+    )
+    cells = pts.groupBy("gx", "gy").agg(F.count("*").cast("bigint").alias("n"))
+    off = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    nb = cells.select(
+        col("gx").alias("nx"), col("gy").alias("ny"), col("n").alias("nn")
+    )
+    return (
+        cells.crossJoin(F.broadcast(off))
+        .join(
+            F.broadcast(nb),
+            (col("nx") == col("gx") + col("dx"))
+            & (col("ny") == col("gy") + col("dy")),
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.min("n").cast("bigint").alias("n_cell"),
+            F.sum("nn").cast("bigint").alias("n_neigh"),
+            (F.sum("nn") >= GRID_MINPTS).alias("is_core"),
+        )
+    )
+
+
+grid_density_core.__doc__ = grid_density_core.__doc__.replace(
+    "{GRID_SCALE}", str(GRID_SCALE)
+).replace("{GRID_MINPTS}", str(GRID_MINPTS))

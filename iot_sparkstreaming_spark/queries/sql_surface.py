@@ -272,3 +272,45 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(MONTH_SPINE_SQL)
+
+
+#: one SQL text, two engines — ANSI UNPIVOT (wide metrics -> long)
+UNPIVOT_METRICS_SQL = """
+WITH wide AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS clicks,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS views,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS purchases,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS errors
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, metric, n
+FROM wide
+UNPIVOT (n FOR metric IN (clicks, views, purchases, errors))
+"""
+
+
+@register("sql_unpivot_user_metrics", oracle=UNPIVOT_METRICS_SQL)
+def sql_unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the wide→long melt that turns a per-user metrics
+    matrix (one column per event type) back into tidy
+    ``(user_id, metric, n)`` rows, the shape every feature store and
+    metrics warehouse ingests. The relational pivot direction is
+    covered by ``pivot_priority_by_status``; this closes the inverse.
+    The SAME SQL text (standard ``UNPIVOT (val FOR name IN (...))``)
+    parses and runs on both engines, so the check covers grammar and
+    name-scoping, not just values.
+
+    Scale shape: the CTE is one hash aggregate (5-way conditional
+    count, map-side partial); UNPIVOT itself is a narrow generator —
+    4 output rows per input row, zero shuffle, no state — so the
+    long table streams out of the aggregate exchange. Fully expanded
+    it is 4× the user count, never materialized on the driver.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(UNPIVOT_METRICS_SQL)

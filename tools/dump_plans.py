@@ -125,6 +125,10 @@ SHOWCASE = [
     ("pareto_front_customers", "four windows share one segment exchange and sort; threshold decided in cross-multiplied bigint cents; suffix aggregate reuses the key"),
     ("rollup_incremental_merge", "hist rollup is the loaded artifact; daily cost = one batch-day rollup + a merge agg over two rollup-sized tables; zero corpus re-scan"),
     ("cheapest_path_lead_time", "each relax round = ONE edge join + min agg (PageRank shape); retired rounds unpersisted; weights from the map-side pair rollup"),
+    ("weighted_median_value_type", "ONE event_type exchange carries both window sums and the final min agg; weights stay bigint end to end"),
+    ("sql_unpivot_user_metrics", "one map-side-combined conditional-count agg; UNPIVOT is a narrow 4x generator, zero extra shuffle"),
+    ("grid_density_core", "points collapse to grid cells in one map-side agg; 9-offset neighborhood joins the bounded CELL table (broadcast), never the points"),
+    ("er_fellegi_sunter", "blocked (nation, balance-band) equi-join bounds candidate pairs; integer FS weights scored in a narrow projection"),
 ]
 
 

@@ -147,6 +147,10 @@ SHOWCASE = [
     ("pareto_front_customers", "cross-multiplied 80/20 knee"),
     ("rollup_incremental_merge", "merge(hist, batch) == recompute"),
     ("cheapest_path_lead_time", "bounded Bellman-Ford min-plus"),
+    ("weighted_median_value_type", "exact cumulative-weight median"),
+    ("sql_unpivot_user_metrics", "ANSI UNPIVOT wide-to-long"),
+    ("grid_density_core", "DBSCAN core test on grid cells"),
+    ("er_fellegi_sunter", "blocked FS linkage scoring"),
 ]
 
 
