@@ -228,6 +228,15 @@ HEADLINE = [
     "sql_unpivot_user_metrics",
     "grid_density_core",
     "er_fellegi_sunter",
+    # round 8 batch 10: portable HLL, chi-squared cells, calibration, overlap
+    "hll_portable_events",
+    "chisq_type_segment",
+    "calibration_bins_events",
+    "audience_overlap_jaccard",
+    # round 8 batch 11: Spearman, curriculum order, HITS
+    "spearman_value_vs_time",
+    "curriculum_interleave_docs",
+    "hits_trade_graph",
 ]
 
 

@@ -5599,3 +5599,386 @@ def weighted_median_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("totw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence: event_type x market segment contingency cells
+# ---------------------------------------------------------------------------
+
+CHISQ_ORACLE = """
+WITH j AS (
+  SELECT event_type, c_mktsegment AS segment
+  FROM events JOIN customer ON user_id = c_custkey
+), cells AS (
+  SELECT event_type, segment, COUNT(*) AS n FROM j GROUP BY event_type, segment
+), t AS (
+  SELECT event_type, segment, n,
+    SUM(n) OVER (PARTITION BY event_type) AS r,
+    SUM(n) OVER (PARTITION BY segment) AS c,
+    SUM(n) OVER () AS nt
+  FROM cells
+)
+SELECT event_type, segment,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(r AS BIGINT) AS row_total,
+  CAST(c AS BIGINT) AS col_total,
+  CAST(nt AS BIGINT) AS n_total,
+  CAST((r * c * 1000000) // nt AS BIGINT) AS expected_e6,
+  CAST(nt * n - r * c AS DOUBLE) * CAST(nt * n - r * c AS DOUBLE)
+    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nt AS DOUBLE)) AS chi_contrib
+FROM t
+"""
+
+
+@register("chisq_type_segment", oracle=CHISQ_ORACLE)
+def chisq_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CHI-SQUARED independence decomposition between
+    event_type and the acting customer's market segment — the
+    categorical-vs-categorical association test the stats family
+    lacked (Mann-Whitney covers ordinal-vs-binary, Cohen's kappa
+    covers rater agreement). Output is one row per contingency CELL
+    with observed count, both marginals, the 1e6-scaled expected
+    count, and the cell's chi-squared contribution (observed -
+    expected)^2 / expected — the additive decomposition analysts read
+    to see WHICH cells drive dependence; the statistic itself is the
+    sum of a dozens-of-rows column, deliberately left per-cell so no
+    cross-row double summation order can flake the hash.
+
+    Exactness: marginals and d = N*n - r*c are exact bigints (|d| <=
+    N*max(n), inside int64 to ~3e9 fact rows; past that promote d to
+    DECIMAL(38,0) — the oracle already rides DuckDB's int128).
+    expected_e6 floor-divides exact integers. chi_contrib is IEEE
+    double (d*d)/(r*c*N) with both engines given the identical
+    parenthesization — correctly-rounded ops on exactly-converted
+    integers, so bit-identical.
+
+    Scale shape: one fact-side shuffle for the customer join (or
+    broadcast when the dimension fits), one map-side-combined hash
+    agg to |types| x |segments| cells (~25 rows); every window below
+    runs on that tiny table. At 100 TB the join dominates; the test
+    itself is metadata-priced.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ev.join(F.broadcast(cust), col("user_id") == col("c_custkey")).select(
+        "event_type", col("c_mktsegment").alias("segment")
+    )
+    cells = j.groupBy("event_type", "segment").agg(F.count("*").alias("n"))
+    t = cells.select(
+        "event_type",
+        "segment",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("n").over(Window.partitionBy("segment")).alias("c"),
+        F.sum("n").over(Window.partitionBy()).alias("nt"),
+    )
+    return t.select(
+        "event_type",
+        "segment",
+        col("n").cast("bigint").alias("n_events"),
+        col("r").cast("bigint").alias("row_total"),
+        col("c").cast("bigint").alias("col_total"),
+        col("nt").cast("bigint").alias("n_total"),
+        F.expr("CAST((r * c * 1000000) div nt AS BIGINT)").alias("expected_e6"),
+        F.expr(
+            "CAST(nt * n - r * c AS DOUBLE) * CAST(nt * n - r * c AS DOUBLE)"
+            " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nt AS DOUBLE))"
+        ).alias("chi_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins: score-bucketed purchase rate vs base rate (reliability)
+# ---------------------------------------------------------------------------
+
+#: ten fixed-width score bins over events.value; the clamp keeps the
+#: >=500 tail in the last bin so the bins partition the domain.
+CALIB_BIN_WIDTH = 50
+CALIB_BINS = 10
+
+CALIB_ORACLE = f"""
+WITH scored AS (
+  SELECT LEAST(CAST(FLOOR(value / {CALIB_BIN_WIDTH}.0) AS BIGINT),
+               {CALIB_BINS - 1}) AS bin,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value >= 0.0
+), bins AS (
+  SELECT bin, COUNT(*) AS n, SUM(pos) AS n_pos FROM scored GROUP BY bin
+), t AS (
+  SELECT bin, n, n_pos,
+    SUM(n) OVER () AS n_all, SUM(n_pos) OVER () AS pos_all
+  FROM bins
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+  CAST(bin * {CALIB_BIN_WIDTH} AS BIGINT) AS bin_lo,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(n_pos AS BIGINT) AS n_pos,
+  CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_e6,
+  CAST((pos_all * 1000000) // n_all AS BIGINT) AS base_rate_e6,
+  CAST((n_pos * n_all * 10000) // (n * pos_all) AS BIGINT) AS lift_e4
+FROM t
+"""
+
+
+@register("calibration_bins_events", oracle=CALIB_ORACLE)
+def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY / CALIBRATION CURVE: treat events.value as a model
+    score, bucket it into {CALIB_BINS} fixed-width bins, and compare
+    each bin's observed positive (purchase) rate against the corpus
+    base rate, with the per-bin LIFT — the classifier-evaluation
+    harness beside the confusion matrix (`lang_confusion_matrix`) and
+    kappa: confusion answers "where does it err", calibration answers
+    "can you trust the score as a probability", lift answers "is the
+    top bin worth targeting".
+
+    Fixed-width bins (same clamp discipline as
+    ``value_histogram_events``) rather than ntile deciles ON PURPOSE:
+    a global ntile is an all-rows single-partition window — the one
+    plan shape this repo bans at 100 TB — while fixed bins ride the
+    ordinary map-side-combined hash agg and the rank-based equi-depth
+    variant already exists (`value_equidepth_bins_events`). Rates and
+    lift are exact integer floor-divisions (1e6/1e4-scaled); lift's
+    numerator n_pos*n_all stays inside int64 to ~3e9 rows (the oracle
+    rides int128; past that promote to DECIMAL).
+
+    Scale shape: one scan, one hash agg to {CALIB_BINS} rows,
+    windows on the 10-row table. Metadata-priced after the scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    scored = ev.filter(col("value") >= 0.0).select(
+        F.least(
+            F.floor(col("value") / CALIB_BIN_WIDTH).cast("bigint"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+        F.when(col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("n_pos")
+    )
+    t = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(Window.partitionBy()).alias("n_all"),
+        F.sum("n_pos").over(Window.partitionBy()).alias("pos_all"),
+    )
+    return t.select(
+        col("bin").cast("bigint").alias("bin"),
+        (col("bin") * CALIB_BIN_WIDTH).cast("bigint").alias("bin_lo"),
+        col("n").cast("bigint").alias("n_events"),
+        col("n_pos").cast("bigint").alias("n_pos"),
+        F.expr("CAST((n_pos * 1000000) div n AS BIGINT)").alias("pos_rate_e6"),
+        F.expr("CAST((pos_all * 1000000) div n_all AS BIGINT)").alias(
+            "base_rate_e6"
+        ),
+        F.expr(
+            "CAST((n_pos * n_all * 10000) div (n * pos_all) AS BIGINT)"
+        ).alias("lift_e4"),
+    )
+
+
+calibration_bins_events.__doc__ = calibration_bins_events.__doc__.replace(
+    "{CALIB_BINS}", str(CALIB_BINS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: value vs arrival order, per event type
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+      AS rv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+      AS rt
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM((rv - rt) * (rv - rt)) AS sum_d2
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(sum_d2 AS BIGINT) AS sum_d2,
+  CAST(n * (n * n - 1) - 6 * sum_d2 AS DOUBLE)
+    / CAST(n * (n * n - 1) AS DOUBLE) AS spearman_rho
+FROM s
+"""
+
+
+@register("spearman_value_vs_time", oracle=SPEARMAN_ORACLE)
+def spearman_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between value and arrival order per
+    event type — the monotone-trend detector that complements the
+    family's PARAMETRIC Pearson members (`acf_user_value`,
+    `ols_time_regression_user`: both assume linearity) and the robust
+    Theil–Sen slope: Spearman sees ANY monotone drift, is immune to
+    value outliers, and its entire computation is integer-exact. Both
+    rank columns use a (sort key, event_id) TOTAL order, so ranks are
+    tie-free permutations of 1..n and the textbook identity
+    rho = 1 - 6*sum(d^2) / (n(n^2-1)) applies exactly (with ties one
+    would switch to average ranks — the tie-broken variant is chosen
+    BECAUSE it keeps both engines in exact integers end to end).
+
+    sum_d2 and n(n^2-1) are exact bigints (n^3 inside int64 to ~2e6
+    rows per type; past that promote the moments to DECIMAL — the
+    oracle already rides int128); rho itself is the single IEEE
+    double division of two exactly-computed integers, identically
+    parenthesized on both engines — bit-identical.
+
+    Scale shape: ONE exchange on event_type carries both row_number
+    sorts and the final aggregate (same single-shuffle discipline as
+    `weighted_median_value_type`); output is |types| rows. The
+    all-rows-per-type window sort is the honest cost of exact ranks —
+    the same cost the equi-depth histogram already pays.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    ranked = ev.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rv"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("rt"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (col("rv").cast("bigint") - col("rt")) * (col("rv").cast("bigint") - col("rt"))
+        ).alias("sum_d2"),
+    )
+    return s.select(
+        "event_type",
+        col("n").cast("bigint").alias("n_events"),
+        col("sum_d2").cast("bigint").alias("sum_d2"),
+        F.expr(
+            "CAST(n * (n * n - 1) - 6 * sum_d2 AS DOUBLE)"
+            " / CAST(n * (n * n - 1) AS DOUBLE)"
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the trade graph (iterative algorithm #5)
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000
+HITS_ROUNDS = 2
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-round oracle: each HITS half-step is a
+    join+aggregate plus a max-normalization, exactly the update the
+    Spark loop runs — the pagerank/k-core unroll discipline, with the
+    max carried as a 1-row cross join."""
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT a AS node, CAST({HITS_SCALE} AS BIGINT) AS v FROM pairs)"""
+    prev_h = "h0"
+    for i in range(1, HITS_ROUNDS + 1):
+        sql += f""",
+a{i}r AS (
+  SELECT p.b AS node, SUM(h.v) AS s
+  FROM pairs p JOIN {prev_h} h ON p.a = h.node GROUP BY p.b
+),
+a{i} AS (SELECT node, (s * {HITS_SCALE}) // mx AS v
+         FROM a{i}r, (SELECT MAX(s) AS mx FROM a{i}r)),
+h{i}r AS (
+  SELECT p.a AS node, SUM(a.v) AS s
+  FROM pairs p JOIN a{i} a ON p.b = a.node GROUP BY p.a
+),
+h{i} AS (SELECT node, (s * {HITS_SCALE}) // mx AS v
+         FROM h{i}r, (SELECT MAX(s) AS mx FROM h{i}r))"""
+        prev_h = f"h{i}"
+    sql += f"""
+SELECT node AS node_id, TRUE AS is_supplier, CAST(v AS BIGINT) AS score
+FROM a{HITS_ROUNDS}
+UNION ALL
+SELECT node AS node_id, FALSE AS is_supplier, CAST(v AS BIGINT) AS score
+FROM h{HITS_ROUNDS}
+"""
+    return sql
+
+
+@register("hits_trade_graph", oracle=_hits_oracle())
+def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED bipartite trade graph
+    (customer → supplier edges from the shared `_trade_pairs`
+    artifact) — the link-analysis member PageRank cannot replace:
+    PageRank symmetrizes this graph into one undirected prestige
+    score, while HITS keeps the two ROLES apart — customers score as
+    HUBS (they buy from strong suppliers), suppliers as AUTHORITIES
+    (they are bought by strong customers) — the mutually-recursive
+    definition from Kleinberg's original formulation.
+
+    Exactness: the float algorithm L2-normalizes each half-step; this
+    one MAX-normalizes instead — score' = (raw * 1e6) div max(raw) —
+    because max is exactly representable and the bigint floor-division
+    is bit-reproducible on both engines, while an L2 norm needs a
+    square root. Max-normalization preserves the fixpoint direction
+    (scores stay in 0..1e6, rankings converge identically) and keeps
+    every intermediate inside int64: raw sums are bounded by
+    max_degree * 1e6 (~1e17 even at a 100k-degree hub). The oracle
+    unrolls the identical update into {HITS_ROUNDS} rounds of plain
+    CTEs (the pagerank discipline), with each max a 1-row subquery
+    cross join.
+
+    Scale shape: each half-step is ONE equi-join of the edge list
+    with a node-sized score table plus a map-side-combined sum; the
+    max is a 1-row broadcast. Edge list shuffles once per half-step on
+    its join key — the same per-round cost envelope as pagerank, and
+    the memoized `_trade_pairs` artifact means no fact re-scan.
+    """
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+
+    def build():
+        pairs = _trade_pairs(spark, sf_dir)
+        h = (
+            pairs.select("a")
+            .distinct()
+            .select(col("a").alias("node"), F.lit(HITS_SCALE).cast("bigint").alias("v"))
+        )
+        a = None
+        for _ in range(HITS_ROUNDS):
+            ar = (
+                pairs.join(h, pairs["a"] == h["node"])
+                .groupBy("b")
+                .agg(F.sum("v").alias("s"))
+            )
+            a = ar.crossJoin(F.broadcast(ar.agg(F.max("s").alias("mx")))).select(
+                col("b").alias("node"),
+                F.expr(f"(s * {HITS_SCALE}) div mx").alias("v"),
+            )
+            hr = (
+                pairs.join(a, pairs["b"] == a["node"])
+                .groupBy("a")
+                .agg(F.sum("v").alias("s"))
+            )
+            h = hr.crossJoin(F.broadcast(hr.agg(F.max("s").alias("mx")))).select(
+                col("a").alias("node"),
+                F.expr(f"(s * {HITS_SCALE}) div mx").alias("v"),
+            )
+        auth = a.select(
+            col("node").alias("node_id"),
+            F.lit(True).alias("is_supplier"),
+            col("v").cast("bigint").alias("score"),
+        )
+        hubs = h.select(
+            col("node").alias("node_id"),
+            F.lit(False).alias("is_supplier"),
+            col("v").cast("bigint").alias("score"),
+        )
+        return auth.unionAll(hubs)
+
+    return artifact_memo(spark, ("hits_trade_graph", sf_dir), build)
+
+
+hits_trade_graph.__doc__ = hits_trade_graph.__doc__.replace(
+    "{HITS_ROUNDS}", str(HITS_ROUNDS)
+)

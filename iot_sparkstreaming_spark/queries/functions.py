@@ -933,3 +933,126 @@ def expectations_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNotNull(),
     }
     return audit(ev, rules)
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: the sketch estimate itself reproduced bit-exactly
+# ---------------------------------------------------------------------------
+
+from iot_sparkstreaming_spark.functions.sketch import (
+    HLL_BITLEN_CASE as _HLL_BITLEN_CASE,
+)
+from iot_sparkstreaming_spark.functions.sketch import (
+    HLL_KEY_SQL_DEFAULT as HLL_KEY_SQL,
+)
+from iot_sparkstreaming_spark.functions.sketch import HLL_NUM, hll_bucket_rho
+
+HLL_PORTABLE_ORACLE = f"""
+WITH keys AS (
+  SELECT event_type,
+    user_id * 131072 + (CAST(ts AS DATE) - DATE '1970-01-01') % 131072 AS k
+  FROM events
+), m0 AS (
+  SELECT event_type, k % 4294967296 AS h0 FROM keys
+), m1 AS (
+  SELECT event_type, (xor(h0, h0 // 65536) * 73244475) % 4294967296 AS h1 FROM m0
+), m2 AS (
+  SELECT event_type, (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2 FROM m1
+), h AS (
+  SELECT event_type, xor(h2, h2 // 65536) AS h32 FROM m2
+), b AS (
+  SELECT event_type, h32 // 16777216 AS bucket,
+    25 - ({_HLL_BITLEN_CASE.replace("w >=", "(h32 % 16777216) >=")}) AS rho
+  FROM h
+), r AS (
+  SELECT event_type, bucket, MAX(rho) AS m FROM b GROUP BY event_type, bucket
+), z AS (
+  SELECT event_type, COUNT(*) AS nb,
+    SUM(CAST(1 AS BIGINT) << (25 - m)) AS z_part
+  FROM r GROUP BY event_type
+), e AS (
+  SELECT event_type, nb, z_part + (256 - nb) * 33554432 AS z_num FROM z
+), x AS (
+  SELECT event_type,
+    COUNT(DISTINCT user_id * 131072
+          + (CAST(ts AS DATE) - DATE '1970-01-01') % 131072) AS ex
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(nb AS BIGINT) AS n_buckets,
+  CAST(z_num AS BIGINT) AS z_num,
+  CAST({HLL_NUM} // (1000000 * z_num) AS BIGINT) AS hll_estimate,
+  CAST(ex AS BIGINT) AS exact_distinct,
+  CAST(ABS({HLL_NUM} // (1000000 * z_num) - ex) AS BIGINT) AS abs_err
+FROM e JOIN x ON e.event_type = x.event_type
+"""
+
+
+@register("hll_portable_events", oracle=HLL_PORTABLE_ORACLE)
+def hll_portable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog — the register state AND the estimate are
+    reproduced bit-exactly by the oracle, upgrading the sketch family
+    from invariant-checked (``hll_union_region_suppliers``,
+    ``cms_heavy_hitters``: engine-private hashes, so the oracle can
+    only assert exact counts + sketch invariants) to hash-exact: every
+    piece — the avalanche hash, the register maxima, the harmonic-mean
+    estimator — is pure int64 arithmetic both engines evaluate
+    identically. Cardinality target is daily-active user-days per
+    event type (n >> 2.5m, the regime where the raw Flajolet
+    estimator applies; the small-range linear-counting correction
+    needs ln(), which libms round differently — out of scope by
+    design, noted not hidden).
+
+    The hash is the public Thomas-Mueller/degski 32-bit integer mix
+    (h ^= h>>16; h *= 0x45d9f3b; twice; final xor-shift): constants
+    below 2^27 keep every product under 2^59, so the whole avalanche
+    runs in int64 with no 128-bit ops. (A plain Knuth multiplicative
+    hash maps SEQUENTIAL ids to a near-perfect Weyl spread — 149
+    occupied buckets from 150 keys — which silently voids the
+    estimator's randomness assumption; the mixer restores it.)
+
+    Estimator in exact rationals: with register maxima M_j, the
+    harmonic denominator Z = sum(2^-M_j) is carried as the integer
+    Z_num = sum(2^(25-M_j)) over all 256 registers (empty register =
+    2^25), and E = alpha*m^2/Z becomes ONE bigint floor-division
+    (alpha_e6*m^2*2^25) div (1e6*Z_num) — no doubles anywhere.
+
+    Scale shape: registers are a (event_type, bucket) MAX — map-side
+    combined, mergeable across partitions/days exactly like the
+    Datasketches variant, at most 5*256 rows after the partial agg.
+    The exact COUNT(DISTINCT) yardstick is the only expensive column
+    and exists to price the sketch's error honestly. The hash/register
+    projection is shared with the streaming twin ``streaming_hll``
+    (functions/sketch.py), whose micro-batch register merges converge
+    to this query's exact output in any arrival order.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    b = hll_bucket_rho(ev, HLL_KEY_SQL, "event_type")
+    regs = b.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    z = regs.groupBy("event_type").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - m AS INT))")).alias(
+            "z_part"
+        ),
+    )
+    e = z.select(
+        "event_type",
+        col("nb").cast("bigint").alias("n_buckets"),
+        F.expr("z_part + (256 - nb) * CAST(33554432 AS BIGINT)").alias("z_num"),
+    ).withColumn(
+        "hll_estimate",
+        F.expr(f"CAST({HLL_NUM} div (1000000 * z_num) AS BIGINT)"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(F.expr(HLL_KEY_SQL)).cast("bigint").alias("exact_distinct")
+    )
+    return e.join(exact, "event_type").select(
+        "event_type",
+        "n_buckets",
+        col("z_num").cast("bigint").alias("z_num"),
+        "hll_estimate",
+        "exact_distinct",
+        F.abs(col("hll_estimate") - col("exact_distinct"))
+        .cast("bigint")
+        .alias("abs_err"),
+    )

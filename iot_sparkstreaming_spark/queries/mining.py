@@ -1909,3 +1909,85 @@ def viewers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buyers = ev.filter(col("event_type") == "purchase").select("user_id").distinct()
     return views.join(buyers, "user_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: pairwise Jaccard between event-type user bases
+# ---------------------------------------------------------------------------
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b,
+  CAST(sa.n AS BIGINT) AS n_a,
+  CAST(sb.n AS BIGINT) AS n_b,
+  CAST(n_inter AS BIGINT) AS n_inter,
+  CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+  CAST((n_inter * 1000000) // (sa.n + sb.n - n_inter) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+@register("audience_overlap_jaccard", oracle=AUDIENCE_OVERLAP_ORACLE)
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP MATRIX: exact pairwise Jaccard similarity
+    between the distinct-user bases of every event-type pair — the
+    set-similarity complement of `funnel_analysis` (ordered stages)
+    and `retention_cohorts` (time-sliced return): which behaviors
+    share an audience AT ALL, the first question before building a
+    funnel between them. This is exact Jaccard over SETS OF USERS,
+    where the dedup family's MinHash estimates Jaccard over sets of
+    shingles — same measure, opposite accuracy/scale trade, and at
+    |types| small the exact form is the right one.
+
+    Plan: distinct (type, user) pairs once; the intersection
+    self-join keys on user_id, so per-user work is C(k,2) with k
+    bounded by |event types| — never all-pairs of users. Sizes table
+    is |types| rows, broadcast into the final enrich. Jaccard is one
+    exact integer floor-division (1e6-scaled); inter*1e6 is inside
+    int64 to ~9e12 shared users.
+
+    Scale shape: two shuffles (the distinct, the user-keyed
+    self-join group), both map-side combined; output is C(|types|,2)
+    rows. At 100 TB with a type catalog in the thousands the same
+    plan holds because the per-user explosion is still k^2, not n^2.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tu = ev.distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(col("event_type").alias("type_a"), "user_id")
+    b = tu.select(col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, ["user_id"])
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(col("event_type").alias("type_a"), col("n").alias("n_a"))
+    sb = sizes.select(col("event_type").alias("type_b"), col("n").alias("n_b"))
+    return (
+        inter.join(broadcast(sa), "type_a")
+        .join(broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            col("n_a").cast("bigint").alias("n_a"),
+            col("n_b").cast("bigint").alias("n_b"),
+            col("n_inter").cast("bigint").alias("n_inter"),
+            (col("n_a") + col("n_b") - col("n_inter"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr(
+                "CAST((n_inter * 1000000) div (n_a + n_b - n_inter) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )

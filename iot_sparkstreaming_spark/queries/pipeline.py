@@ -955,3 +955,84 @@ def crossfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 crossfold_assign_docs.__doc__ = crossfold_assign_docs.__doc__.replace(
     "{CROSSFOLD_K}", str(CROSSFOLD_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: shortest-first per source, round-robin interleaved
+# ---------------------------------------------------------------------------
+
+CURRICULUM_ORACLE = """
+WITH src AS (
+  SELECT source,
+    ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx,
+    COUNT(*) OVER () AS n_sources
+  FROM (SELECT DISTINCT source FROM documents)
+), ranked AS (
+  SELECT doc_id, d.source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY n_chars, doc_id)
+      AS rank_in_source
+  FROM documents d
+)
+SELECT doc_id, r.source,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(rank_in_source AS BIGINT) AS rank_in_source,
+  CAST((rank_in_source - 1) * n_sources + src_idx AS BIGINT) AS global_pos
+FROM ranked r JOIN src ON r.source = src.source
+"""
+
+
+@register("curriculum_interleave_docs", oracle=CURRICULUM_ORACLE)
+def curriculum_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ORDERING for training: every document gets a total
+    global training position that is (a) shortest-first WITHIN each
+    source (the classic length-curriculum warmup) and (b) strict
+    round-robin ACROSS sources, so no early training window is
+    dominated by one domain — the deterministic ordering job that
+    sits between `corpus_mix_rebalance` (how much of each source) and
+    `pack_token_sequences` (how docs become batches). The closed form
+    global_pos = (rank_in_source - 1) * n_sources + src_idx is a
+    bijection into 0..N-1 whenever every source still has documents
+    at that rank — no sort of the full corpus by a mixed key, no
+    driver-side scheduling loop, and downstream shards are just
+    global_pos div shard_size.
+
+    All-integer plan; both row_numbers use total orders (length then
+    doc_id), so every engine agrees on every position.
+
+    Scale shape: one exchange on source carries the per-source rank;
+    the source-index table is |sources| rows (its window sort is on
+    that tiny distinct table, never the corpus) and broadcasts into
+    the final join. At 100 TB this is exactly how you'd materialize a
+    training order: one window pass, then write sorted by global_pos.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.partitionBy().orderBy("source")) - 1).alias(
+                "src_idx"
+            ),
+            F.count("*").over(Window.partitionBy()).alias("n_sources"),
+        )
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rank_in_source"),
+    )
+    return ranked.join(F.broadcast(src), "source").select(
+        "doc_id",
+        "source",
+        col("n_chars").cast("bigint").alias("n_chars"),
+        col("rank_in_source").cast("bigint").alias("rank_in_source"),
+        ((col("rank_in_source") - 1) * col("n_sources") + col("src_idx"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )

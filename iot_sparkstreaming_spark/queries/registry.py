@@ -117,6 +117,13 @@ _PRIORITY_PREFIX = [
     "sql_unpivot_user_metrics",
     "grid_density_core",
     "er_fellegi_sunter",
+    "hll_portable_events",
+    "chisq_type_segment",
+    "calibration_bins_events",
+    "audience_overlap_jaccard",
+    "spearman_value_vs_time",
+    "curriculum_interleave_docs",
+    "hits_trade_graph",
     "image_gif_features",
     "bfs_distance_from_hub",
     "textrank_keywords",

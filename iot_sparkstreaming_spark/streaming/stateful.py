@@ -943,3 +943,92 @@ def streaming_ohlc(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog registers as streaming state (mergeable sketch twin)
+# ---------------------------------------------------------------------------
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_buckets", T.LongType()),
+        T.StructField("z_num", T.LongType()),
+        T.StructField("hll_estimate", T.LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("registers", T.ArrayType(T.LongType()))]
+)
+
+
+def streaming_hll(events: DataFrame) -> DataFrame:
+    """Portable-HLL distinct-cardinality maintenance as a stateful
+    streaming operator — the STREAMING twin of the batch
+    ``hll_portable_events`` query (queries/functions.py): state per
+    event_type is the full 256-register vector, each micro-batch folds
+    its rows in by register-wise MAX, and every emission carries the
+    CURRENT (n_buckets, z_num, hll_estimate) triple. Because max-merge
+    is commutative, associative, and idempotent, the final emission
+    equals the batch sketch in ANY arrival order — the twin pins the
+    claim every sketch docstring makes ("mergeable across
+    partitions/days") as an executed property, not prose.
+
+    The hash → (bucket, rho) projection is the SHARED Spark-side
+    expression from functions/sketch.py (also used by the batch
+    query), so parity here is a statement about register merging
+    across micro-batch boundaries, not about replaying arithmetic in
+    Python; only the trivial Z_num fold and the single bigint
+    floor-division run in the pandas fn (exact Python ints, the same
+    formula both engines evaluate — hll_estimate_from_znum).
+
+    State per key: 256 longs (2 KiB) — constant, never grows with
+    cardinality, which is the entire reason sketches exist at 100 TB.
+
+    Input columns: ``event_type``, ``user_id``, ``ts``.
+    """
+    from iot_sparkstreaming_spark.functions.sketch import (
+        HLL_KEY_SQL_DEFAULT,
+        HLL_M,
+        hll_bucket_rho,
+        hll_estimate_from_znum,
+        hll_znum,
+    )
+
+    def fn(
+        key: tuple[str],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (event_type,) = key
+        regs = list(state.get[0]) if state.exists else [0] * HLL_M
+        for pdf in pdfs:
+            for bucket, rho in zip(pdf["bucket"], pdf["rho"]):
+                b, r = int(bucket), int(rho)
+                if r > regs[b]:
+                    regs[b] = r
+        state.update((regs,))
+        z = hll_znum(regs)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "n_buckets": sum(1 for m in regs if m > 0),
+                    "z_num": z,
+                    "hll_estimate": hll_estimate_from_znum(z),
+                }
+            ],
+            columns=[f.name for f in HLL_OUTPUT_SCHEMA],
+        )
+
+    projected = hll_bucket_rho(events, HLL_KEY_SQL_DEFAULT, "event_type")
+    return projected.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -743,3 +743,63 @@ def test_streaming_ohlc_twin_parity(spark, tmp_path):
     }
     assert n_first > 0
     assert got == want
+
+
+def test_streaming_hll_twin_parity(spark, tmp_path):
+    """The stateful HLL stream must converge to exactly the batch
+    ``hll_portable_events`` sketch. The feed is split by event_id
+    MOD 3 — so every register vector merges contributions from three
+    micro-batches arriving out of (ts, event_id) order — proving the
+    register max-merge is order-independent, the property every
+    "mergeable sketch" docstring in the repo claims."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.functions import hll_portable_events
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_hll
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_hll(stream)
+        .writeStream.format("memory")
+        .queryName("hll_twin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        n_after_first = None
+        for part in range(3):
+            ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.parquet(
+                str(src / f"b{part}.parquet")
+            )
+            q.processAllAvailable()
+            if part == 0:
+                n_after_first = spark.sql("SELECT * FROM hll_twin").count()
+        emitted = spark.sql("SELECT * FROM hll_twin").collect()
+    finally:
+        q.stop()
+
+    # last emission per key = the one with the largest z-coverage;
+    # n_buckets is nondecreasing and z_num nonincreasing under merges,
+    # so (n_buckets, -z_num) picks the final state deterministically.
+    best = {}
+    for r in emitted:
+        k = r.event_type
+        if k not in best or (r.n_buckets, -r.z_num) > (
+            best[k].n_buckets,
+            -best[k].z_num,
+        ):
+            best[k] = r
+    got = {k: (r.n_buckets, r.z_num, r.hll_estimate) for k, r in best.items()}
+    want = {
+        r.event_type: (r.n_buckets, r.z_num, r.hll_estimate)
+        for r in hll_portable_events(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert n_after_first is not None and n_after_first > 0
+    assert got == want

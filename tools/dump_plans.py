@@ -129,6 +129,13 @@ SHOWCASE = [
     ("sql_unpivot_user_metrics", "one map-side-combined conditional-count agg; UNPIVOT is a narrow 4x generator, zero extra shuffle"),
     ("grid_density_core", "points collapse to grid cells in one map-side agg; 9-offset neighborhood joins the bounded CELL table (broadcast), never the points"),
     ("er_fellegi_sunter", "blocked (nation, balance-band) equi-join bounds candidate pairs; integer FS weights scored in a narrow projection"),
+    ("hll_portable_events", "registers are a map-side-combined (type, bucket) MAX; avalanche hash and harmonic estimator all int64 exprs, zero doubles"),
+    ("chisq_type_segment", "one broadcast dim join + one hash agg to ~25 cells; every window runs on the cell table, never the fact"),
+    ("calibration_bins_events", "fixed-width bins = ordinary hash agg (no global ntile sort); rates and lift are integer divisions on the 10-row table"),
+    ("audience_overlap_jaccard", "user-keyed self-join is k^2 per user with k = |types|; sizes broadcast into the final enrich"),
+    ("spearman_value_vs_time", "ONE event_type exchange carries both rank sorts and the moment agg; rho is a single IEEE division of exact bigints"),
+    ("curriculum_interleave_docs", "per-source rank rides one source exchange; the source-index window sorts a |sources|-row table and broadcasts"),
+    ("hits_trade_graph", "each half-step = one edge join + map-side sum; max-normalizers are 1-row broadcasts; edges come from the memoized artifact"),
 ]
 
 

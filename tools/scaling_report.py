@@ -151,6 +151,13 @@ SHOWCASE = [
     ("sql_unpivot_user_metrics", "ANSI UNPIVOT wide-to-long"),
     ("grid_density_core", "DBSCAN core test on grid cells"),
     ("er_fellegi_sunter", "blocked FS linkage scoring"),
+    ("hll_portable_events", "bit-exact portable HyperLogLog"),
+    ("chisq_type_segment", "chi-squared contingency cells"),
+    ("calibration_bins_events", "score-bin reliability + lift"),
+    ("audience_overlap_jaccard", "exact audience Jaccard matrix"),
+    ("spearman_value_vs_time", "tie-broken exact Spearman rho"),
+    ("curriculum_interleave_docs", "round-robin curriculum order"),
+    ("hits_trade_graph", "max-normalized integer HITS"),
 ]
 
 
