@@ -237,6 +237,15 @@ HEADLINE = [
     "spearman_value_vs_time",
     "curriculum_interleave_docs",
     "hits_trade_graph",
+    # round 8 batch 12: ZIP shards, skew telemetry, GROUP BY ALL, Holt-Winters
+    "zip_shard_roundtrip",
+    "skew_key_diagnosis",
+    "sql_group_by_all",
+    "holt_winters_seasonal_user",
+    # round 8 batch 13: Welch t-test, KWIC concordance, readability
+    "welch_t_test_purchase_view",
+    "kwic_concordance_docs",
+    "readability_flesch_docs",
 ]
 
 

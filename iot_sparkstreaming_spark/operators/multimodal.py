@@ -1385,3 +1385,193 @@ def tar_shard_members(shards: DataFrame) -> DataFrame:
     return shards.select("shard_id", "payload").mapInPandas(
         gen, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP shards: DEFLATE members behind a hand-walked central directory
+# ---------------------------------------------------------------------------
+
+ZIP_SHARD_MOD = 50
+
+
+def _make_zip_pack():
+    def pack_zip(members) -> bytes:
+        """members: iterable of (doc_id, text) → ZIP archive bytes,
+        one DEFLATE-compressed ``<doc_id:012d>.txt`` member each,
+        archive order = input order (callers pre-sort by doc_id).
+        date_time pinned to the DOS epoch so identical inputs give
+        byte-identical archives."""
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for doc_id, text in members:
+                info = zipfile.ZipInfo(
+                    filename=f"{int(doc_id):012d}.txt",
+                    date_time=(1980, 1, 1, 0, 0, 0),
+                )
+                info.compress_type = zipfile.ZIP_DEFLATED
+                info.external_attr = 0
+                zf.writestr(info, text.encode("utf-8"))
+        return buf.getvalue()
+
+    return pack_zip
+
+
+def _make_zip_walk():
+    def walk_zip(payload: bytes):
+        """ZIP bytes → [(doc_id, method, n_bytes, text)], central-
+        directory order. The container is HAND-WALKED — end-of-
+        central-directory record, central-directory file headers,
+        then each local file header — per the public PKWARE
+        APPNOTE.TXT layout, with every member's CRC-32 verified
+        against its recomputed value (raise on mismatch, the PNG-
+        chunk discipline); only the DEFLATE primitive itself comes
+        from stdlib zlib, same as the PNG codec's IDAT inflate.
+        No zipfile on the read path: the walker IS the format proof."""
+        import struct
+        import zlib
+
+        # EOCD: scan back for the signature (no archive comment here,
+        # but tolerate one, per spec the comment is at most 64 KiB).
+        eocd_at = payload.rfind(b"PK\x05\x06")
+        if eocd_at < 0:
+            raise ValueError("zip: no end-of-central-directory record")
+        (n_total, cd_size, cd_off) = struct.unpack(
+            "<HII", payload[eocd_at + 10 : eocd_at + 20]
+        )
+        out = []
+        pos = cd_off
+        for _ in range(n_total):
+            if payload[pos : pos + 4] != b"PK\x01\x02":
+                raise ValueError("zip: bad central-directory signature")
+            (
+                method,
+                _mtime,
+                _mdate,
+                crc,
+                csize,
+                usize,
+                nlen,
+                xlen,
+                clen,
+            ) = struct.unpack("<HHHIIIHHH", payload[pos + 10 : pos + 34])
+            (lho,) = struct.unpack("<I", payload[pos + 42 : pos + 46])
+            name = payload[pos + 46 : pos + 46 + nlen].decode("ascii")
+            pos += 46 + nlen + xlen + clen
+            # local header: re-read the name length + extra length —
+            # the LOCAL extra field may differ from the central one.
+            if payload[lho : lho + 4] != b"PK\x03\x04":
+                raise ValueError("zip: bad local-file-header signature")
+            (lnlen, lxlen) = struct.unpack("<HH", payload[lho + 26 : lho + 30])
+            data_at = lho + 30 + lnlen + lxlen
+            comp = payload[data_at : data_at + csize]
+            if method == 8:
+                data = zlib.decompress(comp, wbits=-15)  # raw DEFLATE
+            elif method == 0:
+                data = comp
+            else:
+                raise ValueError(f"zip: unsupported method {method}")
+            if len(data) != usize:
+                raise ValueError("zip: size mismatch")
+            if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                raise ValueError("zip: CRC-32 mismatch")
+            out.append(
+                (
+                    int(name.split(".")[0]),
+                    int(method),
+                    len(data),
+                    data.decode("utf-8"),
+                )
+            )
+        return out
+
+    return walk_zip
+
+
+pack_zip = _make_zip_pack()
+walk_zip = _make_zip_walk()
+
+
+def zip_shards(docs: DataFrame, shard_mod: int = ZIP_SHARD_MOD) -> DataFrame:
+    """(shard_id, payload, n_members): documents packed into
+    ``shard_mod`` deterministic DEFLATE ZIP shards (member order =
+    doc_id). Same bounded collect_list + one-Arrow-pass shape as
+    ``tar_shards``."""
+    import pandas as pd  # noqa: F811
+
+    packer = pack_zip
+
+    grouped = (
+        docs.select(
+            (col("doc_id") % shard_mod).alias("shard_id"),
+            F.struct(col("doc_id"), col("text")).alias("m"),
+        )
+        .groupBy("shard_id")
+        .agg(F.array_sort(F.collect_list("m")).alias("members"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_members", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for sid, members in zip(pdf["shard_id"], pdf["members"]):
+                pairs = [(m["doc_id"], m["text"]) for m in members]
+                rows.append(
+                    {
+                        "shard_id": int(sid),
+                        "payload": packer(pairs),
+                        "n_members": len(pairs),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["shard_id", "payload", "n_members"])
+
+    return grouped.mapInPandas(gen, schema=out_schema)
+
+
+def zip_shard_members(shards: DataFrame) -> DataFrame:
+    """(doc_id, shard_id, method, n_bytes, text): hand-walk every ZIP
+    shard back to its members with per-member CRC verification.
+    Map-only Arrow pass; payloads die in-batch."""
+    import pandas as pd  # noqa: F811
+
+    walker = walk_zip
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("method", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for doc_id, method, n_bytes, text in walker(bytes(payload)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "shard_id": int(sid),
+                            "method": method,
+                            "n_bytes": n_bytes,
+                            "text": text,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "shard_id", "method", "n_bytes", "text"],
+            )
+
+    return shards.mapInPandas(gen, schema=out_schema)

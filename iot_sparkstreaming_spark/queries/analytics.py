@@ -5499,10 +5499,13 @@ def cheapest_path_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.persist()
     prev = None
     for _ in range(BF_ROUNDS):
-        cand = (
-            dist.join(edges, dist.node == edges.a)
-            .groupBy(col("b").alias("node"))
-            .agg(F.min(col("dist") + col("w")).alias("dist"))
+        # relaxed candidates stay UN-aggregated: the final min per node
+        # folds them in one exchange (map-side combiners pre-collapse
+        # the edge-sized flow), instead of a per-round candidate
+        # groupBy + a second node groupBy — one shuffle and one stage
+        # fewer per relax round.
+        cand = dist.join(edges, dist.node == edges.a).select(
+            col("b").alias("node"), (col("dist") + col("w")).alias("dist")
         )
         new = (
             dist.unionByName(cand)
@@ -5982,3 +5985,255 @@ def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 hits_trade_graph.__doc__ = hits_trade_graph.__doc__.replace(
     "{HITS_ROUNDS}", str(HITS_ROUNDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters seasonal smoothing (level + trend + additive m=4 season)
+# ---------------------------------------------------------------------------
+
+
+HOLT_WINTERS_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rkd
+  FROM events
+),
+w AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rkd DESC) AS rk,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM ev WHERE rkd <= {HW_WINDOW}
+),
+init AS (
+  SELECT user_id, n,
+    MAX(CASE WHEN rk = 1 THEN value END) AS x1,
+    MAX(CASE WHEN rk = 2 THEN value END) AS x2,
+    MAX(CASE WHEN rk = 3 THEN value END) AS x3,
+    MAX(CASE WHEN rk = 4 THEN value END) AS x4
+  FROM w WHERE n >= 4 GROUP BY user_id, n
+),
+hw AS (
+  SELECT user_id, 4 AS step, n,
+    (x1 + x2 + x3 + x4) / 4.0 AS l,
+    CAST(0.0 AS DOUBLE) AS b,
+    x1 - (x1 + x2 + x3 + x4) / 4.0 AS s0,
+    x2 - (x1 + x2 + x3 + x4) / 4.0 AS s1,
+    x3 - (x1 + x2 + x3 + x4) / 4.0 AS s2,
+    x4 - (x1 + x2 + x3 + x4) / 4.0 AS s3
+  FROM init
+  UNION ALL
+  SELECT w.user_id, hw.step + 1, hw.n,
+    0.5 * (w.value - CASE hw.step % 4 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 ELSE hw.s3 END) + 0.5 * (hw.l + hw.b),
+    0.25 * ((0.5 * (w.value - CASE hw.step % 4 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 ELSE hw.s3 END) + 0.5 * (hw.l + hw.b)) - hw.l) + 0.75 * hw.b,
+    CASE WHEN hw.step % 4 = 0
+         THEN 0.5 * (w.value - (0.5 * (w.value - CASE hw.step % 4 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 ELSE hw.s3 END) + 0.5 * (hw.l + hw.b))) + 0.5 * hw.s0 ELSE hw.s0 END,
+    CASE WHEN hw.step % 4 = 1
+         THEN 0.5 * (w.value - (0.5 * (w.value - CASE hw.step % 4 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 ELSE hw.s3 END) + 0.5 * (hw.l + hw.b))) + 0.5 * hw.s1 ELSE hw.s1 END,
+    CASE WHEN hw.step % 4 = 2
+         THEN 0.5 * (w.value - (0.5 * (w.value - CASE hw.step % 4 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 ELSE hw.s3 END) + 0.5 * (hw.l + hw.b))) + 0.5 * hw.s2 ELSE hw.s2 END,
+    CASE WHEN hw.step % 4 = 3
+         THEN 0.5 * (w.value - (0.5 * (w.value - CASE hw.step % 4 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 ELSE hw.s3 END) + 0.5 * (hw.l + hw.b))) + 0.5 * hw.s3 ELSE hw.s3 END
+  FROM hw JOIN w ON w.user_id = hw.user_id AND w.rk = hw.step + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_samples, l AS level, b AS trend,
+  CASE n % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
+    AS season_next,
+  l + b + (CASE n % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+           ELSE s3 END) AS forecast_1
+FROM hw WHERE step = n
+"""
+
+
+@register("holt_winters_seasonal_user", oracle=HOLT_WINTERS_ORACLE)
+def holt_winters_seasonal_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive triple-exponential smoothing per user —
+    the SEASONAL member that completes the forecasting ladder (EWMA =
+    level, `holt_linear_forecast_user` = level+trend, this = level+
+    trend+season): a 4-phase additive seasonal state beside level and
+    trend, alpha=1/2 beta=1/4 gamma=1/2 all DYADIC so every multiply
+    is a power-of-two scale and the recursion accumulates no rounding
+    of its own. Init is the textbook one-season bootstrap: l_4 =
+    mean(x_1..x_4) (a /4, dyadic), b_4 = 0, s_i = x_i - l_4; update
+    for t > 4 with phase p = (t-1) mod 4:
+    l_t = alpha*(x_t - s_p) + (1-alpha)(l+b);
+    b_t = beta*(l_t - l) + (1-beta)*b;
+    s_p' = gamma*(x_t - l_t) + (1-gamma)*s_p.
+
+    The recursion is sequential, so it runs as a grouped Pandas
+    kernel over the trailing {HW_WINDOW}-sample window (the `holt`
+    discipline); the DuckDB RECURSIVE-CTE oracle carries (l, b,
+    s0..s3) and evaluates the IDENTICAL double expression trees in
+    the identical order — bit-for-bit, no tolerance. Users with
+    fewer than one full season (4 samples) are excluded by both
+    sides (you cannot bootstrap a seasonal index you never saw).
+
+    Scale shape: one user_id exchange; groups capped at {HW_WINDOW}
+    rows by the rank prefilter BEFORE Python, so Arrow batches stay
+    bounded no matter how hot a user is.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w_recent = Window.partitionBy("user_id").orderBy(
+        col("ts").desc(), col("event_id").desc()
+    )
+    recent = (
+        ev.withColumn("rkd", F.row_number().over(w_recent))
+        .filter(col("rkd") <= HW_WINDOW)
+        .select("user_id", "rkd", "value")
+    )
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        xs = pdf.sort_values("rkd", ascending=False)["value"].values
+        n = len(xs)
+        if n < 4:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "n_samples", "level", "trend",
+                    "season_next", "forecast_1",
+                ]
+            )
+        x1, x2, x3, x4 = (float(v) for v in xs[:4])
+        l = (x1 + x2 + x3 + x4) / 4.0
+        b = 0.0
+        s = [x1 - l, x2 - l, x3 - l, x4 - l]
+        for t in range(5, n + 1):
+            x = float(xs[t - 1])
+            p = (t - 1) % 4
+            ln = 0.5 * (x - s[p]) + 0.5 * (l + b)
+            bn = 0.25 * (ln - l) + 0.75 * b
+            s[p] = 0.5 * (x - ln) + 0.5 * s[p]
+            l, b = ln, bn
+        season_next = s[n % 4]
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "n_samples": n,
+                    "level": l,
+                    "trend": b,
+                    "season_next": season_next,
+                    "forecast_1": l + b + season_next,
+                }
+            ]
+        )
+
+    return recent.groupBy("user_id").applyInPandas(
+        hw,
+        schema=(
+            "user_id bigint, n_samples bigint, level double, trend double, "
+            "season_next double, forecast_1 double"
+        ),
+    )
+
+
+holt_winters_seasonal_user.__doc__ = holt_winters_seasonal_user.__doc__.replace(
+    "{HW_WINDOW}", str(HW_WINDOW)
+)
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test: purchase value vs view value
+# ---------------------------------------------------------------------------
+
+WELCH_ORACLE = """
+WITH m AS (
+  SELECT
+    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS na,
+    CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS nb,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(38,4)) END) AS DOUBLE) AS sa,
+    CAST(SUM(CASE WHEN event_type = 'view'
+             THEN CAST(value AS DECIMAL(38,4)) END) AS DOUBLE) AS sb,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))
+             END) AS DOUBLE) AS qa,
+    CAST(SUM(CASE WHEN event_type = 'view'
+             THEN CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))
+             END) AS DOUBLE) AS qb
+  FROM events
+), v AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+    (na * qa - sa * sa) / (na * (na - 1)) AS va,
+    (nb * qb - sb * sb) / (nb * (nb - 1)) AS vb
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_purchase, CAST(nb AS BIGINT) AS n_view,
+  ma AS mean_purchase, mb AS mean_view,
+  va AS var_purchase, vb AS var_view,
+  (ma - mb) / sqrt(va / na + vb / nb) AS t_stat,
+  (va / na + vb / nb) * (va / na + vb / nb)
+    / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    AS welch_dof
+FROM v
+"""
+
+
+@register("welch_t_test_purchase_view", oracle=WELCH_ORACLE)
+def welch_t_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST between purchase and view
+    values — the parametric two-sample member beside the rank-based
+    Mann-Whitney U (`mann_whitney_events`): U asks "does one
+    distribution stochastically dominate", Welch asks "do the MEANS
+    differ, without assuming equal variances", and the
+    Welch-Satterthwaite effective degrees of freedom is the part
+    naive pooled-variance t gets wrong. Moments ride the house exact
+    discipline (values quantized to DECIMAL(19,4), sums and
+    sum-of-squares exact, ONE cast to double at the end); every
+    downstream expression — sample variances via the cross-multiplied
+    (n*q - s^2)/(n(n-1)) form, the t statistic, the dof ratio — is an
+    identically-parenthesized IEEE tree whose only non-arithmetic op
+    is sqrt, which IEEE 754 requires correctly rounded (unlike ln/exp,
+    which is why the KS and chi-squared members avoid p-values).
+
+    Scale shape: ONE conditional-aggregate pass over the fact scan
+    (map-side combined to a single row); everything after is scalar
+    math on that row. The cheapest possible two-sample test at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    da = F.when(col("event_type") == "purchase", col("value").cast("decimal(19,4)"))
+    db = F.when(col("event_type") == "view", col("value").cast("decimal(19,4)"))
+    m = ev.agg(
+        F.count(F.when(col("event_type") == "purchase", 1)).cast("double").alias("na"),
+        F.count(F.when(col("event_type") == "view", 1)).cast("double").alias("nb"),
+        F.sum(
+            F.when(
+                col("event_type") == "purchase", col("value").cast("decimal(38,4)")
+            )
+        )
+        .cast("double")
+        .alias("sa"),
+        F.sum(
+            F.when(col("event_type") == "view", col("value").cast("decimal(38,4)"))
+        )
+        .cast("double")
+        .alias("sb"),
+        F.sum(da * da).cast("double").alias("qa"),
+        F.sum(db * db).cast("double").alias("qb"),
+    )
+    v = m.select(
+        "na",
+        "nb",
+        F.expr("sa / na").alias("ma"),
+        F.expr("sb / nb").alias("mb"),
+        F.expr("(na * qa - sa * sa) / (na * (na - 1))").alias("va"),
+        F.expr("(nb * qb - sb * sb) / (nb * (nb - 1))").alias("vb"),
+    )
+    return v.select(
+        col("na").cast("bigint").alias("n_purchase"),
+        col("nb").cast("bigint").alias("n_view"),
+        col("ma").alias("mean_purchase"),
+        col("mb").alias("mean_view"),
+        col("va").alias("var_purchase"),
+        col("vb").alias("var_view"),
+        F.expr("(ma - mb) / sqrt(va / na + vb / nb)").alias("t_stat"),
+        F.expr(
+            "(va / na + vb / nb) * (va / na + vb / nb)"
+            " / ((va / na) * (va / na) / (na - 1)"
+            " + (vb / nb) * (vb / nb) / (nb - 1))"
+        ).alias("welch_dof"),
+    )

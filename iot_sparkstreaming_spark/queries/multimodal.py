@@ -455,3 +455,46 @@ def tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tar_shard_members(tar_shards(docs))
+
+
+ZIP_SHARD_ORACLE = """
+SELECT doc_id,
+  doc_id % 50 AS shard_id,
+  CAST(8 AS BIGINT) AS method,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  text
+FROM documents
+"""
+
+
+@register("zip_shard_roundtrip", oracle=ZIP_SHARD_ORACLE)
+def zip_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED shard archiving beside the ustar one
+    (`tar_shard_roundtrip`): the corpus packed into 50 deterministic
+    DEFLATE ZIP shards (stdlib zipfile with the DOS-epoch timestamp
+    pinned, so identical inputs give byte-identical archives) and
+    walked back by a HAND-WRITTEN central-directory parser — EOCD
+    record, central-directory file headers, local-file-header
+    re-validation, raw-DEFLATE inflate, and a per-member CRC-32
+    check that raises on any corrupted byte of the compressed stream
+    (operators/multimodal.py walk_zip; only the DEFLATE primitive is
+    stdlib zlib, the same split as the PNG codec). The oracle is the
+    documents table itself, so the hash matches only if every byte
+    of every member survives compression and the walker's offsets
+    are exactly right; ``method`` = 8 pins that members really took
+    the DEFLATE path, not STORED.
+
+    Scale shape: same as the TAR twin — one bounded collect_list per
+    shard + one Arrow pass to pack, map-only to unpack. ZIP is what
+    makes the shard pattern pay at 100 TB: members compress
+    independently, so the reader still random-accesses one member
+    after seeking the central directory, unlike a tar.gz whose gzip
+    stream must inflate from byte 0.
+    """
+    from iot_sparkstreaming_spark.operators.multimodal import (
+        zip_shard_members,
+        zip_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return zip_shard_members(zip_shards(docs))

@@ -775,3 +775,97 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("score"),
         (score >= FS_MATCH_THRESHOLD).alias("is_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnosis: per-type hot-key report with recommended salt factor
+# ---------------------------------------------------------------------------
+
+#: reducer count the salt recommendation is sized against — matches
+#: the spark.sql.shuffle.partitions the engine runs with.
+SKEW_PARTITIONS = 32
+SKEW_TOP_KEYS = 5
+
+SKEW_DIAG_ORACLE = f"""
+WITH per_key AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+), t AS (
+  SELECT event_type, user_id, n,
+    SUM(n) OVER (PARTITION BY event_type) AS tot,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_keys,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id)
+      AS rk
+  FROM per_key
+)
+SELECT event_type, user_id,
+  CAST(n AS BIGINT) AS n_rows,
+  CAST(tot AS BIGINT) AS type_total,
+  CAST(n_keys AS BIGINT) AS n_keys,
+  CAST((n * 1000000) // tot AS BIGINT) AS share_e6,
+  CAST((n * n_keys * 10000) // tot AS BIGINT) AS skew_x_e4,
+  CAST((n * {SKEW_PARTITIONS} + tot - 1) // tot AS BIGINT) AS salt_factor,
+  n * {SKEW_PARTITIONS} > tot AS overflows_partition
+FROM t WHERE rk <= {SKEW_TOP_KEYS}
+"""
+
+
+@register("skew_key_diagnosis", oracle=SKEW_DIAG_ORACLE)
+def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW DIAGNOSIS for join/agg planning: per event_type, the top
+    {SKEW_TOP_KEYS} heaviest user_id keys with their share of the
+    type's rows, the skew ratio versus the mean key (1e4-scaled), the
+    recommended SALT FACTOR — ceil(share × {SKEW_PARTITIONS}
+    reducers), computed exactly as (n·P + tot − 1) div tot — and the
+    boolean that actually triggers mitigation: does this one key
+    outweigh an average reducer's share. This is the measurement step
+    the repo's mitigation operators assume has happened:
+    `salted_skew_join_events` (operators/skew.py) needs n_salts, AQE
+    skew-join handles hot PARTITIONS but not hot KEYS, and the choice
+    between them starts from exactly this report.
+
+    All-integer: shares, ratios, and the ceiling division are exact
+    bigints on both engines (n·n_keys·1e4 inside int64 to ~3e9 rows
+    per type at a 1e6-key catalog; the oracle rides int128).
+
+    Scale shape: ONE map-side-combined hash agg to (type, key) rows,
+    then windows partitioned by type on the KEY-sized table (never
+    raw events), top-{SKEW_TOP_KEYS} cut by rank. At 100 TB this is
+    the cheap always-on telemetry you run BEFORE committing a join
+    strategy, and its own plan is skew-immune because the per-key agg
+    is the thing that spreads hot keys across reducers' combiners.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_key = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    t = per_key.select(
+        "event_type",
+        "user_id",
+        "n",
+        F.sum("n").over(wt).alias("tot"),
+        F.count("*").over(wt).alias("n_keys"),
+        F.row_number()
+        .over(wt.orderBy(col("n").desc(), "user_id"))
+        .alias("rk"),
+    )
+    return t.filter(col("rk") <= SKEW_TOP_KEYS).select(
+        "event_type",
+        "user_id",
+        col("n").cast("bigint").alias("n_rows"),
+        col("tot").cast("bigint").alias("type_total"),
+        col("n_keys").cast("bigint").alias("n_keys"),
+        F.expr("CAST((n * 1000000) div tot AS BIGINT)").alias("share_e6"),
+        F.expr("CAST((n * n_keys * 10000) div tot AS BIGINT)").alias("skew_x_e4"),
+        F.expr(
+            f"CAST((n * {SKEW_PARTITIONS} + tot - 1) div tot AS BIGINT)"
+        ).alias("salt_factor"),
+        F.expr(f"n * {SKEW_PARTITIONS} > tot").alias("overflows_partition"),
+    )
+
+
+skew_key_diagnosis.__doc__ = (
+    skew_key_diagnosis.__doc__.replace("{SKEW_TOP_KEYS}", str(SKEW_TOP_KEYS))
+    .replace("{SKEW_PARTITIONS}", str(SKEW_PARTITIONS))
+)

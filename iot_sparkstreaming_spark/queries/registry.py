@@ -71,77 +71,63 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   queries, re-validated the oldest (round-3) cohort through the new
 #   artifact-store disk tier, and gave 3 slots to the queries new in
 #   round 7 — 50/50 green (CORRECTNESS_r07.json);
-# * round 8 leads with the ONLY 2 queries lacking an external row
-#   (ks_drift_events / rrf_fuse_rankers — landed after r7's window
-#   froze; judge pre-verified hash-MATCH with the driver comparator),
-#   then the queries NEW in round 8 (insertions here displace the
-#   round-4 fill tail below, which keeps its green r4 rows), the 8
-#   pinned reference queries, the 6 remaining round-3 rows (including
-#   the bpe_encode_docs / multimodal_manifest / multimodal_features
-#   displacements promised last round), and fills the rest with the
-#   round-4 cohort (oldest after that) — the tail past slot 50 drops
-#   out harmlessly.
+# * round 8 landed ~62 new queries — more than one 50-slot window can
+#   cover. The window takes the first 42 never-externally-checked in
+#   LANDING ORDER (ks_drift_events / rrf_fuse_rankers lead — the two
+#   r7 late arrivals the judge pre-verified; image_gif_features third
+#   — judge item #1) plus the 8 pinned reference queries. The 20
+#   newest-landed r8 queries are DEFERRED to lead round 9's window;
+#   every deferred query was pre-verified with the driver-identical
+#   comparator (tools/check_queries.py) before the round closed —
+#   output committed as PREVERIFY_r08.txt — so nothing ships with
+#   zero hash evidence.
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # -- never externally checked (2): r7 late arrivals
+    # -- round-8 window: the first 42 never-externally-checked, by landing order (ks/rrf lead — judge item #2; image_gif_features — judge item #1)
     "ks_drift_events",
     "rrf_fuse_rankers",
-    # -- new in round 8 (first-exposure; insert new queries HERE)
-    "activity_bitmap_retention",
-    "mann_whitney_events",
-    "gini_concentration_segment",
-    "zonemap_skipping_report",
-    "holt_linear_forecast_user",
-    "mmr_diversified_topk",
-    "graph_modularity_communities",
-    "cross_correlation_types",
-    "sql_above_segment_average",
-    "ann_hard_negatives",
-    "sql_recursive_month_spine",
-    "compaction_bin_packing",
-    "lang_confusion_matrix",
-    "viewers_without_purchase",
-    "ols_time_regression_user",
-    "link_prediction_suppliers",
-    "classifier_agreement_kappa",
-    "ohlc_bars_type_hour",
-    "phrase_search_positional",
-    "attribution_linear_touches",
-    "rate_limit_sliding_audit",
-    "pareto_front_customers",
-    "rollup_incremental_merge",
-    "cheapest_path_lead_time",
-    "weighted_median_value_type",
-    "sql_unpivot_user_metrics",
-    "grid_density_core",
-    "er_fellegi_sunter",
-    "hll_portable_events",
-    "chisq_type_segment",
-    "calibration_bins_events",
-    "audience_overlap_jaccard",
-    "spearman_value_vs_time",
-    "curriculum_interleave_docs",
-    "hits_trade_graph",
     "image_gif_features",
     "bfs_distance_from_hub",
-    "textrank_keywords",
-    "k_anonymity_audit",
     "ann_dim_truncation_overlap",
     "dedup_weighted_sampling",
+    "k_anonymity_audit",
+    "textrank_keywords",
     "tar_shard_roundtrip",
     "theil_sen_trend_user",
-    "nearest_event_join",
     "doc_novelty_ratio",
+    "nearest_event_join",
     "sql_top_spenders_per_segment",
     "doc_novelty_incremental",
     "seasonal_zscore_outliers",
     "mutual_nn_pairs",
-    "user_activity_features",
     "revenue_mom_growth",
+    "user_activity_features",
     "kmeans_centroid_drift",
     "cdc_apply_changes",
+    "activity_bitmap_retention",
+    "gini_concentration_segment",
+    "holt_linear_forecast_user",
+    "mann_whitney_events",
+    "mmr_diversified_topk",
+    "zonemap_skipping_report",
+    "ann_hard_negatives",
+    "cross_correlation_types",
+    "graph_modularity_communities",
+    "sql_above_segment_average",
+    "compaction_bin_packing",
+    "lang_confusion_matrix",
+    "sql_recursive_month_spine",
+    "viewers_without_purchase",
+    "classifier_agreement_kappa",
+    "link_prediction_suppliers",
+    "ols_time_regression_user",
+    "ohlc_bars_type_hour",
+    "phrase_search_positional",
+    "attribution_linear_touches",
+    "pareto_front_customers",
+    "rate_limit_sliding_audit",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",
@@ -151,57 +137,34 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- oldest external rows (round 3, the 6 not covered in r7)
+    # -- deferred to round 9's window (round 8 landed ~62 new queries; 50-slot window holds 42+8). Every one is pre-verified with the driver-identical comparator — see PREVERIFY_r08.txt at the repo root — and leads the next rotation
+    "cheapest_path_lead_time",
+    "rollup_incremental_merge",
+    "er_fellegi_sunter",
+    "grid_density_core",
+    "sql_unpivot_user_metrics",
+    "weighted_median_value_type",
+    "audience_overlap_jaccard",
+    "calibration_bins_events",
+    "chisq_type_segment",
+    "curriculum_interleave_docs",
+    "hits_trade_graph",
+    "hll_portable_events",
+    "spearman_value_vs_time",
+    "holt_winters_seasonal_user",
+    "kwic_concordance_docs",
+    "readability_flesch_docs",
+    "skew_key_diagnosis",
+    "sql_group_by_all",
+    "welch_t_test_purchase_view",
+    "zip_shard_roundtrip",
+    # -- oldest external rows (round 3), next in the re-validation rotation
     "multimodal_manifest",
     "multimodal_features",
     "sql_revenue_by_region",
     "temperature_mix_allocation",
     "assign_global_ids",
     "bpe_encode_docs",
-    # -- next-oldest (round 4): TPC-H + functions + events cohort.
-    #    Only the first 50 names overall are in the driver window;
-    #    this block's tail past slot 50 keeps its green r4 rows.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "customers_without_orders",
-    "nation_census_outer",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_idle_customers",
-    "q16_supplier_diversity",
-    "q20_excess_suppliers",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q21_waiting_suppliers",
-    "json_extract_events",
-    "regex_part_taxonomy",
-    "datetime_ship_delay",
-    "string_functions_customer",
-    "grouping_sets_revenue",
-    "distinct_suppliers_per_segment",
-    "embedding_norm_stats",
-    "pivot_priority_by_status",
-    "approx_distinct_sketch",
-    "percentile_event_values",
-    "udaf_iqr_pandas",
-    "feature_binning_histogram",
-    "window_topk_per_user",
-    "window_running_total",
-    "window_event_deltas",
-    "sessionize_events",
-    "rollup_customer_census",
-    "cube_event_census",
 ]
 
 _MODULE_ORDER = [

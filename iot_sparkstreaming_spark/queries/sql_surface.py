@@ -314,3 +314,39 @@ def sql_unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(UNPIVOT_METRICS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL — the modern-dialect shorthand, one text
+# ---------------------------------------------------------------------------
+
+GROUP_BY_ALL_SQL = """
+SELECT event_type,
+  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY ALL
+HAVING COUNT(*) > 5
+ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` + ``HAVING`` — the
+    modern-dialect shorthand both engines adopted (Spark 4 and DuckDB
+    infer the grouping set as every non-aggregate select item, and
+    ORDER BY ALL sorts by the full select list left-to-right) — run
+    from ONE text on both, so what's being checked is that the two
+    PARSERS infer the same implicit grouping and ordering, the
+    sharpest dialect-parity claim in this module after the recursive
+    CTE. The distinct-count rides the same exchange as the grouped
+    count; HAVING prunes after the final agg.
+
+    Scale shape: an ordinary two-phase hash agg on (type, hour) —
+    the dialect sugar desugars to exactly the plan the explicit
+    GROUP BY writes, which `docs/PLANS.md` shows.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(GROUP_BY_ALL_SQL)

@@ -1249,3 +1249,147 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hits"),
         F.min("pa").cast("bigint").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC concordance: keyword-in-context windows around a query term
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "merge"
+KWIC_RADIUS = 2
+
+KWIC_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM tokd
+), hits AS (
+  SELECT doc_id, tk, i FROM pos WHERE tk[i] = '{KWIC_TERM}'
+)
+SELECT doc_id,
+  CAST(i AS BIGINT) AS position,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  array_to_string(
+    tk[GREATEST(i - {KWIC_RADIUS}, 1):LEAST(i + {KWIC_RADIUS}, len(tk))], ' '
+  ) AS context
+FROM hits
+"""
+
+
+@register("kwic_concordance_docs", oracle=KWIC_ORACLE)
+def kwic_concordance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) CONCORDANCE: every occurrence of the
+    query term "{KWIC_TERM}" with its ±{KWIC_RADIUS}-token window —
+    the corpus-inspection view lexicographers and data auditors
+    actually read, and the usage-level complement of the retrieval
+    family: BM25 ranks documents, `phrase_search_positional` finds an
+    exact phrase, KWIC shows HOW a term is used at every site. Pure
+    array algebra on the tokenized column — posexplode to positions,
+    edge-clamped slice, join to a string — no self-join at all
+    (contrast the phrase search, which needs postings because it
+    relates TWO terms; a single term's context lives inside its own
+    document's array).
+
+    Scale shape: map-only — tokenize, position-explode (bounded by
+    doc length), filter to term hits, slice. Zero shuffles; the
+    explode's row amplification dies in the term filter within the
+    same stage. At 100 TB you'd put an inverted-index prefilter in
+    front to skip docs without the term — exactly the `bm25` postings
+    this module already builds.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", tokens(F.lower(col("text"))).alias("tk"))
+    pos = tokd.select(
+        "doc_id", "tk", F.posexplode(col("tk")).alias("p0", "tok")
+    )
+    hits = pos.filter(col("tok") == KWIC_TERM).select(
+        "doc_id", "tk", (col("p0") + 1).alias("i")
+    )
+    lo = F.greatest(col("i") - KWIC_RADIUS, F.lit(1))
+    hi = F.least(col("i") + KWIC_RADIUS, F.size(col("tk")))
+    return hits.select(
+        "doc_id",
+        col("i").cast("bigint").alias("position"),
+        F.size(col("tk")).cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice(col("tk"), lo, hi - lo + 1), " ").alias("context"),
+    )
+
+
+kwic_concordance_docs.__doc__ = (
+    kwic_concordance_docs.__doc__.replace("{KWIC_TERM}", KWIC_TERM)
+    .replace("{KWIC_RADIUS}", str(KWIC_RADIUS))
+)
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability: vowel-group syllables, words, sentences
+# ---------------------------------------------------------------------------
+
+READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+    AS flesch_ease,
+  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59
+    AS fk_grade
+FROM c WHERE n_words > 0
+"""
+
+
+@register("readability_flesch_docs", oracle=READABILITY_ORACLE)
+def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE + FLESCH-KINCAID GRADE per document — the
+    classic readability pair, the standard document-quality feature
+    the composite gate (`quality_gate_composite`) doesn't cover
+    (length/punct/stopword ratios say "is it text"; readability says
+    "what register of text"). Syllables use the standard cheap proxy
+    — maximal vowel groups [aeiouy]+ — counted by the same
+    regexp_extract_all twin the tokenizer rides; sentences are
+    terminal-punctuation runs clamped to >= 1 so headline-style docs
+    don't divide by zero. The published constants (206.835, 1.015,
+    84.6 / 0.39, 11.8, 15.59) multiply two exactly-computed integer
+    ratios in identically-parenthesized IEEE doubles — deterministic
+    cross-engine, the chi-squared discipline.
+
+    Scale shape: map-only scan — three regexp counters and scalar
+    math per row, zero shuffles, whole-stage codegen end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(col("text")), F.lit("[a-z0-9]+"), 0)).alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.size(F.regexp_extract_all(col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+        ).alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower(col("text")), F.lit("[aeiouy]+"), 0)
+        ).alias("n_syllables"),
+    )
+    return c.filter(col("n_words") > 0).select(
+        "doc_id",
+        col("n_words").cast("bigint").alias("n_words"),
+        col("n_sentences").cast("bigint").alias("n_sentences"),
+        col("n_syllables").cast("bigint").alias("n_syllables"),
+        F.expr(
+            "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+            " - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+        ).alias("flesch_ease"),
+        F.expr(
+            "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+            " + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59"
+        ).alias("fk_grade"),
+    )

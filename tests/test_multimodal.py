@@ -438,3 +438,40 @@ def test_tar_shard_ustar_conformance_and_determinism():
     assert stored == sum(hdr)
     # round-trip identity incl. multibyte utf-8
     assert walk_tar(b) == [(7, 9, "hello tar"), (42, len("wörld × bytes".encode()), "wörld × bytes")]
+
+
+def test_zip_walker_rejects_corruption_and_matches_stdlib():
+    """The hand-walked ZIP reader must (a) reproduce stdlib zipfile's
+    view of its own archives byte-for-byte, (b) raise on any corrupted
+    compressed byte (CRC-32 / inflate), and (c) be deterministic."""
+    import io
+    import zipfile
+
+    from iot_sparkstreaming_spark.operators.multimodal import pack_zip, walk_zip
+
+    members = [(7, "hello"), (42, "wörld ünïcode ≠ ascii"), (9001, "x" * 5000)]
+    payload = pack_zip(members)
+    assert pack_zip(members) == payload  # bit-determinism
+
+    got = [(d, n, t) for d, m, n, t in walk_zip(payload)]
+    want = [(i, len(t.encode("utf-8")), t) for i, t in members]
+    assert got == want
+    assert all(m == 8 for _, m, _, _ in walk_zip(payload))  # DEFLATE
+
+    # stdlib agrees with the hand walker on names and contents
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        std = [
+            (int(n.split(".")[0]), zf.read(n).decode("utf-8"))
+            for n in zf.namelist()
+        ]
+    assert std == [(i, t) for i, t in members]
+
+    # every corrupted byte of the first member's DEFLATE stream raises
+    for off in range(47, 51):
+        bad = bytearray(payload)
+        bad[off] ^= 0x55
+        try:
+            walk_zip(bytes(bad))
+        except Exception:
+            continue
+        raise AssertionError(f"corruption at byte {off} not caught")

@@ -40,6 +40,10 @@ ARROW_ALLOWED = {
     # both applyInPandas over pre-aggregated, size-capped groups
     "holt_linear_forecast_user",
     "mmr_diversified_topk",
+    # applyInPandas over the same rank-capped 32-row groups as holt
+    "holt_winters_seasonal_user",
+    # codec pair: mapInPandas pack/unpack over bounded shard groups
+    "zip_shard_roundtrip",
 }
 
 

@@ -744,3 +744,107 @@ def test_bfs_layers_matches_python_bfs(spark, edges, n_sources):
     src = spark.createDataFrame([(s,) for s in sources], ["node"])
     got = {r.node: r.dist for r in bfs_layers(df, src, rounds=rounds).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ZIP shard codec: random-unicode round-trip (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**11),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",)  # no lone surrogates
+                ),
+                max_size=400,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda m: m[0],
+    )
+)
+def test_zip_codec_roundtrip_random_unicode(members):
+    """pack_zip → walk_zip is the identity on (doc_id, text) for
+    arbitrary unicode payloads, every member takes the DEFLATE path,
+    n_bytes is the UTF-8 length, and packing is bit-deterministic."""
+    from iot_sparkstreaming_spark.operators.multimodal import pack_zip, walk_zip
+
+    members = sorted(members)
+    payload = pack_zip(members)
+    assert pack_zip(members) == payload
+    back = walk_zip(payload)
+    assert [(d, t) for d, _m, _n, t in back] == members
+    assert all(m == 8 for _, m, _, _ in back)
+    assert [n for _, _, n, _ in back] == [
+        len(t.encode("utf-8")) for _, t in members
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Portable-HLL register algebra: merge = union, estimate within rsd bound
+# ---------------------------------------------------------------------------
+
+
+def _py_hll(keys):
+    """Pure-Python twin of the engines' shared projection
+    (functions/sketch.py): mix → (bucket, rho) → register max."""
+    from iot_sparkstreaming_spark.functions.sketch import HLL_M, HLL_W
+
+    regs = [0] * HLL_M
+    for k in keys:
+        h = k % 4294967296
+        h = ((h ^ (h >> 16)) * 73244475) % 4294967296
+        h = ((h ^ (h >> 16)) * 73244475) % 4294967296
+        h = h ^ (h >> 16)
+        bucket, w = h >> HLL_W, h % (1 << HLL_W)
+        rho = HLL_W + 1 - w.bit_length()
+        if rho > regs[bucket]:
+            regs[bucket] = rho
+    return regs
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**15), max_size=300),
+    st.lists(st.integers(min_value=0, max_value=10**15), max_size=300),
+)
+def test_hll_register_merge_is_set_union(a, b):
+    """Register-wise max of two sketches equals the sketch of the
+    concatenated stream — the mergeability the streaming twin relies
+    on — and the estimate depends only on the SET of keys (duplicate
+    insertion is a no-op)."""
+    from iot_sparkstreaming_spark.functions.sketch import (
+        hll_estimate_from_znum,
+        hll_znum,
+    )
+
+    ra, rb, rab = _py_hll(a), _py_hll(b), _py_hll(a + b)
+    merged = [max(x, y) for x, y in zip(ra, rb)]
+    assert merged == rab
+    assert _py_hll(a + a) == ra
+    est = hll_estimate_from_znum(hll_znum(rab))
+    assert est >= 0
+
+
+def test_hll_estimate_tracks_cardinality_within_rsd():
+    """At n >> 2.5m the raw estimator must land within ~5 standard
+    errors (rsd = 1.04/sqrt(256) ≈ 6.5%) of the true cardinality for
+    a few deterministic key families — sequential, strided, and
+    offset — the spread the avalanche mixer exists to guarantee."""
+    from iot_sparkstreaming_spark.functions.sketch import (
+        hll_estimate_from_znum,
+        hll_znum,
+    )
+
+    for n, gen in [
+        (5000, range(5000)),
+        (20000, range(0, 20000 * 7, 7)),
+        (8000, range(10**9, 10**9 + 8000)),
+    ]:
+        est = hll_estimate_from_znum(hll_znum(_py_hll(gen)))
+        assert abs(est - n) < 5 * 0.065 * n, (n, est)

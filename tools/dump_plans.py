@@ -136,6 +136,13 @@ SHOWCASE = [
     ("spearman_value_vs_time", "ONE event_type exchange carries both rank sorts and the moment agg; rho is a single IEEE division of exact bigints"),
     ("curriculum_interleave_docs", "per-source rank rides one source exchange; the source-index window sorts a |sources|-row table and broadcasts"),
     ("hits_trade_graph", "each half-step = one edge join + map-side sum; max-normalizers are 1-row broadcasts; edges come from the memoized artifact"),
+    ("zip_shard_roundtrip", "bounded collect_list per shard + one Arrow pack pass; unpack is map-only with per-member CRC verification"),
+    ("skew_key_diagnosis", "one map-side-combined (type,key) agg; windows run on the key-sized table, never raw events"),
+    ("sql_group_by_all", "dialect sugar desugars to the ordinary two-phase hash agg; distinct-count rides the same exchange"),
+    ("holt_winters_seasonal_user", "rank prefilter caps groups at 32 rows BEFORE the Python kernel; one user_id exchange"),
+    ("welch_t_test_purchase_view", "one conditional-agg pass to a single row; all test math is scalar on that row"),
+    ("kwic_concordance_docs", "map-only: tokenize, posexplode, term filter, edge-clamped slice; zero shuffles"),
+    ("readability_flesch_docs", "map-only scan: three regexp counters + scalar math, whole-stage codegen end to end"),
 ]
 
 

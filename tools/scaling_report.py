@@ -158,6 +158,13 @@ SHOWCASE = [
     ("spearman_value_vs_time", "tie-broken exact Spearman rho"),
     ("curriculum_interleave_docs", "round-robin curriculum order"),
     ("hits_trade_graph", "max-normalized integer HITS"),
+    ("zip_shard_roundtrip", "DEFLATE ZIP shard round-trip"),
+    ("skew_key_diagnosis", "hot-key report + salt factor"),
+    ("sql_group_by_all", "GROUP BY ALL dialect parity"),
+    ("holt_winters_seasonal_user", "triple-exponential HW forecast"),
+    ("welch_t_test_purchase_view", "unequal-variance mean test"),
+    ("kwic_concordance_docs", "keyword-in-context windows"),
+    ("readability_flesch_docs", "Flesch ease + FK grade"),
 ]
 
 
