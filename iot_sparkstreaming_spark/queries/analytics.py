@@ -4467,6 +4467,46 @@ def gini_concentration_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 HW_WINDOW = 32  # trailing samples per user — bounds recursion depth
 
 
+def _recent_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trailing-{HW_WINDOW}-sample (user_id, rkd, value) frame both
+    exponential-smoothing queries fold over — ONE per-user descending
+    rank pass, session-memoized and eagerly materialized so Holt and
+    Holt-Winters share a single window sort instead of each paying the
+    full events exchange (the `_trade_pairs` discipline)."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        w_recent = Window.partitionBy("user_id").orderBy(
+            col("ts").desc(), col("event_id").desc()
+        )
+        recent = (
+            ev.withColumn("rkd", F.row_number().over(w_recent))
+            .filter(col("rkd") <= HW_WINDOW)
+            .select("user_id", "rkd", "value")
+        )
+        # one row per user, window as an array ORDERED OLDEST-FIRST
+        # (rkd descends with age, so sort by rkd then reverse): the
+        # smoothing kernels then run under mapInPandas with one Arrow
+        # batch per ~thousand USERS, not one pandas frame per user —
+        # the per-group dispatch overhead of applyInPandas is what
+        # made the first cut of these queries 3+ s at sf0.1.
+        return (
+            recent.groupBy("user_id")
+            .agg(
+                F.reverse(
+                    F.array_sort(F.collect_list(F.struct("rkd", "value")))
+                ).alias("xs")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, ("recent_per_user", sf_dir), build)
+
+
+
 HOLT_ORACLE = f"""
 WITH RECURSIVE ev AS (
   SELECT user_id, value,
@@ -4504,15 +4544,17 @@ def holt_linear_forecast_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_t = β(l_t − l_(t−1)) + (1−β)·b_(t−1), α=1/2 β=1/4, init
     l_1=x_1, b_1=0; output the final state and a 3-step-ahead
     forecast l+3b. The recursion is genuinely sequential — the op
-    built-ins can't express — so it runs as a grouped Pandas kernel
-    (`applyInPandas`), the sanctioned Python shape; α,β are DYADIC so
+    built-ins can't express — so it runs as a Pandas kernel over
+    per-user window ARRAYS (collect_list → mapInPandas — one Arrow
+    batch per ~thousand users, not one dispatch per user, which is
+    what made the applyInPandas first cut 10× slower); α,β are DYADIC so
     every multiply is a power-of-two scale, and both engines evaluate
     the IDENTICAL double expression tree in the identical order, so
     the DuckDB RECURSIVE-CTE oracle (one iterate per step) matches
     bit-for-bit — no tolerance anywhere.
 
-    Scale shape: one user_id exchange; each group is capped at
-    {HW_WINDOW} rows by the window-rank prefilter BEFORE the Python
+    Scale shape: one user_id exchange; each user's array is capped at
+    {HW_WINDOW} values by the window-rank prefilter BEFORE the Python
     stage, so Arrow batches are tiny and bounded regardless of
     history length. The streaming twin of this recursion family lives
     in streaming/stateful.py (EWMA); this is the batch
@@ -4520,39 +4562,35 @@ def holt_linear_forecast_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    w_recent = Window.partitionBy("user_id").orderBy(
-        col("ts").desc(), col("event_id").desc()
-    )
-    recent = (
-        ev.withColumn("rkd", F.row_number().over(w_recent))
-        .filter(col("rkd") <= HW_WINDOW)
-        .select("user_id", "rkd", "value")
-    )
+    recent = _recent_per_user(spark, sf_dir)
 
-    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        xs = pdf.sort_values("rkd", ascending=False)["value"].values
-        l, b = float(xs[0]), 0.0
-        for x in xs[1:]:
-            x = float(x)
-            ln = 0.5 * x + 0.5 * (l + b)
-            b = 0.25 * (ln - l) + 0.75 * b
-            l = ln
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": pdf["user_id"].iloc[0],
-                    "n_samples": len(xs),
-                    "level": l,
-                    "trend": b,
-                    "forecast_3": l + 3.0 * b,
-                }
-            ]
-        )
+    def holt(batches):
+        import pandas as pd
 
-    return recent.groupBy("user_id").applyInPandas(
+        for pdf in batches:
+            rows = []
+            for uid, arr in zip(pdf["user_id"], pdf["xs"]):
+                xs = [float(e["value"]) for e in arr]
+                l, b = xs[0], 0.0
+                for x in xs[1:]:
+                    ln = 0.5 * x + 0.5 * (l + b)
+                    b = 0.25 * (ln - l) + 0.75 * b
+                    l = ln
+                rows.append(
+                    {
+                        "user_id": int(uid),
+                        "n_samples": len(xs),
+                        "level": l,
+                        "trend": b,
+                        "forecast_3": l + 3.0 * b,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "n_samples", "level", "trend", "forecast_3"],
+            )
+
+    return recent.mapInPandas(
         holt,
         schema=(
             "user_id bigint, n_samples bigint, level double, "
@@ -6061,68 +6099,60 @@ def holt_winters_seasonal_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_t = beta*(l_t - l) + (1-beta)*b;
     s_p' = gamma*(x_t - l_t) + (1-gamma)*s_p.
 
-    The recursion is sequential, so it runs as a grouped Pandas
-    kernel over the trailing {HW_WINDOW}-sample window (the `holt`
-    discipline); the DuckDB RECURSIVE-CTE oracle carries (l, b,
+    The recursion is sequential, so it runs as a Pandas kernel over
+    per-user trailing-{HW_WINDOW} window ARRAYS (collect_list →
+    mapInPandas, the `holt` batching discipline); the DuckDB
+    RECURSIVE-CTE oracle carries (l, b,
     s0..s3) and evaluates the IDENTICAL double expression trees in
     the identical order — bit-for-bit, no tolerance. Users with
     fewer than one full season (4 samples) are excluded by both
     sides (you cannot bootstrap a seasonal index you never saw).
 
-    Scale shape: one user_id exchange; groups capped at {HW_WINDOW}
-    rows by the rank prefilter BEFORE Python, so Arrow batches stay
-    bounded no matter how hot a user is.
+    Scale shape: one user_id exchange; per-user arrays capped at
+    {HW_WINDOW} values by the rank prefilter BEFORE Python, so Arrow
+    batches stay bounded no matter how hot a user is.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    w_recent = Window.partitionBy("user_id").orderBy(
-        col("ts").desc(), col("event_id").desc()
-    )
-    recent = (
-        ev.withColumn("rkd", F.row_number().over(w_recent))
-        .filter(col("rkd") <= HW_WINDOW)
-        .select("user_id", "rkd", "value")
-    )
+    recent = _recent_per_user(spark, sf_dir)
 
-    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def hw(batches):
         import pandas as pd
 
-        xs = pdf.sort_values("rkd", ascending=False)["value"].values
-        n = len(xs)
-        if n < 4:
-            return pd.DataFrame(
-                columns=[
-                    "user_id", "n_samples", "level", "trend",
-                    "season_next", "forecast_1",
-                ]
-            )
-        x1, x2, x3, x4 = (float(v) for v in xs[:4])
-        l = (x1 + x2 + x3 + x4) / 4.0
-        b = 0.0
-        s = [x1 - l, x2 - l, x3 - l, x4 - l]
-        for t in range(5, n + 1):
-            x = float(xs[t - 1])
-            p = (t - 1) % 4
-            ln = 0.5 * (x - s[p]) + 0.5 * (l + b)
-            bn = 0.25 * (ln - l) + 0.75 * b
-            s[p] = 0.5 * (x - ln) + 0.5 * s[p]
-            l, b = ln, bn
-        season_next = s[n % 4]
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": pdf["user_id"].iloc[0],
-                    "n_samples": n,
-                    "level": l,
-                    "trend": b,
-                    "season_next": season_next,
-                    "forecast_1": l + b + season_next,
-                }
-            ]
-        )
+        cols = [
+            "user_id", "n_samples", "level", "trend",
+            "season_next", "forecast_1",
+        ]
+        for pdf in batches:
+            rows = []
+            for uid, arr in zip(pdf["user_id"], pdf["xs"]):
+                xs = [float(e["value"]) for e in arr]
+                n = len(xs)
+                if n < 4:
+                    continue
+                x1, x2, x3, x4 = xs[:4]
+                l = (x1 + x2 + x3 + x4) / 4.0
+                b = 0.0
+                s = [x1 - l, x2 - l, x3 - l, x4 - l]
+                for t in range(5, n + 1):
+                    x = xs[t - 1]
+                    p = (t - 1) % 4
+                    ln = 0.5 * (x - s[p]) + 0.5 * (l + b)
+                    bn = 0.25 * (ln - l) + 0.75 * b
+                    s[p] = 0.5 * (x - ln) + 0.5 * s[p]
+                    l, b = ln, bn
+                season_next = s[n % 4]
+                rows.append(
+                    {
+                        "user_id": int(uid),
+                        "n_samples": n,
+                        "level": l,
+                        "trend": b,
+                        "season_next": season_next,
+                        "forecast_1": l + b + season_next,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return recent.groupBy("user_id").applyInPandas(
+    return recent.mapInPandas(
         hw,
         schema=(
             "user_id bigint, n_samples bigint, level double, trend double, "

@@ -656,12 +656,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the min-aggregate; for planet-scale graphs you'd switch to
     the large-star/small-star variant — same loop skeleton.
     """
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
     from iot_sparkstreaming_spark.operators.graph import connected_components
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(pairs).select(
-        col("node").alias("doc_id"), col("component").alias("component_id")
-    )
+    def build() -> DataFrame:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        return connected_components(pairs).select(
+            col("node").alias("doc_id"), col("component").alias("component_id")
+        )
+
+    # Memoized like pagerank/HITS: three downstream queries (canonical,
+    # weighted sampling, semdedup prune) consume this table, and the
+    # min-label loop re-ran per CALL before — per action, even — since
+    # nothing materialized the fixpoint.
+    return artifact_memo(spark, ("dedup_components", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------

@@ -963,7 +963,7 @@ HLL_STATE_SCHEMA = T.StructType(
 )
 
 
-def streaming_hll(events: DataFrame) -> DataFrame:
+def streaming_hll(events: DataFrame, output_mode: str = "update") -> DataFrame:
     """Portable-HLL distinct-cardinality maintenance as a stateful
     streaming operator — the STREAMING twin of the batch
     ``hll_portable_events`` query (queries/functions.py): state per
@@ -1025,10 +1025,14 @@ def streaming_hll(events: DataFrame) -> DataFrame:
         )
 
     projected = hll_bucket_rho(events, HLL_KEY_SQL_DEFAULT, "event_type")
+    # output_mode: "update" for live dashboards (memory/console sinks);
+    # "append" when the snapshots land in an append-only log (parquet) —
+    # each emission is a self-contained register summary either way, and
+    # the reader picks the latest by the monotone (n_buckets, -z_num).
     return projected.groupBy("event_type").applyInPandasWithState(
         fn,
         outputStructType=HLL_OUTPUT_SCHEMA,
         stateStructType=HLL_STATE_SCHEMA,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

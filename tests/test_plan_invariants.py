@@ -37,10 +37,10 @@ ARROW_ALLOWED = {
     "embedding_gram_matrix",
     # bounded per-group Python recursions: Holt's level/trend fold over a
     # ≤32-sample trailing window per user, and MMR's 16-candidate greedy —
-    # both applyInPandas over pre-aggregated, size-capped groups
+    # mmr: applyInPandas over pre-aggregated, size-capped groups;
+    # the holt pair: mapInPandas over per-user window arrays
     "holt_linear_forecast_user",
     "mmr_diversified_topk",
-    # applyInPandas over the same rank-capped 32-row groups as holt
     "holt_winters_seasonal_user",
     # codec pair: mapInPandas pack/unpack over bounded shard groups
     "zip_shard_roundtrip",

@@ -803,3 +803,68 @@ def test_streaming_hll_twin_parity(spark, tmp_path):
     }
     assert n_after_first is not None and n_after_first > 0
     assert got == want
+
+
+def test_streaming_hll_state_survives_restart(spark, tmp_path):
+    """Kill the HLL stream between micro-batches and restart from the
+    same checkpoint: the restored register vectors must absorb the
+    second half of the feed and finish with exactly the batch sketch —
+    restart invisible in (n_buckets, z_num, hll_estimate)."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.functions import hll_portable_events
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_hll
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+        return (
+            streaming_hll(stream, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+        emitted = spark.read.parquet(out_dir).collect()
+    finally:
+        q.stop()
+
+    best = {}
+    for r in emitted:
+        k = r.event_type
+        if k not in best or (r.n_buckets, -r.z_num) > (
+            best[k].n_buckets,
+            -best[k].z_num,
+        ):
+            best[k] = r
+    got = {k: (r.n_buckets, r.z_num, r.hll_estimate) for k, r in best.items()}
+    want = {
+        r.event_type: (r.n_buckets, r.z_num, r.hll_estimate)
+        for r in hll_portable_events(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want

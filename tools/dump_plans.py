@@ -139,7 +139,7 @@ SHOWCASE = [
     ("zip_shard_roundtrip", "bounded collect_list per shard + one Arrow pack pass; unpack is map-only with per-member CRC verification"),
     ("skew_key_diagnosis", "one map-side-combined (type,key) agg; windows run on the key-sized table, never raw events"),
     ("sql_group_by_all", "dialect sugar desugars to the ordinary two-phase hash agg; distinct-count rides the same exchange"),
-    ("holt_winters_seasonal_user", "rank prefilter caps groups at 32 rows BEFORE the Python kernel; one user_id exchange"),
+    ("holt_winters_seasonal_user", "collect_list folds the 32-sample window into one array per user; mapInPandas batches ~1000 users per Arrow pass"),
     ("welch_t_test_purchase_view", "one conditional-agg pass to a single row; all test math is scalar on that row"),
     ("kwic_concordance_docs", "map-only: tokenize, posexplode, term filter, edge-clamped slice; zero shuffles"),
     ("readability_flesch_docs", "map-only scan: three regexp counters + scalar math, whole-stage codegen end to end"),
