@@ -82,62 +82,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   output committed as PREVERIFY_r08.txt — so nothing ships with
 #   zero hash evidence.
 #
+# * round 9 leads with the 20 round-8 queries deferred past r8's window
+#   (all PREVERIFY_r08-matched; judge independently re-ran 6/6 MATCH),
+#   keeps the 8 reference queries pinned, and gives the remaining 22
+#   slots to the oldest-external-row cohort (the 6 round-3 rows + 16
+#   round-4 rows) — closing the ledger at 241/241 queries with >=1
+#   green external row.
+#
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # -- round-8 window: the first 42 never-externally-checked, by landing order (ks/rrf lead — judge item #2; image_gif_features — judge item #1)
-    "ks_drift_events",
-    "rrf_fuse_rankers",
-    "image_gif_features",
-    "bfs_distance_from_hub",
-    "ann_dim_truncation_overlap",
-    "dedup_weighted_sampling",
-    "k_anonymity_audit",
-    "textrank_keywords",
-    "tar_shard_roundtrip",
-    "theil_sen_trend_user",
-    "doc_novelty_ratio",
-    "nearest_event_join",
-    "sql_top_spenders_per_segment",
-    "doc_novelty_incremental",
-    "seasonal_zscore_outliers",
-    "mutual_nn_pairs",
-    "revenue_mom_growth",
-    "user_activity_features",
-    "kmeans_centroid_drift",
-    "cdc_apply_changes",
-    "activity_bitmap_retention",
-    "gini_concentration_segment",
-    "holt_linear_forecast_user",
-    "mann_whitney_events",
-    "mmr_diversified_topk",
-    "zonemap_skipping_report",
-    "ann_hard_negatives",
-    "cross_correlation_types",
-    "graph_modularity_communities",
-    "sql_above_segment_average",
-    "compaction_bin_packing",
-    "lang_confusion_matrix",
-    "sql_recursive_month_spine",
-    "viewers_without_purchase",
-    "classifier_agreement_kappa",
-    "link_prediction_suppliers",
-    "ols_time_regression_user",
-    "ohlc_bars_type_hour",
-    "phrase_search_positional",
-    "attribution_linear_touches",
-    "pareto_front_customers",
-    "rate_limit_sliding_audit",
-    # -- reference pipeline core (8, pinned every round)
-    "warning_notification",
-    "user_activity_category",
-    "user_registration_latest",
-    "latest_location",
-    "sales_keyed_replace",
-    "userhistory_pk_dedup",
-    "history_by_user_join",
-    "warning_streak_alerts",
-    # -- deferred to round 9's window (round 8 landed ~62 new queries; 50-slot window holds 42+8). Every one is pre-verified with the driver-identical comparator — see PREVERIFY_r08.txt at the repo root — and leads the next rotation
+    # -- round-9 window (judge task #1): the 20 round-8 queries whose only
+    #    evidence was builder-side PREVERIFY_r08.txt lead, so every one of
+    #    the 241 registered queries gains >=1 green external row this round
     "cheapest_path_lead_time",
     "rollup_incremental_merge",
     "er_fellegi_sunter",
@@ -158,13 +115,39 @@ _PRIORITY_PREFIX = [
     "sql_group_by_all",
     "welch_t_test_purchase_view",
     "zip_shard_roundtrip",
-    # -- oldest external rows (round 3), next in the re-validation rotation
+    # -- reference pipeline core (8, pinned every round)
+    "warning_notification",
+    "user_activity_category",
+    "user_registration_latest",
+    "latest_location",
+    "sales_keyed_replace",
+    "userhistory_pk_dedup",
+    "history_by_user_join",
+    "warning_streak_alerts",
+    # -- re-validation rotation: the 6 round-3 rows (oldest external
+    #    evidence in the ledger) then the 16 oldest round-4 rows
     "multimodal_manifest",
     "multimodal_features",
     "sql_revenue_by_region",
     "temperature_mix_allocation",
     "assign_global_ids",
     "bpe_encode_docs",
+    "window_topk_per_user",
+    "window_running_total",
+    "window_event_deltas",
+    "sessionize_events",
+    "rollup_customer_census",
+    "cube_event_census",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "customers_without_orders",
 ]
 
 _MODULE_ORDER = [
