@@ -254,6 +254,21 @@ HEADLINE = [
 #: newline and any stray log line that lands after ours.
 MAX_LINE_BYTES = 1750
 
+#: timed trials per streaming metric. One ~1.3 s availableNow pass
+#: swings ±25% between rounds from JVM/GC noise alone (BENCH_r07 vs
+#: r08 noop: 101,667 → 76,220 rows/s with zero code change on that
+#: path); the headline is the MEDIAN of three and the full trial list
+#: is recorded so a real regression is tellable from a noisy draw.
+STREAM_TRIALS = 3
+
+
+def _median(xs: list[float]) -> float:
+    if not xs:
+        return 0.0
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 4)
+
 
 def compact_line(
     times: dict[str, float],
@@ -264,6 +279,8 @@ def compact_line(
     stream_err: str | None,
     sink_rps: int | None = None,
     artifacts_preloaded: bool | None = None,
+    stream_rps_trials: list[int] | None = None,
+    sink_rps_trials: list[int] | None = None,
 ) -> str:
     """Serialize the driver-facing JSON line, ≤ MAX_LINE_BYTES.
 
@@ -284,7 +301,9 @@ def compact_line(
         "sf": sf,
         "runs_per_query": 2,
         "streaming_rows_per_sec": stream_rps,
+        "streaming_rows_per_sec_trials": stream_rps_trials,
         "streaming_sink_rows_per_sec": sink_rps,
+        "streaming_sink_rows_per_sec_trials": sink_rps_trials,
         "artifacts_preloaded": artifacts_preloaded,
         "streaming_error": stream_err[:120] if stream_err else None,
     }
@@ -368,8 +387,13 @@ def main() -> None:
     # → filter → payload → noop sink, run-to-completion) and report
     # sustained rows/sec — the input rate at which a 1 s trigger stays
     # under 1 s of processing.
+    #
+    # THREE timed trials, headline = median (r8 verdict task 2 /
+    # ADVICE): a single ~1.3 s availableNow pass swings ±25% from JVM
+    # warm-up noise alone; the full trial list lands in BENCH_FULL so
+    # a real regression is distinguishable from a noisy draw.
     stream_rows = 0
-    stream_sec = 0.0
+    stream_trials: list[float] = []
     stream_err = None
     try:
         from iot_sparkstreaming_spark.io.sources import events_stream
@@ -385,20 +409,25 @@ def main() -> None:
         fitbit = derive_telemetry(events_stream(spark, sf_dir)).withColumnRenamed(
             "event_ms", "machine_timestamp"
         )
-        t0 = time.perf_counter()
-        sq = (
-            warning_pipeline(fitbit)
-            .writeStream.format("noop")
-            .trigger(availableNow=True)
-            .start()
-        )
-        sq.awaitTermination()
-        stream_sec = round(time.perf_counter() - t0, 4)
+        for _trial in range(STREAM_TRIALS):
+            t0 = time.perf_counter()
+            sq = (
+                warning_pipeline(fitbit)
+                .writeStream.format("noop")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+            stream_trials.append(round(time.perf_counter() - t0, 4))
     except Exception as e:  # noqa: BLE001 — the metric must not kill the bench
         stream_rows = -1  # recorded as "measurement unavailable", not 0 rows/s
         stream_err = f"{type(e).__name__}: {e}"[:500]
 
+    stream_sec = _median(stream_trials)
     stream_rps = round(stream_rows / stream_sec) if stream_sec > 0 and stream_rows > 0 else None
+    stream_rps_trials = (
+        [round(stream_rows / s) for s in stream_trials if s > 0] if stream_rows > 0 else []
+    )
 
     # Streaming KEYED-SINK throughput: the same classified stream
     # driven through the transactional keyed-upsert writer
@@ -410,6 +439,7 @@ def main() -> None:
     # directly comparable: the gap is the price of the upsert sink).
     sink_rps = None
     sink_rows_written = None
+    sink_trials: list[float] = []
     sink_sec = 0.0
     sink_err = None
     try:
@@ -419,56 +449,66 @@ def main() -> None:
         from iot_sparkstreaming_spark.io import keyed_sink
 
         keyed_sink.register(spark)
-        tmpd = tempfile.mkdtemp(prefix="bench-keyed-sink-")
+        # Warm-up at the smallest SF first: the FIRST streaming
+        # run through a Python DataSource writer pays one-time
+        # Python-worker-pool spin-up + plan compile (~6 s,
+        # measured), which would otherwise be billed to the
+        # steady-state throughput this metric claims — same
+        # policy as the per-query codegen warm-up above.
+        wdir = tempfile.mkdtemp(prefix="bench-keyed-warm-")
         try:
-            # Warm-up at the smallest SF first: the FIRST streaming
-            # run through a Python DataSource writer pays one-time
-            # Python-worker-pool spin-up + plan compile (~6 s,
-            # measured), which would otherwise be billed to the
-            # steady-state throughput this metric claims — same
-            # policy as the per-query codegen warm-up above.
-            wdir = tempfile.mkdtemp(prefix="bench-keyed-warm-")
-            try:
-                fitbit_w = derive_telemetry(
-                    events_stream(spark, "/root/testdata/sf0.001")
-                ).withColumnRenamed("event_ms", "machine_timestamp")
-                wq = (
-                    warning_pipeline(fitbit_w)
-                    .writeStream.format("keyed_files")
-                    .option("path", os.path.join(wdir, "out"))
-                    .option("key", "user_id")
-                    .option("version", "machine_timestamp")
-                    .option("checkpointLocation", os.path.join(wdir, "ckpt"))
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                wq.awaitTermination()
-            finally:
-                shutil.rmtree(wdir, ignore_errors=True)
-
-            fitbit2 = derive_telemetry(events_stream(spark, sf_dir)).withColumnRenamed(
-                "event_ms", "machine_timestamp"
-            )
-            t0 = time.perf_counter()
-            sq = (
-                warning_pipeline(fitbit2)
+            fitbit_w = derive_telemetry(
+                events_stream(spark, "/root/testdata/sf0.001")
+            ).withColumnRenamed("event_ms", "machine_timestamp")
+            wq = (
+                warning_pipeline(fitbit_w)
                 .writeStream.format("keyed_files")
-                .option("path", os.path.join(tmpd, "out"))
+                .option("path", os.path.join(wdir, "out"))
                 .option("key", "user_id")
                 .option("version", "machine_timestamp")
-                .option("checkpointLocation", os.path.join(tmpd, "ckpt"))
+                .option("checkpointLocation", os.path.join(wdir, "ckpt"))
                 .trigger(availableNow=True)
                 .start()
             )
-            sq.awaitTermination()
-            sink_sec = round(time.perf_counter() - t0, 4)
-            sink_rows_written = len(keyed_sink.read_table(os.path.join(tmpd, "out")))
+            wq.awaitTermination()
         finally:
-            shutil.rmtree(tmpd, ignore_errors=True)
+            shutil.rmtree(wdir, ignore_errors=True)
+
+        fitbit2 = derive_telemetry(events_stream(spark, sf_dir)).withColumnRenamed(
+            "event_ms", "machine_timestamp"
+        )
+        # THREE timed trials, each against a fresh sink+checkpoint
+        # dir (the writer is transactional per checkpoint, so
+        # reusing one would turn trials 2-3 into no-op replays).
+        for _trial in range(STREAM_TRIALS):
+            tmpd = tempfile.mkdtemp(prefix="bench-keyed-sink-")
+            try:
+                t0 = time.perf_counter()
+                sq = (
+                    warning_pipeline(fitbit2)
+                    .writeStream.format("keyed_files")
+                    .option("path", os.path.join(tmpd, "out"))
+                    .option("key", "user_id")
+                    .option("version", "machine_timestamp")
+                    .option("checkpointLocation", os.path.join(tmpd, "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                sq.awaitTermination()
+                sink_trials.append(round(time.perf_counter() - t0, 4))
+                sink_rows_written = len(
+                    keyed_sink.read_table(os.path.join(tmpd, "out"))
+                )
+            finally:
+                shutil.rmtree(tmpd, ignore_errors=True)
+        sink_sec = _median(sink_trials)
         if sink_sec > 0 and stream_rows > 0:
             sink_rps = round(stream_rows / sink_sec)
     except Exception as e:  # noqa: BLE001 — the metric must not kill the bench
         sink_err = f"{type(e).__name__}: {e}"[:500]
+    sink_rps_trials = (
+        [round(stream_rows / s) for s in sink_trials if s > 0] if stream_rows > 0 else []
+    )
 
     # Full per-query breakdown (warm best-of-2 + cold first-run) goes
     # to a committed side file; the printed line is the bounded digest.
@@ -482,15 +522,42 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": 2,
         "streaming_events_rows": stream_rows,
-        "streaming_wall_sec": stream_sec,
-        "streaming_rows_per_sec": stream_rps,
+        "streaming_trials": STREAM_TRIALS,
+        "streaming_wall_sec": stream_sec,  # median of trials
+        "streaming_wall_sec_trials": stream_trials,
+        "streaming_rows_per_sec": stream_rps,  # median of trials
+        "streaming_rows_per_sec_trials": stream_rps_trials,
+        "streaming_rows_per_sec_min": min(stream_rps_trials, default=None),
+        "streaming_rows_per_sec_max": max(stream_rps_trials, default=None),
         "streaming_error": stream_err,
-        "streaming_sink_wall_sec": sink_sec,
-        "streaming_sink_rows_per_sec": sink_rps,
+        "streaming_sink_wall_sec": sink_sec,  # median of trials
+        "streaming_sink_wall_sec_trials": sink_trials,
+        "streaming_sink_rows_per_sec": sink_rps,  # median of trials
+        "streaming_sink_rows_per_sec_trials": sink_rps_trials,
+        "streaming_sink_rows_per_sec_min": min(sink_rps_trials, default=None),
+        "streaming_sink_rows_per_sec_max": max(sink_rps_trials, default=None),
         "streaming_sink_keys_written": sink_rows_written,
         "streaming_sink_error": sink_err,
         "artifacts_preloaded": artifacts_preloaded,
     }
+    # Per-artifact disk-tier accounting (r8 verdict task 3): which
+    # artifacts were BUILT cold this run (and how long each took) vs
+    # merely re-hydrated from parquet. On a warm run builds is ~empty
+    # and the cold/warm gap is fully attributed; on a cold run the
+    # builds breakdown shows exactly where the first-build seconds go.
+    try:
+        from iot_sparkstreaming_spark import artifacts as _arts
+
+        full["artifact_build_sec"] = dict(
+            sorted(_arts.BUILD_TIMES.items(), key=lambda kv: -kv[1])
+        )
+        full["artifact_build_total_sec"] = round(sum(_arts.BUILD_TIMES.values()), 4)
+        full["artifact_load_sec"] = dict(
+            sorted(_arts.LOAD_TIMES.items(), key=lambda kv: -kv[1])
+        )
+        full["artifact_load_total_sec"] = round(sum(_arts.LOAD_TIMES.values()), 4)
+    except Exception:  # noqa: BLE001 — accounting must not kill the bench
+        pass
     (REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=2) + "\n")
 
     print(
@@ -503,6 +570,8 @@ def main() -> None:
             stream_err,
             sink_rps=sink_rps,
             artifacts_preloaded=artifacts_preloaded,
+            stream_rps_trials=stream_rps_trials,
+            sink_rps_trials=sink_rps_trials,
         )
     )
     spark.stop()

@@ -56,6 +56,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import types
 import uuid
 
@@ -66,6 +67,16 @@ _FP_CACHE: dict[str, str] = {}
 #: bump to invalidate every artifact at once (serialization-format
 #: changes, not builder-semantics changes — those self-invalidate).
 _FORMAT_VERSION = 1
+
+#: per-process ledger of what the disk tier actually did this session:
+#: ``BUILD_TIMES[name]`` = seconds spent in ``builder()`` + save when
+#: the artifact was built cold; ``LOAD_TIMES[name]`` = seconds spent
+#: re-hydrating it from parquet when it was a disk hit. bench.py
+#: copies both into BENCH_FULL.json, so the cold/warm gap is
+#: attributable artifact by artifact instead of being one opaque
+#: residual (r8 verdict task 3).
+BUILD_TIMES: dict[str, float] = {}
+LOAD_TIMES: dict[str, float] = {}
 
 
 def store_root() -> str:
@@ -300,15 +311,29 @@ def artifact_memo(spark: SparkSession, key: tuple, builder):
             leaf = f"{sfbase}-{path8}-{fp}"
             final_dir = os.path.join(parent, leaf)
             if os.path.isfile(os.path.join(final_dir, "meta.json")):
-                return _load(spark, final_dir)
+                t0 = time.perf_counter()
+                loaded = _load(spark, final_dir)
+                LOAD_TIMES[name] = round(
+                    LOAD_TIMES.get(name, 0.0) + time.perf_counter() - t0, 4
+                )
+                return loaded
         except Exception:  # noqa: BLE001 — fail-open by contract
-            return builder()
+            t0 = time.perf_counter()
+            value = builder()
+            BUILD_TIMES[name] = round(
+                BUILD_TIMES.get(name, 0.0) + time.perf_counter() - t0, 4
+            )
+            return value
+        t0 = time.perf_counter()
         value = builder()
         try:
             if _save(value, final_dir):
                 _prune_stale(parent, leaf)
         except Exception:  # noqa: BLE001 — fail-open by contract
             pass
+        BUILD_TIMES[name] = round(
+            BUILD_TIMES.get(name, 0.0) + time.perf_counter() - t0, 4
+        )
         return value
 
     return session_memo(spark, key, build_or_load)

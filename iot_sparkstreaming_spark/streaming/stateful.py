@@ -1036,3 +1036,142 @@ def streaming_hll(events: DataFrame, output_mode: str = "update") -> DataFrame:
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HW_WINDOW = 32  # must match queries/analytics.py HW_WINDOW
+
+HW_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("season_next", T.DoubleType()),
+        T.StructField("forecast_1", T.DoubleType()),
+    ]
+)
+
+#: state = the trailing-window value deque + a monotone events-seen
+#: counter (the Theil-Sen discipline: the batch query's trailing
+#: window IS the telescoped state, so holding it verbatim is what
+#: makes the twin exact rather than approximately-converging)
+HW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _hw_fold(xs: list[float]) -> tuple[float, float, float, float] | None:
+    """The Holt-Winters additive recursion over an oldest-first value
+    window — the IDENTICAL float expression tree, in the identical
+    order, as the batch ``holt_winters_seasonal_user`` kernel
+    (queries/analytics.py) and its DuckDB RECURSIVE-CTE oracle, so
+    all three agree bit-for-bit. Returns (level, trend, season_next,
+    forecast_1) or None when the window holds less than one season."""
+    n = len(xs)
+    if n < 4:
+        return None
+    x1, x2, x3, x4 = xs[:4]
+    l = (x1 + x2 + x3 + x4) / 4.0  # noqa: E741 — matches the batch kernel
+    b = 0.0
+    s = [x1 - l, x2 - l, x3 - l, x4 - l]
+    for t in range(5, n + 1):
+        x = xs[t - 1]
+        p = (t - 1) % 4
+        ln = 0.5 * (x - s[p]) + 0.5 * (l + b)
+        bn = 0.25 * (ln - l) + 0.75 * b
+        s[p] = 0.5 * (x - ln) + 0.5 * s[p]
+        l, b = ln, bn  # noqa: E741
+    season_next = s[n % 4]
+    return l, b, season_next, l + b + season_next
+
+
+def streaming_holt_winters(events: DataFrame) -> DataFrame:
+    """Per-user Holt-Winters (level + trend + additive m=4 season) as
+    a stateful streaming operator — the STREAMING twin of the batch
+    ``holt_winters_seasonal_user`` query (queries/analytics.py),
+    completing the forecasting ladder's streaming side (EWMA twin =
+    level, this = level+trend+season).
+
+    The batch query folds the recursion over the trailing-{W}-sample
+    window per user, and the bootstrap (l₄ = mean of the window's
+    first 4 values, sᵢ = xᵢ − l₄) RE-ANCHORS whenever the window
+    slides — so scalar (l, b, s₀..s₃) state alone cannot stay exact.
+    Instead the state IS the trailing window (the ``streaming_theil_sen``
+    discipline): a bounded deque of ≤{W} raw double values. Each
+    arrival appends, truncates, and re-folds the ≤{W}-step recursion
+    via :func:`_hw_fold` — the same Python float ops over the same
+    ordered values as the batch kernel, so the last emission per user
+    equals the batch row BITWISE (pinned by tests/test_stateful.py,
+    including across a micro-batch split and a kill/restart).
+
+    Emits one row per event with the smoothed state so far; rows from
+    users still inside their first season (n < 4) carry NULL smoothed
+    fields (the batch side excludes those users entirely — consumers
+    filter on ``n_samples >= 4`` for exact twin alignment).
+
+    State is O({W} doubles) per user, partitioned by the group key —
+    the store scales with distinct users, not events. In-order-feed
+    contract within and across micro-batches, same as
+    ``streaming_ewma``; rows are sorted by (ts, event_id) inside each
+    micro-batch.
+    """
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            vals_arr, n_seen = state.get
+            vals = list(vals_arr)
+        else:
+            vals, n_seen = [], 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, value in zip(pdf["event_id"], pdf["value"]):
+                vals.append(float(value))
+                if len(vals) > HW_WINDOW:
+                    vals.pop(0)
+                n_seen += 1
+                folded = _hw_fold(vals)
+                l, b, season_next, forecast_1 = folded or (None,) * 4
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "event_id": int(eid),
+                        "n_seen": n_seen,
+                        "n_samples": len(vals),
+                        "level": l,
+                        "trend": b,
+                        "season_next": season_next,
+                        "forecast_1": forecast_1,
+                    }
+                )
+        state.update((vals, n_seen))
+        yield pd.DataFrame(out, columns=[f.name for f in HW_OUTPUT_SCHEMA])
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=HW_OUTPUT_SCHEMA,
+            stateStructType=HW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+streaming_holt_winters.__doc__ = streaming_holt_winters.__doc__.replace(
+    "{W}", str(HW_WINDOW)
+)

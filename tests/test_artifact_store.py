@@ -295,3 +295,41 @@ def test_same_basename_sf_dirs_do_not_evict(spark, store, tmp_path):
     artifact_memo(spark, ("t_multi", str(b)), build).count()
     assert calls["n"] == 2
     _clear_memo(spark)
+
+
+def test_build_and_load_times_recorded(spark, store):
+    """r8 verdict task 3: the store ledgers seconds per artifact so
+    bench.py can attribute the cold/warm gap artifact by artifact."""
+    artifacts.BUILD_TIMES.clear()
+    artifacts.LOAD_TIMES.clear()
+
+    def build():
+        return _df(spark).localCheckpoint(eager=True)
+
+    key = ("t_ledger", SF_DIR)
+    _clear_memo(spark)
+    artifact_memo(spark, key, build).collect()
+    assert "t_ledger" in artifacts.BUILD_TIMES
+    assert artifacts.BUILD_TIMES["t_ledger"] > 0
+    assert "t_ledger" not in artifacts.LOAD_TIMES
+
+    # simulated restart → disk hit must land in LOAD_TIMES, not BUILD
+    _clear_memo(spark)
+    artifact_memo(spark, key, build).collect()
+    assert "t_ledger" in artifacts.LOAD_TIMES
+    assert artifacts.LOAD_TIMES["t_ledger"] > 0
+    _clear_memo(spark)
+
+
+def test_fail_open_build_still_ledgered(spark, monkeypatch):
+    """The unwritable-store fallback path records its build time too."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", "/proc/definitely/not/writable")
+    artifacts.BUILD_TIMES.clear()
+
+    def build():
+        return _df(spark, 3).localCheckpoint(eager=True)
+
+    _clear_memo(spark)
+    assert artifact_memo(spark, ("t_failopen_ledger", SF_DIR), build).count() == 3
+    assert artifacts.BUILD_TIMES.get("t_failopen_ledger", 0) > 0
+    _clear_memo(spark)

@@ -43,3 +43,33 @@ def test_current_headline_set_fits() -> None:
     line = compact_line(times, sum(times.values()), 123.4, 0.1, None, err)
     assert len(line) <= MAX_LINE_BYTES
     assert len(json.loads(line)["streaming_error"]) <= 120
+
+
+def test_streaming_trial_spread_recorded() -> None:
+    """r8 verdict task 2: the printed line must carry the per-trial
+    rows/s so the judge can tell regression from warm-up noise."""
+    times = {name: 7.7777 for name in HEADLINE}
+    line = compact_line(
+        times,
+        1.0,
+        1.0,
+        0.1,
+        80000,
+        None,
+        sink_rps=60000,
+        stream_rps_trials=[78000, 80000, 83000],
+        sink_rps_trials=[59000, 60000, 61000],
+    )
+    assert len(line) <= MAX_LINE_BYTES
+    parsed = json.loads(line)
+    assert parsed["streaming_rows_per_sec_trials"] == [78000, 80000, 83000]
+    assert parsed["streaming_sink_rows_per_sec_trials"] == [59000, 60000, 61000]
+
+
+def test_median_helper() -> None:
+    from bench import _median
+
+    assert _median([]) == 0.0
+    assert _median([3.0]) == 3.0
+    assert _median([1.0, 9.0, 2.0]) == 2.0
+    assert _median([1.0, 2.0, 3.0, 10.0]) == 2.5

@@ -868,3 +868,128 @@ def test_streaming_hll_state_survives_restart(spark, tmp_path):
         for r in hll_portable_events(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+def test_hw_window_constants_match():
+    from iot_sparkstreaming_spark.queries import analytics
+    from iot_sparkstreaming_spark.streaming import stateful
+
+    assert stateful.HW_WINDOW == analytics.HW_WINDOW
+
+
+def test_streaming_holt_winters_twin_parity(spark, tmp_path):
+    """The stateful Holt-Winters stream's LAST row per user must equal
+    the batch holt_winters_seasonal_user query bitwise — the
+    trailing-32 value deque carries the re-anchoring bootstrap across
+    the micro-batch boundary (feed split at median ts, in-order)."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import holt_winters_seasonal_user
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_holt_winters
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_holt_winters(stream)
+        .writeStream.format("memory")
+        .queryName("hw_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT * FROM hw_twin").count()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1.parquet"))
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT user_id, n_samples, level, trend, season_next, forecast_1
+               FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_seen DESC) rk
+                 FROM hw_twin) WHERE rk = 1 AND n_samples >= 4"""
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: (r.n_samples, r.level, r.trend, r.season_next, r.forecast_1)
+        for r in rows
+    }
+    want = {
+        r.user_id: (r.n_samples, r.level, r.trend, r.season_next, r.forecast_1)
+        for r in holt_winters_seasonal_user(spark, sf_dir).collect()
+    }
+    assert n_first > 0
+    assert got == want
+
+
+def test_streaming_holt_winters_state_survives_restart(spark, tmp_path):
+    """Kill the Holt-Winters stream between micro-batches and restart
+    from the same checkpoint: the restored value deque must absorb the
+    second half of the in-order feed and the cross-restart last row
+    per user must still equal the batch query bitwise."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import holt_winters_seasonal_user
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_holt_winters
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+        return (
+            streaming_holt_winters(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+        emitted = spark.read.parquet(out_dir).collect()
+    finally:
+        q.stop()
+
+    best = {}
+    for r in emitted:
+        if r.user_id not in best or r.n_seen > best[r.user_id].n_seen:
+            best[r.user_id] = r
+    got = {
+        k: (r.n_samples, r.level, r.trend, r.season_next, r.forecast_1)
+        for k, r in best.items()
+        if r.n_samples >= 4
+    }
+    want = {
+        r.user_id: (r.n_samples, r.level, r.trend, r.season_next, r.forecast_1)
+        for r in holt_winters_seasonal_user(spark, sf_dir).collect()
+    }
+    assert got == want
