@@ -124,7 +124,7 @@ SHOWCASE = [
     ("rate_limit_sliding_audit", "ONE user_id exchange + sort carries the RANGE frame; window buffer bounded by densest window per user"),
     ("pareto_front_customers", "four windows share one segment exchange and sort; threshold decided in cross-multiplied bigint cents; suffix aggregate reuses the key"),
     ("rollup_incremental_merge", "hist rollup is the loaded artifact; daily cost = one batch-day rollup + a merge agg over two rollup-sized tables; zero corpus re-scan"),
-    ("cheapest_path_lead_time", "each relax round = ONE edge join + min agg (PageRank shape); retired rounds unpersisted; weights from the map-side pair rollup"),
+    ("cheapest_path_lead_time", "each relax round = ONE edge join + min agg (PageRank shape) over the memoized weighted edge artifact; rounds coalesce the node-sized dist table and localCheckpoint it, so lineage never grows"),
     ("weighted_median_value_type", "ONE event_type exchange carries both window sums and the final min agg; weights stay bigint end to end"),
     ("sql_unpivot_user_metrics", "one map-side-combined conditional-count agg; UNPIVOT is a narrow 4x generator, zero extra shuffle"),
     ("grid_density_core", "points collapse to grid cells in one map-side agg; 9-offset neighborhood joins the bounded CELL table (broadcast), never the points"),
