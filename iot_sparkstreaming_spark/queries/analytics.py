@@ -4994,7 +4994,13 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _trade_pairs(spark, sf_dir)
     deg = pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
-    kept = pairs.join(deg.filter(col("d") <= LP_MAX_DEG).select("a"), "a")
+    # kept (the capped edge list) feeds THREE consumers — the supplier
+    # degree table and both wedge sides — so materialize the degree
+    # agg + filter join once; it is edge-sized, bounded by the
+    # uncapped edge list at any scale.
+    kept = pairs.join(
+        deg.filter(col("d") <= LP_MAX_DEG).select("a"), "a"
+    ).localCheckpoint(eager=True)
     sdeg = kept.groupBy("b").agg(F.count("*").cast("bigint").alias("d"))
     p1 = kept.select(col("a").alias("ca"), col("b").alias("s1"))
     p2 = kept.select(col("a").alias("ca"), col("b").alias("s2"))

@@ -1726,10 +1726,14 @@ def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shingling is map-only; the distinct and the
     first-owner aggregate are hash aggregates on the gram key with
-    map-side combine; the ownership join is an equi-join on the same
-    key, so the whole query is effectively two passes over one gram
-    partitioning. Documents shorter than {NOVELTY_K} tokens have no
-    grams and no row, identically on both engines.
+    map-side combine. A gram is novel for exactly the doc that is its
+    min-owner, so n_novel(doc) = COUNT of owner rows grouped by
+    first_doc — the ownership JOIN back on the gram key (a third
+    full-width pass shuffling every string gram) collapses into two
+    doc-keyed aggregates and one doc-sized join. The wide string-gram
+    key crosses the wire twice (distinct, owner), never three times.
+    Documents shorter than {NOVELTY_K} tokens have no grams and no
+    row, identically on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = (
@@ -1741,14 +1745,17 @@ def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
     owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = (col("first_doc") == col("doc_id")).cast("long")
+    novel_counts = owner.groupBy(col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_novel")
+    )
     return (
-        grams.join(owner, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
+        per_doc.join(novel_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(col("n_novel"), F.lit(0).cast("bigint")).alias("n_novel"),
         )
         .select(
             "doc_id",

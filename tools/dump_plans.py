@@ -92,7 +92,7 @@ SHOWCASE = [
     ("tar_shard_roundtrip", "bounded collect_list per shard + two Arrow passes (ustar pack, member walk); payloads die in-batch"),
     ("theil_sen_trend_user", "ONE user_id exchange: trailing-16 rank, bounded 120-pair self-join, and the median rank all ride it"),
     ("nearest_event_join", "merge-scan, not a join: two ignore-nulls frame windows on ONE user_id sort carry last-before/first-after"),
-    ("doc_novelty_ratio", "map-only shingles; distinct + first-owner agg + ownership join all on one gram partitioning"),
+    ("doc_novelty_ratio", "map-only shingles; gram key shuffles exactly twice (distinct, first-owner agg) — novelty counts come from aggregating the owner table by first_doc, so the final join is doc-sized"),
     ("sql_top_spenders_per_segment", "SQL text verbatim on both engines: one (segment,customer) agg exchange, rank window over the tiny aggregate"),
     ("doc_novelty_incremental", "batch grams join the memoized historical gram index; daily cost independent of corpus size"),
     ("seasonal_zscore_outliers", "cohort cells collapse map-side to <=168*|types| rows, broadcast back; flag is per-row integer compare"),
@@ -116,7 +116,7 @@ SHOWCASE = [
     ("lang_confusion_matrix", "rides the map-only lang-ID pass; ONE hash agg to the gold*pred grid; marginal windows run over dozens of cells"),
     ("viewers_without_purchase", "both sides pre-aggregate to per-user rows behind pushed filters; anti join shuffles key-sized tables, purchaser set AQE-broadcastable"),
     ("ols_time_regression_user", "min-ts window and moment aggregate ride ONE user_id exchange; slope/intercept/R2 are per-row arithmetic on the one-row-per-user table"),
-    ("link_prediction_suppliers", "wedge self-join pivots on the degree-capped customer key; supplier-pair rollup combines map-side; degree joins are key-sized"),
+    ("link_prediction_suppliers", "wedge self-join pivots on the degree-capped customer key from ONE checkpointed capped edge list (3 consumers); supplier-pair rollup combines map-side; degree joins are key-sized"),
     ("classifier_agreement_kappa", "one map-only pass scores both annotators; hash agg to <=16 cells; kappa algebra runs on constant-size tables"),
     ("ohlc_bars_type_hour", "ONE (type,hour) exchange: asc row_number + count-over-window mark first/last (no desc re-sort); bar rollup reuses the key"),
     ("phrase_search_positional", "postings filtered to phrase vocabulary BEFORE the position self-join; phrase book broadcasts; adjacency join co-partitions on doc_id"),
