@@ -5777,6 +5777,47 @@ FROM t
 """
 
 
+def calibration_score(df: DataFrame) -> DataFrame:
+    """Map rows to (bin, pos): the clamp-to-last-bin bucketing and the
+    purchase indicator — shared verbatim by the batch query and the
+    streaming twin (streaming/pipelines.py streaming_calibration_bins)
+    so both sides bucket identically by construction."""
+    return df.filter(col("value") >= 0.0).select(
+        F.least(
+            F.floor(col("value") / CALIB_BIN_WIDTH).cast("bigint"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+        F.when(col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+
+
+def calibration_finish(bins: DataFrame) -> DataFrame:
+    """Final projection from per-bin (bin, n, n_pos) counts to the
+    reliability report — windows on a {CALIB_BINS}-row table. Shared
+    by the batch query and the streaming twin's assembler so the twin
+    parity test compares the SAME arithmetic on both sides."""
+    t = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(Window.partitionBy()).alias("n_all"),
+        F.sum("n_pos").over(Window.partitionBy()).alias("pos_all"),
+    )
+    return t.select(
+        col("bin").cast("bigint").alias("bin"),
+        (col("bin") * CALIB_BIN_WIDTH).cast("bigint").alias("bin_lo"),
+        col("n").cast("bigint").alias("n_events"),
+        col("n_pos").cast("bigint").alias("n_pos"),
+        F.expr("CAST((n_pos * 1000000) div n AS BIGINT)").alias("pos_rate_e6"),
+        F.expr("CAST((pos_all * 1000000) div n_all AS BIGINT)").alias(
+            "base_rate_e6"
+        ),
+        F.expr(
+            "CAST((n_pos * n_all * 10000) div (n * pos_all) AS BIGINT)"
+        ).alias("lift_e4"),
+    )
+
+
 @register("calibration_bins_events", oracle=CALIB_ORACLE)
 def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RELIABILITY / CALIBRATION CURVE: treat events.value as a model
@@ -5799,39 +5840,19 @@ def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides int128; past that promote to DECIMAL).
 
     Scale shape: one scan, one hash agg to {CALIB_BINS} rows,
-    windows on the 10-row table. Metadata-priced after the scan.
+    windows on the 10-row table. Metadata-priced after the scan. The
+    per-bin counts are decomposable (count / sum), which is why the
+    STREAMING twin (`streaming_calibration_bins`) is the built-in
+    streaming aggregation maintaining the same counts incrementally —
+    bucketing (:func:`calibration_score`) and the final projection
+    (:func:`calibration_finish`) are shared code, so twin parity is
+    bitwise by construction and order-independent.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    scored = ev.filter(col("value") >= 0.0).select(
-        F.least(
-            F.floor(col("value") / CALIB_BIN_WIDTH).cast("bigint"),
-            F.lit(CALIB_BINS - 1),
-        ).alias("bin"),
-        F.when(col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
-    )
-    bins = scored.groupBy("bin").agg(
+    bins = calibration_score(ev).groupBy("bin").agg(
         F.count("*").alias("n"), F.sum("pos").alias("n_pos")
     )
-    t = bins.select(
-        "bin",
-        "n",
-        "n_pos",
-        F.sum("n").over(Window.partitionBy()).alias("n_all"),
-        F.sum("n_pos").over(Window.partitionBy()).alias("pos_all"),
-    )
-    return t.select(
-        col("bin").cast("bigint").alias("bin"),
-        (col("bin") * CALIB_BIN_WIDTH).cast("bigint").alias("bin_lo"),
-        col("n").cast("bigint").alias("n_events"),
-        col("n_pos").cast("bigint").alias("n_pos"),
-        F.expr("CAST((n_pos * 1000000) div n AS BIGINT)").alias("pos_rate_e6"),
-        F.expr("CAST((pos_all * 1000000) div n_all AS BIGINT)").alias(
-            "base_rate_e6"
-        ),
-        F.expr(
-            "CAST((n_pos * n_all * 10000) div (n * pos_all) AS BIGINT)"
-        ).alias("lift_e4"),
-    )
+    return calibration_finish(bins)
 
 
 calibration_bins_events.__doc__ = calibration_bins_events.__doc__.replace(

@@ -254,3 +254,36 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def streaming_calibration_bins(events: DataFrame) -> DataFrame:
+    """The reliability/calibration curve as an INCREMENTALLY MAINTAINED
+    streaming aggregation — the streaming twin of the batch
+    ``calibration_bins_events`` query (queries/analytics.py). Because
+    the per-bin statistics are decomposable (COUNT and SUM combine
+    map-side and across micro-batches), the twin needs NO custom state
+    operator: Spark's built-in streaming aggregation over the bin key
+    IS the maintenance loop, with state bounded at the fixed bin count
+    regardless of stream length — the cheapest possible stateful shape,
+    in contrast to the deque-state twins (Theil-Sen, Holt-Winters)
+    whose batch queries re-anchor on a sliding window.
+
+    Bucketing is the shared :func:`~iot_sparkstreaming_spark.queries.
+    analytics.calibration_score` (identical clamp + indicator), and the
+    final report assembles via the shared ``calibration_finish`` on the
+    bin-count table the sink holds — so twin parity with the batch
+    query is bitwise by construction AND order-independent: counts
+    commute, so any partitioning of the feed into micro-batches (or a
+    kill/restart from the checkpoint) yields the identical final table
+    (pinned by tests/test_streaming.py).
+
+    Run in ``complete`` (or ``update``) output mode; downstream,
+    ``calibration_finish`` turns the final counts into rates and lift.
+    """
+    from iot_sparkstreaming_spark.queries.analytics import calibration_score
+
+    return (
+        calibration_score(events)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("n_pos"))
+    )

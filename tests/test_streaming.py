@@ -787,3 +787,112 @@ def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_streaming_calibration_bins_twin_parity(spark, tmp_path):
+    """The incrementally maintained calibration counts, assembled
+    through the SHARED calibration_finish, must equal the batch
+    calibration_bins_events query bitwise with the feed split across
+    micro-batches — per-bin COUNT/SUM commute, so batch boundaries
+    cannot show through. The split is by event_id parity (not time),
+    so every bin receives rows from BOTH micro-batches."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import (
+        calibration_bins_events,
+        calibration_finish,
+    )
+    from iot_sparkstreaming_spark.streaming.pipelines import (
+        streaming_calibration_bins,
+    )
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_calibration_bins(stream)
+        .writeStream.format("memory")
+        .queryName("calib_twin")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT * FROM calib_twin").count()
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            str(src / "b1.parquet")
+        )
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in calibration_finish(spark.table("calib_twin")).collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(tuple(r) for r in calibration_bins_events(spark, sf_dir).collect())
+    assert n_first > 0
+    assert got == want
+
+
+def test_streaming_calibration_bins_survives_restart(spark, tmp_path):
+    """Kill the calibration stream between micro-batches and restart a
+    NEW query from the same checkpoint: the state-store-recovered bin
+    counts must absorb the second half and the final report must still
+    equal the batch query bitwise — the incremental materialized view
+    survives the restart exactly."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.queries.analytics import (
+        calibration_bins_events,
+        calibration_finish,
+    )
+    from iot_sparkstreaming_spark.streaming.pipelines import (
+        streaming_calibration_bins,
+    )
+    from iot_sparkstreaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(name):
+        stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+        return (
+            streaming_calibration_bins(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    q = start("calib_r1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    q = start("calib_r2")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in calibration_finish(spark.table("calib_r2")).collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(tuple(r) for r in calibration_bins_events(spark, sf_dir).collect())
+    assert got == want
