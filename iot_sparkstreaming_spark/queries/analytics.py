@@ -668,25 +668,56 @@ PR_ITERS = 5
 PR_DAMP = 85  # damping in percent → exact integer arithmetic
 
 
-def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distinct customer–supplier trading pairs ``(a=cust*2,
-    b=supp*2+1)`` from orders⋈lineitem — the ONE edge derivation every
-    trade-graph consumer (PageRank, k-core, LPA, assortativity)
-    shares, so it is session-memoized and materialized once instead
-    of paying the fact join + distinct per query. ~587 k rows at
-    sf0.1, linear in lineitem."""
+def _trade_links_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer–supplier edge list ``(a=cust*2, b=supp*2+1)`` with
+    the minimum fulfillment-lag weight ``w`` (ship date − order date,
+    integer days) — the ONE orders⋈lineitem fact join every
+    trade-graph consumer derives from: the min-lag weights feed
+    Bellman-Ford (`cheapest_path_lead_time`); dropping ``w`` yields
+    the distinct pair set (`_trade_pairs`) that PageRank, k-core, LPA,
+    HITS, assortativity, and link prediction share. One fact join
+    builds the whole family. ~587 k rows at sf0.1, linear in
+    lineitem."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
-        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
         return (
-            orders.join(li, orders.o_orderkey == li.l_orderkey)
-            .select(
+            orders.join(li, col("o_orderkey") == col("l_orderkey"))
+            .groupBy(
                 (col("o_custkey") * 2).alias("a"),
                 (col("l_suppkey") * 2 + 1).alias("b"),
             )
-            .distinct()
+            .agg(
+                F.min(F.datediff(col("l_shipdate"), col("o_orderdate")))
+                .cast("bigint")
+                .alias("w")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return artifact_memo(spark, ("trade_links_weighted", sf_dir), build)
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct customer–supplier trading pairs ``(a=cust*2,
+    b=supp*2+1)`` — the edge set every unweighted trade-graph
+    consumer (PageRank, k-core, LPA, assortativity) shares. The
+    min-lag GROUP BY of `_trade_links_weighted` is already distinct
+    on (a, b), so the pair set is a projection of that artifact: ONE
+    fact join serves the weighted and unweighted graph families, and
+    this build is edge-sized, never touching orders/lineitem again."""
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+
+    def build() -> DataFrame:
+        return (
+            _trade_links_weighted(spark, sf_dir)
+            .select("a", "b")
             .localCheckpoint(eager=True)
         )
 
@@ -5516,33 +5547,10 @@ def cheapest_path_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline). Weights come from the same orders⋈lineitem rollup
     as the pair graph, combined map-side.
     """
-    from iot_sparkstreaming_spark.artifacts import artifact_memo
-
-    def build_links() -> DataFrame:
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderdate"
-        )
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey", "l_shipdate"
-        )
-        return (
-            orders.join(li, col("o_orderkey") == col("l_orderkey"))
-            .groupBy(
-                (col("o_custkey") * 2).alias("a"),
-                (col("l_suppkey") * 2 + 1).alias("b"),
-            )
-            .agg(
-                F.min(F.datediff(col("l_shipdate"), col("o_orderdate")))
-                .cast("bigint")
-                .alias("w")
-            )
-            .localCheckpoint(eager=True)
-        )
-
-    # the weighted twin of `_trade_pairs`: same orders⋈lineitem edge
-    # derivation, plus the min-lag weight — memoized once so the warm
-    # path never re-joins the fact tables (r8 verdict tasks 3+4).
-    links = artifact_memo(spark, ("trade_links_weighted", sf_dir), build_links)
+    # the shared weighted edge artifact (ONE fact join serves this and
+    # every `_trade_pairs` consumer) — memoized, so the warm path never
+    # re-joins the fact tables (r8 verdict tasks 3+4).
+    links = _trade_links_weighted(spark, sf_dir)
     edges = links.unionByName(
         links.select(col("b").alias("a"), col("a").alias("b"), "w")
     )
