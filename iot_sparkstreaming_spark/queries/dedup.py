@@ -530,6 +530,58 @@ WHERE {cos} >= {COSINE_THRESHOLD}
 """
 
 
+def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ``(vec_a < vec_b, cosine)`` table over the banded
+    sign-LSH candidate pairs — the exact intermediate that both
+    :func:`dedup_embedding_cosine` (threshold filter) and
+    :func:`mutual_nn_pairs` (reciprocal argmax) previously each
+    recomputed end-to-end: band equi-join + candidate DISTINCT + one
+    exact dot product per unique pair. One build now serves both
+    consumers, and the artifact store persists it beside ``lsh_bands``
+    so warm sessions skip the dot products entirely.
+
+    Scale shape: the band join and the DISTINCT move only (id, band,
+    bucket) — never the 512-byte vectors (shuffling payloads through a
+    multiplicity-4 join + distinct measured ~2x slower); vectors join
+    back per UNIQUE pair, so each candidate pays exactly one dot
+    product. The materialized table holds exactly the rows every
+    consumer already shuffled, so persisting it changes constant
+    factors, not asymptotics, and stays candidate-bounded at 100×.
+    Cosines round to 6 dp BEFORE any consumer logic so the threshold
+    test and the argmax ordering see identical values on both engines.
+    """
+    from iot_sparkstreaming_spark.artifacts import artifact_memo
+    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
+
+    def build() -> DataFrame:
+        e = _emb_vectors(spark, sf_dir)
+        bands = _lsh_bands(spark, sf_dir)
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "bucket"])
+            .filter(col("a.vec_id") < col("b.vec_id"))
+            .select(
+                col("a.vec_id").alias("vec_a"), col("b.vec_id").alias("vec_b")
+            )
+            .distinct()
+        )
+        ea = e.select(
+            col("vec_id").alias("vec_a"), col("v").alias("va"), col("norm").alias("na")
+        )
+        eb = e.select(
+            col("vec_id").alias("vec_b"), col("v").alias("vb"), col("norm").alias("nb")
+        )
+        cosine = F.round(_dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
+        return (
+            cand.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .select("vec_a", "vec_b", cosine.alias("cosine"))
+            .localCheckpoint(eager=True)
+        )
+
+    return artifact_memo(spark, ("lsh_scored_pairs", sf_dir), build)
+
+
 @register("dedup_embedding_cosine", oracle=_emb_neardup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: banded sign-LSH candidate generation
@@ -539,6 +591,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from equi-joins on (band, bucket), and only candidates pay
     the dot product. The oracle replays the identical construction
     (same literal hyperplanes), so banding + rescoring check bitwise.
+    The scored candidate table is the shared :func:`_lsh_scored_pairs`
+    artifact (one build serves this query and ``mutual_nn_pairs``);
+    this query is the ≥-threshold filter over it.
 
     Measured on this fixture: candidates are ~23% of all pairs at a
     recall of 36/59 vs brute force (fixture vectors are random-ish,
@@ -548,34 +603,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`dedup_embedding_cosine_exact` — the test-side verifier
     that measures exactly this recall (tests/test_similarity_ops.py).
     """
-    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
-
-    e = _emb_vectors(spark, sf_dir)
-    # shared materialized LSH index table (same hyperplanes, same
-    # vectors — one build serves ann_lsh_cosine and this query)
-    bands = _lsh_bands(spark, sf_dir)
-    # the band join and the candidate DISTINCT move only (id, band,
-    # bucket) — never the 512-byte vectors (shuffling payloads through
-    # a multiplicity-4 join + distinct measured ~2x slower); vectors
-    # join back per UNIQUE pair, so each candidate pays exactly one
-    # dot product.
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bucket"])
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(
-            col("a.vec_id").alias("vec_a"), col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
-    ea = e.select(col("vec_id").alias("vec_a"), col("v").alias("va"), col("norm").alias("na"))
-    eb = e.select(col("vec_id").alias("vec_b"), col("v").alias("vb"), col("norm").alias("nb"))
-    cosine = F.round(_dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(col("cosine") >= COSINE_THRESHOLD)
+    return _lsh_scored_pairs(spark, sf_dir).filter(
+        col("cosine") >= COSINE_THRESHOLD
     )
 
 
@@ -1559,35 +1588,15 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is candidate-bounded — the symmetric expansion doubles candidate
     rows, the per-source argmax is one rank window on the src key,
     and the reciprocity check is a self-join of the (|vectors|-row)
-    best table on (src, dst). No all-pairs anywhere; same survival
-    posture as `dedup_embedding_cosine`, whose candidate machinery
-    (shared `_lsh_bands` artifact) this reuses.
+    best table on (src, dst). No all-pairs anywhere; the scored
+    candidate table itself is the shared :func:`_lsh_scored_pairs`
+    artifact (one build serves this query and
+    ``dedup_embedding_cosine``), so warm sessions start from the
+    persisted pair cosines.
     """
     from pyspark.sql.window import Window
 
-    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
-
-    e = _emb_vectors(spark, sf_dir)
-    bands = _lsh_bands(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bucket"])
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").alias("vec_a"), col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    ea = e.select(
-        col("vec_id").alias("vec_a"), col("v").alias("va"), col("norm").alias("na")
-    )
-    eb = e.select(
-        col("vec_id").alias("vec_b"), col("v").alias("vb"), col("norm").alias("nb")
-    )
-    cosine = F.round(_dot(col("va"), col("vb")) / col("na") / col("nb"), 6)
-    scored = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-    )
+    scored = _lsh_scored_pairs(spark, sf_dir)
     sym = scored.select(
         col("vec_a").alias("src"), col("vec_b").alias("dst"), "cosine"
     ).unionByName(

@@ -84,10 +84,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #
 # * round 9 leads with the 20 round-8 queries deferred past r8's window
 #   (all PREVERIFY_r08-matched; judge independently re-ran 6/6 MATCH),
-#   keeps the 8 reference queries pinned, and gives the remaining 22
-#   slots to the oldest-external-row cohort (the 6 round-3 rows + 16
-#   round-4 rows) — closing the ledger at 241/241 queries with >=1
-#   green external row.
+#   keeps the 8 reference queries pinned, gives 2 slots to the two
+#   queries whose CODE changed in round 9 (dedup_embedding_cosine and
+#   mutual_nn_pairs now read the shared lsh_scored_pairs artifact —
+#   the round-7 precedent for re-externalizing code-changed queries),
+#   and fills the remaining 20 slots with the oldest-external-row
+#   cohort (the 6 round-3 rows + the oldest round-4 rows) — closing
+#   the ledger at 241/241 queries with >=1 green external row. The
+#   two cohort rows pushed past slot 50 (q19_discounted_revenue,
+#   customers_without_orders) keep local oracle parity and their
+#   green r4 external rows.
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
@@ -124,6 +130,10 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
+    # -- code changed in round 9 (shared lsh_scored_pairs artifact):
+    #    re-externalize both consumers
+    "dedup_embedding_cosine",
+    "mutual_nn_pairs",
     # -- re-validation rotation: the 6 round-3 rows (oldest external
     #    evidence in the ledger) then the 16 oldest round-4 rows
     "multimodal_manifest",

@@ -96,7 +96,7 @@ SHOWCASE = [
     ("sql_top_spenders_per_segment", "SQL text verbatim on both engines: one (segment,customer) agg exchange, rank window over the tiny aggregate"),
     ("doc_novelty_incremental", "batch grams join the memoized historical gram index; daily cost independent of corpus size"),
     ("seasonal_zscore_outliers", "cohort cells collapse map-side to <=168*|types| rows, broadcast back; flag is per-row integer compare"),
-    ("mutual_nn_pairs", "candidate-bounded throughout: banded join, one src-key rank window, best-table self-join for reciprocity"),
+    ("mutual_nn_pairs", "scored candidates from the shared lsh_scored_pairs artifact; symmetric expansion, one src-key rank window, best-table self-join for reciprocity"),
     ("user_activity_features", "ONE map-side-combined user_id agg (conditional counts fused, no pivot); 1-row frontier broadcast"),
     ("revenue_mom_growth", "fact collapses to <=|years|*12 cells map-side; LAG window over the cell table only"),
     ("kmeans_centroid_drift", "assignment table is the loaded artifact; (cid,dim) sums combine map-side to k*d rows; tiny key join"),
