@@ -1,6 +1,7 @@
-"""Portable-HyperLogLog building blocks shared by the batch query
-(queries/functions.py ``hll_portable_events``) and its streaming twin
-(streaming/stateful.py ``streaming_hll``).
+"""Portable sketch building blocks shared by the batch queries
+(queries/functions.py ``hll_portable_events`` / ``cms_heavy_hitters``)
+and their streaming twins (streaming/stateful.py ``streaming_hll`` /
+``streaming_cms``): HyperLogLog registers and the count-min grid.
 
 Everything here is pure int64 arithmetic that BOTH engines (Spark
 expressions here, DuckDB SQL in the oracle) and plain Python (the
@@ -93,3 +94,38 @@ def hll_znum(registers: list[int]) -> int:
     """Z_num = sum(2^(W+1-M_j)) over all ``HLL_M`` registers (M_j = 0
     for an empty register) — the integer-rational harmonic denominator."""
     return sum(1 << (HLL_W + 1 - m) for m in registers)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch geometry + shared projection (HLL's frequency twin)
+# ---------------------------------------------------------------------------
+
+#: sketch geometry: 4 rows x 1024 buckets = 4 KiB of counters per
+#: (grain, row) — small enough to broadcast, mergeable by cell-wise add.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_j_bucket(df: DataFrame, key_col: str, *carry: str) -> DataFrame:
+    """Project each input row to its ``CMS_DEPTH`` count-min cells
+    ``(j, bucket)`` with ``bucket = xxhash64(key, j) mod CMS_WIDTH`` —
+    the SHARED Spark-side expression used by both the batch
+    ``cms_heavy_hitters`` sketch build (queries/functions.py) and the
+    streaming register twin (streaming/stateful.py ``streaming_cms``),
+    so twin parity is a statement about CELL-WISE ADD mergeability
+    across micro-batches, not about replaying a hash. JVM-side
+    (sequence/explode/xxhash64), no UDF; ``carry`` columns ride along
+    untouched, as does ``key_col`` itself (probe-side consumers group
+    back on it)."""
+    return df.select(
+        F.col(key_col),
+        *carry,
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j"),
+    ).select(
+        F.col(key_col),
+        *carry,
+        F.col("j"),
+        F.pmod(F.xxhash64(F.col(key_col), F.col("j")), F.lit(CMS_WIDTH)).alias(
+            "bucket"
+        ),
+    )

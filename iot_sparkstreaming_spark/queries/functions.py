@@ -812,10 +812,16 @@ def variant_events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-min sketch: mergeable heavy-hitter counts (HLL's frequency twin)
 # ---------------------------------------------------------------------------
 
-#: sketch geometry: 4 rows x 1024 buckets = 4 KiB of counters per
-#: (grain, row) — small enough to broadcast, mergeable by cell-wise add.
-CMS_DEPTH = 4
-CMS_WIDTH = 1024
+#: sketch geometry (functions/sketch.py): 4 rows x 1024 buckets =
+#: 4 KiB of counters per (grain, row) — small enough to broadcast,
+#: mergeable by cell-wise add. The (j, bucket) projection is the
+#: SHARED cms_j_bucket expression so the streaming register twin
+#: (streaming/stateful.py streaming_cms) folds the identical cells.
+from iot_sparkstreaming_spark.functions.sketch import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_j_bucket,
+)
 
 CMS_ORACLE = """
 SELECT user_id,
@@ -855,18 +861,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(col("event_type") == "click").select("user_id")
 
-    rows_ = clicks.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j"),
-    ).withColumn("bucket", F.pmod(F.xxhash64(col("user_id"), col("j")), F.lit(CMS_WIDTH)))
+    rows_ = cms_j_bucket(clicks, "user_id")
     sketch = rows_.groupBy("j", "bucket").agg(F.count("*").alias("c"))
 
     true_counts = clicks.groupBy("user_id").agg(F.count("*").alias("true_clicks"))
-    probes = true_counts.select(
-        "user_id",
-        "true_clicks",
-        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j"),
-    ).withColumn("bucket", F.pmod(F.xxhash64(col("user_id"), col("j")), F.lit(CMS_WIDTH)))
+    probes = cms_j_bucket(true_counts, "user_id", "true_clicks")
     est = (
         probes.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("user_id", "true_clicks")

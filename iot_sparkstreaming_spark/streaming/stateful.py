@@ -1175,3 +1175,93 @@ def streaming_holt_winters(events: DataFrame) -> DataFrame:
 streaming_holt_winters.__doc__ = streaming_holt_winters.__doc__.replace(
     "{W}", str(HW_WINDOW)
 )
+
+
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("j", T.LongType()),
+        T.StructField("n_nonzero", T.LongType()),
+        T.StructField("total_mass", T.LongType()),
+        T.StructField("cells", T.ArrayType(T.LongType())),
+    ]
+)
+
+#: state = one count-min grid ROW: CMS_WIDTH long counters (8 KiB)
+CMS_STATE_SCHEMA = T.StructType(
+    [T.StructField("cells", T.ArrayType(T.LongType()))]
+)
+
+
+def streaming_cms(events: DataFrame, output_mode: str = "update") -> DataFrame:
+    """Count-min-sketch maintenance as a stateful streaming operator —
+    the STREAMING twin of the batch ``cms_heavy_hitters`` sketch build
+    (queries/functions.py), and the frequency counterpart of
+    ``streaming_hll``: state per grid row ``j`` is the full
+    ``CMS_WIDTH``-cell counter vector, each micro-batch folds its rows
+    in by CELL-WISE ADD, and every emission carries the current row
+    snapshot plus its monotone ``total_mass`` (sum of all cells — one
+    increment per input occurrence per row, so the final emission per
+    key is the one with the largest mass). Because cell-wise add is
+    commutative and associative, the final grid equals the batch
+    sketch in ANY arrival order — executing the "mergeable across
+    partitions/days" claim the batch docstring makes, across
+    micro-batch boundaries and restarts (tests/test_stateful.py).
+
+    The key → (j, bucket) projection is the SHARED Spark-side
+    ``cms_j_bucket`` expression from functions/sketch.py (also used by
+    the batch query), so parity here is a statement about counter
+    merging, not about replaying xxhash64 in Python; the pandas fold
+    is one vectorized ``value_counts`` per micro-batch per row.
+
+    State per key: ``CMS_WIDTH`` longs (8 KiB) — constant, never grows
+    with key cardinality, which is the entire reason sketches exist at
+    100 TB; parallelism is bounded by ``CMS_DEPTH`` rows, fine because
+    ALL heavy lifting (hashing, exploding) is map-side before the
+    stateful exchange and each state key absorbs pre-hashed ints.
+
+    Input columns: ``event_type``, ``user_id`` (clicks are counted,
+    matching the batch query's grain).
+    """
+    from pyspark.sql import functions as F
+
+    from iot_sparkstreaming_spark.functions.sketch import (
+        CMS_WIDTH,
+        cms_j_bucket,
+    )
+
+    def fn(
+        key: tuple[int],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (j,) = key
+        cells = list(state.get[0]) if state.exists else [0] * CMS_WIDTH
+        for pdf in pdfs:
+            for bucket, cnt in pdf["bucket"].value_counts().items():
+                cells[int(bucket)] += int(cnt)
+        state.update((cells,))
+        yield pd.DataFrame(
+            [
+                {
+                    "j": j,
+                    "n_nonzero": sum(1 for c in cells if c > 0),
+                    "total_mass": sum(cells),
+                    "cells": cells,
+                }
+            ],
+            columns=[f.name for f in CMS_OUTPUT_SCHEMA],
+        )
+
+    projected = cms_j_bucket(
+        events.filter(F.col("event_type") == "click").select("user_id"),
+        "user_id",
+    ).select("j", "bucket")
+    return projected.groupBy("j").applyInPandasWithState(
+        fn,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

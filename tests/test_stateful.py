@@ -993,3 +993,143 @@ def test_streaming_holt_winters_state_survives_restart(spark, tmp_path):
         for r in holt_winters_seasonal_user(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def _cms_batch_grid(spark):
+    """The batch count-min grid over sf0.001 clicks, built from the
+    SAME shared cms_j_bucket projection the twin folds — dict
+    (j, bucket) -> count."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.functions.sketch import cms_j_bucket
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = cms_j_bucket(
+        ev.filter(F.col("event_type") == "click").select("user_id"), "user_id"
+    )
+    grid = rows.groupBy("j", "bucket").agg(F.count("*").alias("c")).collect()
+    return {(r.j, r.bucket): r.c for r in grid}
+
+
+def _cms_final_rows(emitted):
+    """Last emission per grid row = the one with the largest
+    total_mass (cell-wise add is monotone in the mass)."""
+    best = {}
+    for r in emitted:
+        if r.j not in best or r.total_mass > best[r.j].total_mass:
+            best[r.j] = r
+    return best
+
+
+def test_streaming_cms_twin_parity(spark, tmp_path):
+    """The stateful count-min stream must converge to exactly the
+    batch cms_heavy_hitters grid. The feed is split by event_id MOD 3
+    so every counter row merges contributions from three micro-batches
+    arriving out of order — proving cell-wise ADD is order-independent,
+    the frequency-sketch counterpart of the HLL register-max proof."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.functions.sketch import CMS_DEPTH, CMS_WIDTH
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_cms
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_cms(stream)
+        .writeStream.format("memory")
+        .queryName("cms_twin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for part in range(3):
+            ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.parquet(
+                str(src / f"b{part}.parquet")
+            )
+            q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM cms_twin").collect()
+    finally:
+        q.stop()
+
+    best = _cms_final_rows(emitted)
+    want = _cms_batch_grid(spark)
+    assert set(best) == set(range(CMS_DEPTH))
+    got = {
+        (j, b): c
+        for j, r in best.items()
+        for b, c in enumerate(r.cells)
+        if c > 0
+    }
+    assert got == want
+    # emission invariants: mass = total click count per row, nonzero
+    # cell count matches the grid's occupancy
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    for j, r in best.items():
+        assert r.total_mass == n_clicks
+        assert r.n_nonzero == sum(1 for (jj, _b) in want if jj == j)
+        assert len(r.cells) == CMS_WIDTH
+
+
+def test_streaming_cms_state_survives_restart(spark, tmp_path):
+    """Kill the CMS stream between micro-batches and restart from the
+    same checkpoint: the restored counter rows must absorb the second
+    half of the feed and finish with exactly the batch grid — restart
+    invisible in every cell."""
+    import pyspark.sql.functions as F
+
+    from iot_sparkstreaming_spark.streaming.stateful import streaming_cms
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src / "*.parquet"))
+        return (
+            streaming_cms(stream, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+        emitted = spark.read.parquet(out_dir).collect()
+    finally:
+        q.stop()
+
+    best = _cms_final_rows(emitted)
+    got = {
+        (j, b): c
+        for j, r in best.items()
+        for b, c in enumerate(r.cells)
+        if c > 0
+    }
+    assert got == _cms_batch_grid(spark)
