@@ -161,3 +161,15 @@ def test_runtime_bloom_filter_injects_on_selective_star_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lsh_scored_pairs_artifact_shared(plans):
+    """Both scored-pair consumers must read the persisted
+    lsh_scored_pairs artifact (or its in-session checkpoint) instead
+    of re-deriving the band join + dot products: neither plan may
+    scan the embeddings table or re-hash bands once the shared
+    artifact exists."""
+    for name in ("dedup_embedding_cosine", "mutual_nn_pairs"):
+        plan = plans[name]
+        assert "embeddings" not in plan, f"{name} re-derives from embeddings:\n{plan}"
+        assert "xxhash64" not in plan, f"{name} re-hashes LSH bands:\n{plan}"
