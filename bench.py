@@ -395,6 +395,23 @@ def main() -> None:
     stream_rows = 0
     stream_trials: list[float] = []
     stream_err = None
+    stream_breakdown: dict[str, int] = {}
+    sink_breakdown: dict[str, int] = {}
+
+    def _fold_progress(acc: dict[str, int], q) -> None:
+        """Accumulate StreamingQueryProgress durationMs components
+        (triggerExecution, addBatch, walCommit, ...) plus a batch
+        counter across every micro-batch of every trial — the
+        breakdown that attributes the noop-vs-keyed-sink rows/s gap
+        to plan time vs sink commit time instead of asserting it."""
+        try:
+            for p in q.recentProgress:
+                acc["n_batches"] = acc.get("n_batches", 0) + 1
+                for k, v in (p.get("durationMs") or {}).items():
+                    acc[k] = acc.get(k, 0) + int(v)
+        except Exception:  # noqa: BLE001 — observability must not kill the bench
+            pass
+
     try:
         from iot_sparkstreaming_spark.io.sources import events_stream
         from iot_sparkstreaming_spark.queries.reference import derive_telemetry
@@ -434,6 +451,7 @@ def main() -> None:
             )
             sq.awaitTermination()
             stream_trials.append(round(time.perf_counter() - t0, 4))
+            _fold_progress(stream_breakdown, sq)
     except Exception as e:  # noqa: BLE001 — the metric must not kill the bench
         stream_rows = -1  # recorded as "measurement unavailable", not 0 rows/s
         stream_err = f"{type(e).__name__}: {e}"[:500]
@@ -511,6 +529,7 @@ def main() -> None:
                 )
                 sq.awaitTermination()
                 sink_trials.append(round(time.perf_counter() - t0, 4))
+                _fold_progress(sink_breakdown, sq)
                 sink_rows_written = len(
                     keyed_sink.read_table(os.path.join(tmpd, "out"))
                 )
@@ -553,6 +572,12 @@ def main() -> None:
         "streaming_sink_rows_per_sec_max": max(sink_rps_trials, default=None),
         "streaming_sink_keys_written": sink_rows_written,
         "streaming_sink_error": sink_err,
+        # durationMs totals across all micro-batches of all trials
+        # (plus n_batches): subtracting the noop row from the sink row
+        # shows where the keyed writer's extra wall-clock goes
+        # (addBatch = sink commit work vs planner/WAL overheads).
+        "streaming_duration_ms_sum": stream_breakdown or None,
+        "streaming_sink_duration_ms_sum": sink_breakdown or None,
         "artifacts_preloaded": artifacts_preloaded,
     }
     # Per-artifact disk-tier accounting (r8 verdict task 3): which
