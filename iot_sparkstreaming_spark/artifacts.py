@@ -34,6 +34,14 @@ replacement for ``session_memo`` with a disk tier underneath:
 * **fail-open**: any I/O problem (read-only disk, missing store,
   concurrent prune) degrades to the plain session memo — the disk
   tier is a pure accelerator, never a correctness dependency.
+* **single-materialization cold path**: builders return LAZY plans;
+  the atomic parquet save is the one action that computes the build,
+  and consumers are served the re-loaded parquet scan. Only the
+  fail-open fallback (store unwritable) checkpoints the plan so the
+  session memo holds a computed frame. Builders whose result feeds
+  ANOTHER leaf of the same artifact (a signature table and its norm
+  table) still checkpoint that intermediate themselves — intra-build
+  reuse is the builder's concern, durability is this module's.
 
 Layout: ``$SPARK_GRAFT_ARTIFACTS`` (default
 ``<repo>/spark-warehouse/artifacts``)``/<name>/<sfbase>-<path8>-<fp16>/``
@@ -232,6 +240,27 @@ def _save(value, final_dir: str) -> bool:
         return os.path.isdir(final_dir)
 
 
+def _materialize_fallback(value):
+    """Materialize a builder result when the disk tier could NOT serve
+    it (unwritable store, failed save, failed re-load): checkpoint each
+    DataFrame leaf so session-memo consumers don't recompute the whole
+    build on every action. On the normal path builders return LAZY
+    plans and the parquet save is the single materialization — this
+    fallback is the only place the block-manager copy still exists."""
+    kind, leaves = _components(value)
+    if kind is None:
+        return value
+    out = [
+        (n, v.localCheckpoint(eager=True) if isinstance(v, DataFrame) else v)
+        for n, v in leaves
+    ]
+    if kind == "df":
+        return out[0][1]
+    if kind == "tuple":
+        return tuple(v for _, v in out)
+    return dict(out)
+
+
 def _load(spark: SparkSession, final_dir: str):
     with open(os.path.join(final_dir, "meta.json")) as f:
         meta = json.load(f)
@@ -319,7 +348,7 @@ def artifact_memo(spark: SparkSession, key: tuple, builder):
                 return loaded
         except Exception:  # noqa: BLE001 — fail-open by contract
             t0 = time.perf_counter()
-            value = builder()
+            value = _materialize_fallback(builder())
             BUILD_TIMES[name] = round(
                 BUILD_TIMES.get(name, 0.0) + time.perf_counter() - t0, 4
             )
@@ -337,19 +366,19 @@ def artifact_memo(spark: SparkSession, key: tuple, builder):
             BUILD_TIMES.get(name, 0.0) + time.perf_counter() - t0, 4
         )
         if saved:
-            # Serve consumers from the durable parquet tier, not the
-            # builder's in-session localCheckpoint: on a real cluster a
-            # lineage-truncated local checkpoint dies with its executor
-            # (no lineage left to recompute), while the just-written
-            # artifact survives any executor loss — and cold sessions
-            # now run the IDENTICAL plan warm sessions do (a scan of
-            # the artifact), so plan assertions hold in both regimes.
-            # The checkpoint blocks backing `value` become unreferenced
-            # here and are reclaimed by the ContextCleaner.
+            # Serve consumers from the durable parquet tier: on a real
+            # cluster a lineage-truncated local checkpoint dies with
+            # its executor (no lineage left to recompute), while the
+            # just-written artifact survives any executor loss — and
+            # cold sessions run the IDENTICAL plan warm sessions do (a
+            # scan of the artifact), so plan assertions hold in both
+            # regimes. Builders return LAZY plans; the parquet write
+            # above was the build's single materialization (no
+            # block-manager double-store on the cold path).
             try:
                 return _load(spark, final_dir)
             except Exception:  # noqa: BLE001 — fail-open by contract
-                return value
-        return value
+                return _materialize_fallback(value)
+        return _materialize_fallback(value)
 
     return session_memo(spark, key, build_or_load)

@@ -698,7 +698,6 @@ def _trade_links_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("w")
             )
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("trade_links_weighted", sf_dir), build)
@@ -718,7 +717,6 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             _trade_links_weighted(spark, sf_dir)
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("trade_pairs", sf_dir), build)
@@ -1650,7 +1648,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entity"),
             F.expr("node div 2").cast("bigint").alias("entity_key"),
             col("deg").cast("bigint").alias("core_degree"),
-        ).localCheckpoint(eager=True)
+        )
 
     return artifact_memo(spark, ("kcore_trade_graph", sf_dir), build).orderBy(
         "entity", "entity_key"
@@ -2268,8 +2266,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         edges = pairs.union(pairs.select(col("b").alias("a"), col("a").alias("b")))
         labels = label_propagation(edges, iterations=LP_ITERS)
         # build-once/query-many: the community table is the memoized
-        # artifact (same localCheckpoint pattern as similarity's
-        # _vectors) — the 3-round loop runs once per (session, sf_dir)
+        # artifact — the 3-round loop runs once per (session, sf_dir)
         return labels.select(
             col("node").alias("node_id"),
             (col("node") % 2 == 1).alias("is_supplier"),
@@ -2278,7 +2275,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .over(Window.partitionBy("label"))
             .cast("bigint")
             .alias("community_size"),
-        ).localCheckpoint(eager=True)
+        )
 
     return artifact_memo(spark, ("label_propagation_communities", sf_dir), build)
 
@@ -5467,7 +5464,7 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_hist() -> DataFrame:
         return rollup(
             ev.crossJoin(F.broadcast(maxd)).filter(F.to_date(col("ts")) < col("maxd"))
-        ).localCheckpoint(eager=True)
+        )
 
     hist = artifact_memo(spark, ("hourly_rollup_hist", sf_dir), build_hist)
     batch = rollup(

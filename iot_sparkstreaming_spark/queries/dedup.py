@@ -154,7 +154,6 @@ def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
             .drop("__df")
             .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("shingle_postings", sf_dir), build)
@@ -297,7 +296,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed = sh.select("doc_id", shingle_hashes(col("sh")).alias("hs"))
         return hashed.select(
             "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
-        ).localCheckpoint(eager=True)
+        )
 
     return artifact_memo(spark, ("minhash_sigs", sf_dir), build_sigs)
 
@@ -413,7 +412,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return hashed.select(
             "doc_id", simhash32_from_hashes(col("th")).alias("sim")
-        ).localCheckpoint(eager=True)
+        )
 
     sims = artifact_memo(spark, ("simhash_sims", sf_dir), build_sims)
 
@@ -485,7 +484,6 @@ def _emb_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
             )
             .select("vec_id", "v", F.sqrt(_dot(col("v"), col("v"))).alias("norm"))
-            .localCheckpoint(eager=True)
         )
 
     from iot_sparkstreaming_spark.artifacts import artifact_memo
@@ -576,7 +574,6 @@ def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.join(ea, "vec_a")
             .join(eb, "vec_b")
             .select("vec_a", "vec_b", cosine.alias("cosine"))
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("lsh_scored_pairs", sf_dir), build)
@@ -1033,7 +1030,6 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             # join needs — one exchange serves both
             .repartition(col("cid"))
             .withColumn("cluster_n", F.count("*").over(Window.partitionBy("cid")))
-            .localCheckpoint(eager=True)
         )
 
     assigned = artifact_memo(spark, ("semdedup_assigned", sf_dir), build_assigned)
@@ -1249,7 +1245,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_index() -> DataFrame:
         # the persisted historical index: corpus-side band rows
-        return bands_of(sigs.filter(~is_batch)).localCheckpoint(eager=True)
+        return bands_of(sigs.filter(~is_batch))
 
     hist = artifact_memo(spark, ("minhash_hist_index", sf_dir), build_index)
     new_bands = bands_of(sigs.filter(is_batch))

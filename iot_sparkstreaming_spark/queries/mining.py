@@ -422,7 +422,6 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("winnowing_fps", sf_dir), build)
@@ -656,7 +655,6 @@ def _collocation_counts(spark: SparkSession, sf_dir: str) -> dict:
             tk.select(F.explode(col("tk")).alias("t"))
             .groupBy("t")
             .agg(F.count("*").alias("c"))
-            .localCheckpoint(eager=True)
         )
         m = F.size(col("tk")) - 1
         pairs = tk.filter(F.size(col("tk")) >= 2).select(
@@ -673,7 +671,6 @@ def _collocation_counts(spark: SparkSession, sf_dir: str) -> dict:
             .groupBy("w1", "w2")
             .agg(F.count("*").alias("n_ab"))
             .filter(col("n_ab") >= 5)
-            .localCheckpoint(eager=True)
         )
         return {"ucnt": ucnt, "bcnt": bcnt}
 
@@ -1078,7 +1075,7 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        return dup_span_gram_index(docs).localCheckpoint(eager=True)
+        return dup_span_gram_index(docs)
 
     # the DF-filtered hashed-gram posting index is the expensive
     # corpus pass (tokenize + posexplode + per-gram DF window) and is
@@ -1838,7 +1835,6 @@ def doc_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             grams_of(docs.filter(~is_batch))
             .groupBy("gram")
             .agg(F.min("doc_id").alias("first_doc"))
-            .localCheckpoint(eager=True)
         )
 
     hist = artifact_memo(spark, ("novelty_gram_index", sf_dir), build_index)

@@ -101,7 +101,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             % 10
         )
-        return g.withColumn("bucket", bucket).localCheckpoint(eager=True)
+        return g.withColumn("bucket", bucket)
 
     grams = artifact_memo(spark, ("contamination_grams", sf_dir), build_grams)
     test_grams = grams.filter(col("bucket") >= 9).select("doc_id", "g")

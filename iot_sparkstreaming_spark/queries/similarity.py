@@ -92,7 +92,6 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(col("embedding"), lambda x: x.cast("double")).alias("v"),
             )
             .withColumn("nv", _norm(col("v")))
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("sim_vectors", sf_dir), build)
@@ -241,7 +240,6 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[_band_bucket_col(col("v"), b) for b in range(N_BANDS)]),
             )
             .select("vec_id", F.posexplode("band_buckets").alias("band", "bucket"))
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("lsh_bands", sf_dir), build)
@@ -471,7 +469,6 @@ def _ivf_assigned(
                 ).alias("m"),
             )
             .select("vec_id", "label", "v", "nv", (-col("m.nc")).alias("cid"))
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("ivf_assigned", sf_dir), build_assigned)
@@ -723,7 +720,6 @@ def _pq_recon(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
                     )
                 ).alias("r")
             )
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("pq_recon", sf_dir), build_recon)
@@ -1287,7 +1283,6 @@ def _kmeans_ivf_assigned(
             .groupBy("vec_id")
             .agg(F.any_value(col("v")).alias("v"), F.max("key").alias("m"))
             .select("vec_id", "v", (-col("m.nc")).cast("bigint").alias("cid"))
-            .localCheckpoint(eager=True)
         )
 
     return artifact_memo(spark, ("kmeans_ivf_assigned", sf_dir), build_assigned)
@@ -1693,7 +1688,7 @@ def _pca_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col("j").alias("i"), col("i").alias("j"), "sc"
             )
         )
-        return full.localCheckpoint(eager=True)
+        return full
 
     return artifact_memo(spark, ("pca_scatter", sf_dir), build)
 
