@@ -1528,22 +1528,37 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time (the memoized artifact minus today's ids)
     hist = _kmeans_ivf_assigned(spark, sf_dir, e, cent).filter(~is_new)
 
-    # incremental assign: today's vectors vs FROZEN centroids — the
-    # same broadcast hash-agg argmin, over O(batch) rows only
-    d2 = _d2(col("v"), col("cvec"))
-    newly = (
+    # ONE batch×centroid cross product serves both daily jobs: rank
+    # every frozen centroid per batch vector by (d2, cid) — rank 1 IS
+    # the argmin cell assignment (identical tie-break to the
+    # broadcast hash-agg argmin the rebuild uses: min d2, then min
+    # cid), ranks ≤ N_PROBE are the probe list. One scan of the
+    # batch, one broadcast, one window exchange on vec_id — the
+    # forked consumers below share that identical exchange subtree
+    # (ReusedExchange), where the previous shape scanned e and
+    # re-broadcast cent twice.
+    d2p = _d2(col("qv"), col("cvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
+    ranked = (
         e.filter(is_new)
-        .crossJoin(F.broadcast(cent))
         .select(
-            "vec_id",
-            "v",
-            "cid",
-            F.struct((-d2).alias("nd"), (-col("cid")).alias("nc")).alias("key"),
+            col("vec_id").alias("query_id"),
+            col("v").alias("qv"),
+            _dot(col("v"), col("v")).alias("qq"),
         )
-        .groupBy("vec_id")
-        .agg(F.any_value(col("v")).alias("v"), F.max("key").alias("m"))
-        .select("vec_id", "v", (-col("m.nc")).cast("bigint").alias("cid"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(col("prk") <= N_PROBE)
+        .select("query_id", "qv", "qq", "cid", "prk")
+        # O(batch·N_PROBE) rows; cached so the two consumers below
+        # compute the cross product + rank once (the forked plan is
+        # not exchange-reused across the window)
+        .persist()
     )
+    newly = ranked.filter(col("prk") == 1).select(
+        col("query_id").alias("vec_id"), col("qv").alias("v"), "cid"
+    )
+    probes = ranked.select("query_id", "qv", "qq", "cid")
     # Rescore-cost note: array higher-order functions (zip_with +
     # aggregate) are JVM-side but NOT whole-stage-codegen'd — each
     # evaluation walks the array interpreted. The exact rescore below
@@ -1556,21 +1571,6 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.select("vec_id", "v", "cid")
         .unionByName(newly)
         .select("vec_id", "v", "cid", _dot(col("v"), col("v")).alias("ww"))
-    )
-
-    d2p = _d2(col("qv"), col("cvec"))
-    w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
-    probes = (
-        e.filter(is_new)
-        .select(
-            col("vec_id").alias("query_id"),
-            col("v").alias("qv"),
-            _dot(col("v"), col("v")).alias("qq"),
-        )
-        .crossJoin(F.broadcast(cent))
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(col("prk") <= N_PROBE)
-        .select("query_id", "qv", "qq", "cid")
     )
     d2s = (col("qq") - F.lit(2.0) * _dot(col("qv"), col("v"))) + col("ww")
     scored = (
