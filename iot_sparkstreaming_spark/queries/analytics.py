@@ -5555,6 +5555,12 @@ def cheapest_path_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = deg.orderBy(col("d").desc(), col("node").asc()).limit(1).select("node")
     dist = hub.select("node", F.lit(0).cast("bigint").alias("dist"))
     edges = edges.persist()
+    # Checkpoint width for the node-sized round result scales with
+    # the cluster instead of pinning an sf0.1 constant: ~1 partition
+    # per 8 cores (local[32] → 4, the measured local sweet spot; a
+    # 1000-executor cluster gets proportionally wider checkpoints
+    # instead of serializing every round through 4 partitions).
+    bf_width = max(4, spark.sparkContext.defaultParallelism // 8)
     for _ in range(BF_ROUNDS):
         # relaxed candidates stay UN-aggregated: the final min per node
         # folds them in one exchange (map-side combiners pre-collapse
@@ -5573,7 +5579,7 @@ def cheapest_path_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
-            .coalesce(4)
+            .coalesce(bf_width)
             .localCheckpoint(eager=True)
         )
     result = dist.select(
