@@ -196,6 +196,54 @@ def session_activity(
     )
 
 
+def session_window_events_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``queries/analytics.py:session_window_events``
+    — the SAME built-in ``session_window`` aggregation over the raw
+    events shape (user_id, ts), with the watermark bounding session
+    state. Append mode (the only output mode session windows support)
+    emits each session exactly once, when the watermark passes its
+    close — so the emitted set is precisely the batch query's rows
+    restricted to watermark-closed sessions, which is what the
+    split-feed parity and kill/restart tests in
+    tests/test_stateful.py pin.
+
+    Event time is ms-floored through the identical
+    ``timestamp_millis ∘ unix_millis`` the batch member applies, so a
+    session merges/breaks on exactly the same millisecond gaps on
+    both rails, and the output columns (formatted start/end strings,
+    bigint count) are byte-identical to the batch projection.
+
+    Scale shape: state per key is one (start, end, count) triple per
+    OPEN session — eviction is the watermark, so state size is
+    active-users × open-sessions, not history. The shuffle key is
+    user_id, the same single exchange as the batch plan.
+    """
+    from iot_sparkstreaming_spark.queries.analytics import SESSION_GAP_MS
+
+    ev = events.withColumn(
+        "ts_ms", F.timestamp_millis(F.unix_millis(col("ts")))
+    )
+    sw = F.session_window(col("ts_ms"), f"{SESSION_GAP_MS // 1000} seconds")
+    return (
+        ev.withWatermark("ts_ms", watermark)
+        .groupBy("user_id", sw.alias("sw"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stream-stream interval join (absent category: the reference only had
 # stream-static J1)

@@ -1133,3 +1133,140 @@ def test_streaming_cms_state_survives_restart(spark, tmp_path):
         if c > 0
     }
     assert got == _cms_batch_grid(spark)
+
+
+# ---------------------------------------------------------------------------
+# Native session_window streaming twin (append mode, watermark-closed)
+# ---------------------------------------------------------------------------
+
+
+def _session_batch_rows(spark):
+    """The batch member's full session table at sf0.001, as a set of
+    comparable tuples."""
+    from iot_sparkstreaming_spark.queries.analytics import session_window_events
+
+    return {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_window_events(spark, "/root/testdata/sf0.001").collect()
+    }
+
+
+_SESSION_SENTINEL_USER = 999_999
+
+
+def _session_feed_parts(spark):
+    """The sf0.001 events split into two TIME-ORDERED halves plus a
+    far-future sentinel row. Time-ordering (not a mod split) is what a
+    watermark allows: each half's rows are newer than the watermark
+    the previous half advanced to, so nothing is dropped as late, and
+    every session spanning the cut must merge ACROSS micro-batches.
+    The sentinel's event time pushes the final watermark past every
+    real session's close, so append mode must have emitted all of
+    them; the sentinel's own session stays open and never emits."""
+    import datetime
+
+    from iot_sparkstreaming_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    sentinel = spark.createDataFrame(
+        [(_SESSION_SENTINEL_USER, hi + datetime.timedelta(days=30))],
+        ev.schema,
+    )
+    return (
+        ev.filter(F.col("ts") < F.lit(mid)),
+        ev.filter(F.col("ts") >= F.lit(mid)),
+        sentinel,
+        ev.schema,
+    )
+
+
+def test_streaming_session_window_split_parity(spark, tmp_path):
+    """Sessions assembled from two time-split micro-batches must be
+    row-identical to the batch session_window_events table: state
+    merges partial sessions across the cut, and once the sentinel
+    advances the watermark past every real close, append mode has
+    emitted each session exactly once."""
+    from iot_sparkstreaming_spark.streaming.pipelines import (
+        session_window_events_stream,
+    )
+
+    b0, b1, sentinel, schema = _session_feed_parts(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = spark.readStream.schema(schema).parquet(str(src / "*.parquet"))
+    q = (
+        session_window_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for i, part in enumerate((b0, b1, sentinel)):
+            part.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+            q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM sess_twin").collect()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in emitted
+    }
+    assert _SESSION_SENTINEL_USER not in {r.user_id for r in emitted}
+    assert len(got) == len(emitted), "append mode re-emitted a session"
+    assert got == _session_batch_rows(spark)
+
+
+def test_streaming_session_window_state_survives_restart(spark, tmp_path):
+    """Kill the session stream at the time-split cut and restart from
+    the same checkpoint: restored open-session state must absorb the
+    second half (merging every session that spans the cut) and finish
+    with exactly the batch session table — restart invisible in every
+    row."""
+    from iot_sparkstreaming_spark.streaming.pipelines import (
+        session_window_events_stream,
+    )
+
+    b0, b1, sentinel, schema = _session_feed_parts(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*.parquet"))
+        return (
+            session_window_events_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    b0.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    sentinel.coalesce(1).write.parquet(str(src / "b2.parquet"))
+    q = start()
+    try:
+        q.processAllAvailable()
+        emitted = spark.read.parquet(out_dir).collect()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in emitted
+    }
+    assert len(got) == len(emitted), "append mode re-emitted a session"
+    assert got == _session_batch_rows(spark)
