@@ -82,45 +82,63 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   output committed as PREVERIFY_r08.txt — so nothing ships with
 #   zero hash evidence.
 #
-# * round 9 leads with the 20 round-8 queries deferred past r8's window
-#   (all PREVERIFY_r08-matched; judge independently re-ran 6/6 MATCH),
-#   keeps the 8 reference queries pinned, gives 2 slots to the two
-#   queries whose CODE changed in round 9 (dedup_embedding_cosine and
-#   mutual_nn_pairs now read the shared lsh_scored_pairs artifact —
-#   the round-7 precedent for re-externalizing code-changed queries),
-#   and fills the remaining 20 slots with the oldest-external-row
-#   cohort (the 6 round-3 rows + the oldest round-4 rows) — closing
-#   the ledger at 241/241 queries with >=1 green external row. The
-#   two cohort rows pushed past slot 50 (q19_discounted_revenue,
-#   customers_without_orders) keep local oracle parity and their
-#   green r4 external rows.
+# * round 9 led with the 20 round-8 deferred queries, kept the 8
+#   reference queries pinned, re-externalized the 2 code-changed
+#   queries, and filled with the oldest round-3/4 cohort — closing the
+#   ledger at 241/241 queries with >=1 green external row
+#   (CORRECTNESS_r09.json, 50/50 green).
+#
+# STANDING ROTATION POLICY (round 10 onward, judge task r9#1): with the
+# ledger closed, each round's 50-slot window is (a) the 8 reference
+# pipeline queries, pinned; (b) every query whose CODE changed this
+# round (round-7/9 precedent); (c) the remainder filled OLDEST
+# EXTERNAL ROW FIRST, so no query's evidence ages past ~5 rounds.
+# Staleness is computed from CORRECTNESS_r01..r{N-1}.json (latest
+# round each query appeared in, ties broken by landing order).
+#
+# * round 10 applies the policy to the round-4 staleness cohort: all
+#   27 queries whose newest external row is r4 (TPC-H tail + scalar
+#   function families) lead, the 8 reference queries stay pinned, the
+#   2 round-10 code-changed queries re-externalize
+#   (ann_incremental_assign — argmin folded into the probe ranking,
+#   6776f11; cheapest_path_lead_time — parallelism-derived checkpoint
+#   width, 24401d1), and the remaining 13 slots go to the oldest
+#   (round-5) cohort, leading with the queries that sit directly on
+#   the artifact store whose serving path was rewritten in r9/r10
+#   (pagerank, IVF/PQ indexes, sketches, codec queries).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # -- round-9 window (judge task #1): the 20 round-8 queries whose only
-    #    evidence was builder-side PREVERIFY_r08.txt lead, so every one of
-    #    the 241 registered queries gains >=1 green external row this round
-    "cheapest_path_lead_time",
-    "rollup_incremental_merge",
-    "er_fellegi_sunter",
-    "grid_density_core",
-    "sql_unpivot_user_metrics",
-    "weighted_median_value_type",
-    "audience_overlap_jaccard",
-    "calibration_bins_events",
-    "chisq_type_segment",
-    "curriculum_interleave_docs",
-    "hits_trade_graph",
-    "hll_portable_events",
-    "spearman_value_vs_time",
-    "holt_winters_seasonal_user",
-    "kwic_concordance_docs",
-    "readability_flesch_docs",
-    "skew_key_diagnosis",
-    "sql_group_by_all",
-    "welch_t_test_purchase_view",
-    "zip_shard_roundtrip",
+    # -- round-4 staleness cohort (27): newest external row is r4;
+    #    refreshed through the rewritten artifact-store serving path
+    "approx_distinct_sketch",
+    "customers_without_orders",
+    "datetime_ship_delay",
+    "distinct_suppliers_per_segment",
+    "embedding_norm_stats",
+    "feature_binning_histogram",
+    "grouping_sets_revenue",
+    "json_extract_events",
+    "nation_census_outer",
+    "percentile_event_values",
+    "pivot_priority_by_status",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "regex_part_taxonomy",
+    "string_functions_customer",
+    "udaf_iqr_pandas",
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",
@@ -130,34 +148,23 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- code changed in round 9 (shared lsh_scored_pairs artifact):
-    #    re-externalize both consumers
-    "dedup_embedding_cosine",
-    "mutual_nn_pairs",
-    # -- re-validation rotation: the 6 round-3 rows (oldest external
-    #    evidence in the ledger) then the 16 oldest round-4 rows
-    "multimodal_manifest",
-    "multimodal_features",
-    "sql_revenue_by_region",
-    "temperature_mix_allocation",
-    "assign_global_ids",
-    "bpe_encode_docs",
-    "window_topk_per_user",
-    "window_running_total",
-    "window_event_deltas",
-    "sessionize_events",
-    "rollup_customer_census",
-    "cube_event_census",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "customers_without_orders",
+    # -- code changed in round 10: re-externalize (r7/r9 precedent)
+    "ann_incremental_assign",
+    "cheapest_path_lead_time",
+    # -- oldest (round-5) cohort fill, artifact-store consumers first
+    "pagerank_trade_graph",
+    "ann_ivf_pq",
+    "ann_pq_adc",
+    "cms_heavy_hitters",
+    "hll_union_region_suppliers",
+    "funnel_analysis",
+    "image_bmp_features",
+    "image_bmp_thumbnail",
+    "audio_wav_features",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "dedup_edit_distance",
+    "variant_events_typed",
 ]
 
 _MODULE_ORDER = [
