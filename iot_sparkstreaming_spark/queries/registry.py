@@ -101,7 +101,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   function families) lead, the 8 reference queries stay pinned, the
 #   2 round-10 code-changed queries re-externalize
 #   (ann_incremental_assign — argmin folded into the probe ranking,
-#   6776f11; cheapest_path_lead_time — parallelism-derived checkpoint
+#   then the daily batch re-bounded to a trailing arrival window
+#   after the 1x/10x scale measurement caught the fraction-of-corpus
+#   batch compounding super-linearly, docs/SCALING.md;
+#   cheapest_path_lead_time — parallelism-derived checkpoint
 #   width, 24401d1), and the remaining 13 slots go to the oldest
 #   (round-5) cohort, leading with the queries that sit directly on
 #   the artifact store whose serving path was rewritten in r9/r10

@@ -1454,16 +1454,23 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental ANN: assign a new vector batch to the trained index
 # ---------------------------------------------------------------------------
 
-#: vec_id % MOD == 0 marks "today's batch" — the vectors that arrive
-#: AFTER the index was trained (same convention as
-#: dedup_incremental_minhash's INCR_BATCH_MOD on the dedup side).
-AIA_BATCH_MOD = 10
+#: "today's batch" = the AIA_WINDOW newest arrivals (vec_id is
+#: assigned by arrival order, so the batch is the trailing id window
+#: ending at max(vec_id)). A BOUNDED batch — not a fixed FRACTION of
+#: the corpus — is what makes the daily cost genuinely O(batch): the
+#: 1x/10x scale measurement (docs/SCALING.md) showed the previous
+#: ``vec_id % 10 == 0`` convention growing the batch 10x with the
+#: corpus, compounding with 10x IVF cell size into ~100x candidate
+#: pairs (20.5x measured wall-clock). Real ingest is bounded by
+#: arrival rate, not corpus size.
+AIA_WINDOW = 100
 
 
 def _aia_oracle() -> str:
     d2a = _D2_SQL.format(a="e.v", b="c.cvec")
     d2s = _D2_SQL.format(a="p.qv", b="m.v")
     return _kmeans_ctes() + f""",
+cut AS (SELECT MAX(vec_id) - {AIA_WINDOW} AS lo FROM e),
 fin AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
@@ -1475,12 +1482,12 @@ probes AS (
   SELECT query_id, cid, qv FROM (
     SELECT e.vec_id AS query_id, c.cid, e.v AS qv,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2a}, c.cid) AS prk
-    FROM e CROSS JOIN c{KM_ITERS} c WHERE e.vec_id % {AIA_BATCH_MOD} = 0
+    FROM e CROSS JOIN c{KM_ITERS} c WHERE e.vec_id > (SELECT lo FROM cut)
   ) WHERE prk <= {N_PROBE}
 ),
 scored AS (
   SELECT p.query_id, m.vec_id AS neighbor_id,
-    m.vec_id % {AIA_BATCH_MOD} = 0 AS is_new, {d2s} AS d2
+    m.vec_id > (SELECT lo FROM cut) AS is_new, {d2s} AS d2
   FROM probes p JOIN fin m ON m.cid = p.cid
   WHERE m.vec_id <> p.query_id
 )
@@ -1497,15 +1504,17 @@ WHERE rk <= {TOP_K}
 
 @register("ann_incremental_assign", oracle=_aia_oracle())
 def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-ingest retrieval: a NEW batch of vectors
-    (vec_id % {AIA_BATCH_MOD} == 0 — "today's" arrivals) is assigned
-    to the MEMOIZED Lloyd centroids without retraining, merged with
-    the persisted historical cell index, and each new vector is
-    probe-queried against the merged index — the vector-side twin of
-    ``dedup_incremental_minhash``, completing the incremental story
-    (dedup had it; retrieval now does too). ``is_new`` marks
-    neighbors that are themselves from today's batch, so downstream
-    can split intra-batch near-dups from hits against the corpus.
+    """Daily-ingest retrieval: a NEW batch of vectors (the
+    {AIA_WINDOW} newest arrivals — ids above max(vec_id) −
+    {AIA_WINDOW}, since ids are assigned in arrival order) is
+    assigned to the MEMOIZED Lloyd centroids without retraining,
+    merged with the persisted historical cell index, and each new
+    vector is probe-queried against the merged index — the
+    vector-side twin of ``dedup_incremental_minhash``, completing the
+    incremental story (dedup had it; retrieval now does too).
+    ``is_new`` marks neighbors that are themselves from today's
+    batch, so downstream can split intra-batch near-dups from hits
+    against the corpus.
 
     Correctness contract: incremental assignment against FROZEN
     centroids must land every batch vector in exactly the cell a full
@@ -1513,20 +1522,33 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd assignment and searches it, and the hash only matches if
     the incremental path is indistinguishable from the rebuild.
 
-    Scale shape: daily cost is O(batch) — one broadcast-centroid
-    argmin over the NEW vectors only (the historical index is the
-    memoized/persisted artifact, loaded not rebuilt), then the probe
-    join touches ~{N_PROBE}/{KM_K} of the merged corpus, shuffled on
-    cell id only. Retraining cost: zero; the corpus is never
-    rescanned.
+    Scale shape: daily cost is O(batch), and the batch is BOUNDED
+    ({AIA_WINDOW} rows at any corpus size — the 1x/10x measurement in
+    docs/SCALING.md caught the previous fraction-of-corpus batch
+    compounding with cell growth into ~100x candidate pairs). One
+    broadcast-centroid argmin over the NEW vectors only (the
+    historical index is the memoized/persisted artifact, loaded not
+    rebuilt), then the probe join touches ~{N_PROBE}/{KM_K} of the
+    merged corpus, shuffled on cell id only. Retraining cost: zero;
+    the corpus is never rescanned. Residual linear term: probed cell
+    size is corpus/{KM_K}; at real scale the retrain policy grows k
+    with ~sqrt(corpus) to hold cells bounded (k is a parameter of the
+    shared Lloyd build; {KM_K} is this fixture's size).
     """
     parts = _kmeans_parts(spark, sf_dir)
     e, cent = parts["e"], parts["cent"]
-    is_new = col("vec_id") % AIA_BATCH_MOD == 0
+    # arrival cutoff: one tiny aggregate, broadcast into both branch
+    # predicates (never a driver collect)
+    cut = e.agg((F.max("vec_id") - AIA_WINDOW).alias("lo"))
+    is_new = col("vec_id") > col("lo")
 
     # persisted historical index: everything that existed at train
     # time (the memoized artifact minus today's ids)
-    hist = _kmeans_ivf_assigned(spark, sf_dir, e, cent).filter(~is_new)
+    hist = (
+        _kmeans_ivf_assigned(spark, sf_dir, e, cent)
+        .crossJoin(F.broadcast(cut))
+        .filter(~is_new)
+    )
 
     # ONE batch×centroid cross product serves both daily jobs: rank
     # every frozen centroid per batch vector by (d2, cid) — rank 1 IS
@@ -1540,7 +1562,8 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2p = _d2(col("qv"), col("cvec"))
     w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
     ranked = (
-        e.filter(is_new)
+        e.crossJoin(F.broadcast(cut))
+        .filter(is_new)
         .select(
             col("vec_id").alias("query_id"),
             col("v").alias("qv"),
@@ -1570,7 +1593,10 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         hist.select("vec_id", "v", "cid")
         .unionByName(newly)
-        .select("vec_id", "v", "cid", _dot(col("v"), col("v")).alias("ww"))
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "vec_id", "v", "cid", "lo", _dot(col("v"), col("v")).alias("ww")
+        )
     )
     d2s = (col("qq") - F.lit(2.0) * _dot(col("qv"), col("v"))) + col("ww")
     scored = (
@@ -1579,7 +1605,7 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             col("vec_id").alias("neighbor_id"),
-            (col("vec_id") % AIA_BATCH_MOD == 0).alias("is_new"),
+            is_new.alias("is_new"),
             d2s.alias("d2"),
         )
     )
@@ -1600,7 +1626,7 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_incremental_assign.__doc__ = ann_incremental_assign.__doc__.replace(
-    "{AIA_BATCH_MOD}", str(AIA_BATCH_MOD)
+    "{AIA_WINDOW}", str(AIA_WINDOW)
 ).replace("{N_PROBE}", str(N_PROBE)).replace("{KM_K}", str(KM_K))
 
 

@@ -221,8 +221,17 @@ def main() -> None:
         "m^1.5-bounded on real power-law graphs (see its docstring).",
         "",
     ]
-    (REPO / "docs" / "SCALING.md").write_text("\n".join(out))
-    print(f"wrote {REPO / 'docs' / 'SCALING.md'} ({len(rows)} rows)")
+    # preserve the measured 10x section maintained by scale10_report.py
+    target = REPO / "docs" / "SCALING.md"
+    tail = ""
+    if target.exists():
+        prev = target.read_text()
+        from scale10_report import MARKER  # noqa: PLC0415
+
+        if MARKER in prev:
+            tail = "\n" + prev[prev.index(MARKER):]
+    target.write_text("\n".join(out) + tail)
+    print(f"wrote {target} ({len(rows)} rows)")
     spark.stop()
 
 
