@@ -88,7 +88,12 @@ def test_generated_doc_counts_match_readme() -> None:
     )
     m = re.search(r"exponents for (\d+)\s+representative queries", readme)
     assert m, "README.md lost its scaling-count sentence"
-    assert int(m.group(1)) == n_rows, f"README says {m.group(1)}, SCALING has {n_rows}"
+    m10 = re.search(
+        r"audit \((\d+) rows", readme
+    )
+    assert m10, "README.md lost its scale10-row-count mention"
+    want = int(m.group(1)) + int(m10.group(1))
+    assert want == n_rows, f"README says {want} total, SCALING has {n_rows}"
 
     arts = (repo / "docs" / "ARTIFACTS.md").read_text()
     n_arts = sum(
