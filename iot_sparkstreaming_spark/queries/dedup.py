@@ -544,7 +544,17 @@ def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     back per UNIQUE pair, so each candidate pays exactly one dot
     product. The materialized table holds exactly the rows every
     consumer already shuffled, so persisting it changes constant
-    factors, not asymptotics, and stays candidate-bounded at 100×.
+    factors, not asymptotics.
+
+    MEASURED SCALE LIMIT (docs/SCALING.md 100x audit): the asymptote
+    itself is owned by the banding width. 4 bands x 4 hyperplane bits
+    = 16 buckets per band, so candidates are ~n²/16 by construction —
+    fine at fixture sizes (~23% of all pairs at sf0.1), but the 100x
+    fixture (200k vectors, ~10^9 candidate pairs) OOM-spilled this
+    build. At real corpus scale the index is built with more bits
+    (bits ~ log2 n keeps buckets O(n/2^bits) bounded) — the retrain-
+    time policy analogous to IVF's k ~ sqrt(n); the 4-bit geometry
+    here is the oracle-pinned fixture-size parameterization.
     Cosines round to 6 dp BEFORE any consumer logic so the threshold
     test and the argmax ordering see identical values on both engines.
     """

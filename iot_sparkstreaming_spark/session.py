@@ -30,6 +30,18 @@ def get_spark(app_name: str = "iot_sparkstreaming_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # shuffles START wide and AQE coalesces them down by measured
+        # map-output size — the standard cluster posture. With only the
+        # static partition count, a shuffle that is right-sized at the
+        # bench SF silently becomes spill-bound when the data grows
+        # (measured: the 100x fixture drove the wedge-join groupBy to
+        # ~23M rows/partition at 32 partitions, 18x/decade wall-clock;
+        # 8x wider initial partitions restore linear scaling while the
+        # small-SF plans coalesce straight back to few partitions).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(int(cpus) * 8),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # runtime bloom-filter join pruning (off by default in OSS

@@ -25,14 +25,14 @@ if str(REPO / "tools") not in sys.path:
 def scale_dir(spark, tmp_path_factory):
     import scale10_report as s
 
-    out = tmp_path_factory.mktemp("scale10") / "sf0.01ish"
-    orig_base, orig_dir = s.BASE, s.SCALE_DIR
-    s.BASE, s.SCALE_DIR = "/root/testdata/sf0.001", str(out)
+    root = tmp_path_factory.mktemp("scale10")
+    orig_base, orig_root = s.BASE, s.SCALE_ROOT
+    s.BASE, s.SCALE_ROOT = "/root/testdata/sf0.001", str(root)
     try:
-        s.build_fixture(spark)
+        s.build_fixture(spark, copies=10)
     finally:
-        s.BASE, s.SCALE_DIR = orig_base, orig_dir
-    return str(out)
+        s.BASE, s.SCALE_ROOT = orig_base, orig_root
+    return str(root / "x10")
 
 
 def _t(spark, d, name):
@@ -95,8 +95,9 @@ def test_text_rotation_preserves_stats_and_disjoins_shingles(spark, scale_dir):
     )
     assert len({r["chars"] for r in stats}) == 1
     assert len({r["tokens"] for r in stats}) == 1
-    # cross-copy exact-duplicate texts: none (the Caesar bijection makes
-    # copies disjoint), while within-copy duplicates are preserved 10x
+    # cross-copy exact-duplicate texts: none (the per-copy letter
+    # permutation makes copies disjoint), while within-copy duplicates
+    # are preserved 10x
     base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     base_rows = base.count()
     base_distinct = base.select("text").distinct().count()
@@ -139,8 +140,24 @@ def test_embedding_flip_preserves_norms_and_within_copy_angles(spark, scale_dir)
 def test_copy_sign_patterns_are_distinct():
     """No two copies share a sign pattern (a collision would silently
     reintroduce cross-copy exact duplicates — the failure mode a naive
-    parity-based pattern hits at even copy indices)."""
+    parity-based pattern hits at even copy indices). Checked across the
+    full 100x copy range, not just the 10x fixture."""
     import scale10_report as s
 
-    pats = {tuple(s._sign(i, d) for d in range(64)) for i in range(10)}
-    assert len(pats) == 10
+    pats = {tuple(s._sign(i, d) for d in range(64)) for i in range(100)}
+    assert len(pats) == 100
+
+
+def test_copy_letter_perms_are_distinct_bijections():
+    """Every copy's text transform is a true permutation of [a-z]
+    (lengths and token stats preserved) and no two copies share one —
+    the failure mode a Caesar rotation hits at copy i == j mod 26,
+    silently reintroducing cross-copy exact duplicates once the 100x
+    fixture exceeds 26 copies."""
+    import scale10_report as s
+
+    perms = [s._letter_perm(i) for i in range(100)]
+    assert perms[0] == s.LOWER
+    for p in perms:
+        assert sorted(p) == sorted(s.LOWER)
+    assert len(set(perms)) == 100

@@ -1,34 +1,40 @@
-"""Empirical 1x/10x scale validation (round-10 judge task 3).
+"""Empirical scale validation beyond sf0.1: 1x/10x/100x (round-10
+judge task 3, extended a second decade).
 
-Builds a ~10x synthetic scale-up of sf0.1 in a gitignored scratch dir
-(a key-shifted 10-way union — /root/testdata stays untouched), runs
-the 15 heaviest warm queries at 1x and 10x, and records the measured
-wall-clock ratio per query in a preserved section of docs/SCALING.md.
-A plan that is linear in the data should show ratio ~<= 10 plus fixed
-overhead; ratio markedly above ~15 flags super-linear work that a
-real 100 TB cluster would punish.
+Builds ~10x and ~100x synthetic scale-ups of sf0.1 in a gitignored
+scratch dir (key-shifted N-way unions — /root/testdata stays
+untouched), runs the 15 heaviest warm queries plus a structural-risk
+audit set at every scale, and records the measured wall-clock and the
+max per-decade exponent (t ∝ data^alpha) in a preserved section of
+docs/SCALING.md. A plan that is linear in the data holds alpha <= ~1;
+alpha markedly above 1 on the 10x->100x decade flags super-linear
+work that a real 100 TB cluster would punish (the first decade is
+often still overhead-dominated at these absolute times).
 
-Scale-up model ("10 disjoint shards of similar corpora"):
+Scale-up model ("N disjoint shards of similar corpora"):
 
-* region/nation: copied 1x (fixed dims — a 10x business has the same
-  world map; FK targets stay valid because entity nationkeys are not
-  shifted).
-* customer/supplier/part/orders/lineitem/events: 10 key-shifted
+* region/nation: copied 1x (fixed dims — a bigger business has the
+  same world map; FK targets stay valid because entity nationkeys are
+  not shifted).
+* customer/supplier/part/orders/lineitem/events: N key-shifted
   copies. Every entity key is shifted by ``copy * (max_key + 1)``
   (dense packing — nothing downstream that sizes a structure by the
   key domain inflates), and every FK is shifted by the SAME stride as
   its target PK, so referential integrity, degree distributions, and
   per-entity history shapes are exactly preserved; global counts grow
-  10x. Timestamps are unchanged: the model is "10x the entities over
-  the same period", so per-time-window densities grow 10x too.
-* documents: doc_id shifted; text passed through a per-copy letter
-  rotation (a Caesar bijection on [a-z] and [A-Z], copy 0 identity).
-  This preserves doc lengths, token boundaries, word-length and
-  per-doc statistics, and the WITHIN-copy duplicate structure, while
-  making cross-copy shingle sets disjoint — without it every document
-  would be a 10-way cross-copy near-duplicate and LSH/inverted-index
-  candidate pairs would grow ~100x, measuring a property of the
-  synthetic data rather than of the plan.
+  Nx. Timestamps are unchanged: the model is "Nx the entities over
+  the same period", so per-time-window densities grow Nx too.
+* documents: doc_id shifted; text passed through a per-copy LETTER
+  PERMUTATION (an md5-seeded Fisher-Yates bijection on [a-z], applied
+  case-preserving; copy 0 identity). This preserves doc lengths,
+  token boundaries, word-length and per-doc statistics, and the
+  WITHIN-copy duplicate structure, while making cross-copy shingle
+  sets disjoint — without it every document would be an N-way
+  cross-copy near-duplicate and LSH/inverted-index candidate pairs
+  would grow ~N^2, measuring a property of the synthetic data rather
+  than of the plan. (A permutation, not a Caesar rotation: rotations
+  collide at copy i ≡ j mod 26, silently reintroducing cross-copy
+  exact duplicates once N > 26.)
 * embeddings: vec_id shifted; each copy's vectors pass through a
   per-copy deterministic diagonal +-1 sign flip (an orthogonal
   transform, copy 0 identity). Norms and all WITHIN-copy angles are
@@ -36,14 +42,16 @@ Scale-up model ("10 disjoint shards of similar corpora"):
   scatter toward 0, so ANN/near-dup candidate sets scale linearly
   instead of quadratically for the same reason as documents.
 
-The generator itself is a test fixture (10 small scans of tiny
+The generator itself is a test fixture (N small scans of tiny
 parquet), not a production path. Artifacts are content-addressed per
-sf_dir (artifacts.py), so the 10x dir builds and serves its own index
-artifacts; the timed runs below are warm (build excluded), matching
-docs/SCALING.md's steady-state methodology.
+sf_dir (artifacts.py), so each scale dir builds and serves its own
+index artifacts; the timed runs below are warm (build excluded),
+matching docs/SCALING.md's steady-state methodology.
 
-Usage: python tools/scale10_report.py   (~10 min first run: builds
-the fixture + 10x artifacts; warm reruns skip both)
+Usage: python tools/scale10_report.py   (first run ~45 min: builds
+both fixtures + their artifacts and times ~100x queries; warm reruns
+skip the builds). SPARK_GRAFT_SCALE_MAX=10 limits the run to the
+first decade (~10 min).
 """
 
 from __future__ import annotations
@@ -59,8 +67,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 BASE = "/root/testdata/sf0.1"
-SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", str(REPO / ".scale10" / "sf1"))
-COPIES = 10
+SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", str(REPO / ".scale10"))
+#: measured scale points (beyond 1x = sf0.1); 100x ~= sf10
+SCALES = [10, 100] if os.environ.get("SPARK_GRAFT_SCALE_MAX", "100") == "100" else [10]
 
 #: per-entity dense key strides (max observed key + 1 at sf0.1)
 STRIDES = {
@@ -75,7 +84,7 @@ STRIDES = {
 }
 
 #: the 15 heaviest warm queries from the sf0.1 bench record
-#: (BENCH_FULL.json at commit 8466a4e, descending warm seconds)
+#: (BENCH_FULL.json, descending warm seconds)
 HEAVY15 = [
     "cheapest_path_lead_time",
     "link_prediction_suppliers",
@@ -111,10 +120,41 @@ AUDIT = [
     "dedup_minhash_lsh",
 ]
 
+#: measured at 10x but NOT 100x, with the measured reason: both
+#: consume the `lsh_scored_pairs` artifact, whose 4-band x 4-bit
+#: sign-LSH candidate generation has only 16 buckets per band — so
+#: candidates are ~n^2/16 BY CONSTRUCTION (the dedup_embedding_cosine
+#: docstring's measured "~23% of all pairs" at sf0.1). At 200k
+#: vectors that is ~10^9 pairs: the 100x build OOM-spilled and was
+#: aborted (first measured break of the fixed-width banding). The
+#: scale path is the banding-width retrain policy — hyperplane bits
+#: grow ~log2(n) so buckets stay O(n/2^bits) bounded — the direct
+#: analog of the k ~ sqrt(n) IVF policy; at the fixture's size the
+#: 4-bit geometry is what the oracle-pinned query semantics specify.
+SKIP_100X = {"dedup_embedding_cosine", "mutual_nn_pairs"}
+
 MARKER = "<!-- scale10: generated by tools/scale10_report.py -->"
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
-UPPER = LOWER.upper()
+
+
+def _letter_perm(copy: int) -> str:
+    """Deterministic permutation of [a-z] per copy (md5-seeded
+    Fisher-Yates); copy 0 is the identity. Distinct per copy with
+    overwhelming probability (26! >> copies), so no two copies share
+    a vocabulary mapping."""
+    if copy == 0:
+        return LOWER
+    letters = list(LOWER)
+    stream = hashlib.md5(f"perm:{copy}".encode()).digest()
+    k = 0
+    for i in range(25, 0, -1):
+        if k >= len(stream):
+            stream += hashlib.md5(stream).digest()
+        j = stream[k] % (i + 1)
+        k += 1
+        letters[i], letters[j] = letters[j], letters[i]
+    return "".join(letters)
 
 
 def _sign(copy: int, dim: int) -> float:
@@ -125,10 +165,14 @@ def _sign(copy: int, dim: int) -> float:
     return -1.0 if h & 1 else 1.0
 
 
-def build_fixture(spark) -> None:
+def scale_dir(copies: int) -> str:
+    return str(Path(SCALE_ROOT) / f"x{copies}")
+
+
+def build_fixture(spark, copies: int) -> None:
     from pyspark.sql import functions as F
 
-    out = Path(SCALE_DIR)
+    out = Path(scale_dir(copies))
     marker = out / "_BUILT"
     if marker.exists():
         return
@@ -139,16 +183,15 @@ def build_fixture(spark) -> None:
                 emb_col: str | None = None):
         src = spark.read.parquet(f"{BASE}/{table}.parquet")
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             cols = []
-            rot = i % 26
+            perm = _letter_perm(i)
             for name in src.columns:
                 c = F.col(name)
                 if name in shifts:
                     c = c + F.lit(i * shifts[name]).cast("long")
-                elif name == text_col and rot:
-                    c = F.translate(c, LOWER + UPPER,
-                                    LOWER[rot:] + LOWER[:rot] + UPPER[rot:] + UPPER[:rot])
+                elif name == text_col and i:
+                    c = F.translate(c, LOWER + LOWER.upper(), perm + perm.upper())
                 elif name == emb_col and i:
                     signs = F.array(*[F.lit(_sign(i, d)) for d in range(64)])
                     c = F.zip_with(c, signs, lambda x, s: (x * s).cast("float"))
@@ -182,85 +225,127 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("scale10")
     spark.sparkContext.setLogLevel("ERROR")
-    build_fixture(spark)
+    for copies in SCALES:
+        build_fixture(spark, copies)
 
-    dirs = [BASE, SCALE_DIR]
+    dirs = [BASE] + [scale_dir(c) for c in SCALES]
 
-    def measure(names: list[str], runs: int) -> list[tuple[str, float, float, float]]:
-        # warm-up pass: codegen + artifact builds at both scales (cold
+    def query_dirs(name: str) -> list[str]:
+        if name in SKIP_100X:
+            return [d for d, c in zip(dirs, [1] + SCALES) if c <= 10]
+        return dirs
+
+    def measure(names: list[str], runs: int) -> list[tuple[str, list[float | None], float]]:
+        # warm-up pass: codegen + artifact builds at every scale (cold
         # build cost is reported separately by bench.py / docs/ARTIFACTS.md)
         for name in names:
-            for d in dirs:
+            for d in query_dirs(name):
                 registry[name].spark(spark, d).count()
-        out = []
-        for name in names:
-            best = {}
-            for d in dirs:
+        # dir-OUTER timing: finish every query at one scale before
+        # touching the next, so the small-scale readings are not taken
+        # amid the block-manager/GC churn the 100x runs leave behind
+        # (measured: 1x readings 3-5x inflated when interleaved)
+        timed: dict[str, list[float | None]] = {n: [] for n in names}
+        for d in dirs:
+            for name in names:
+                if d not in query_dirs(name):
+                    timed[name].append(None)
+                    continue
                 t = math.inf
                 for _ in range(runs):
                     t0 = time.perf_counter()
                     registry[name].spark(spark, d).count()
                     t = min(t, time.perf_counter() - t0)
-                best[d] = t
-            ratio = best[SCALE_DIR] / max(best[BASE], 1e-4)
-            out.append((name, best[BASE], best[SCALE_DIR], ratio))
-            print(f"{name:32s} 1x={best[BASE]:6.2f}s 10x={best[SCALE_DIR]:6.2f}s "
-                  f"ratio={ratio:5.2f}")
+                timed[name].append(t)
+        out = []
+        for name in names:
+            best = timed[name]
+            # max per-decade exponent of t ∝ data^alpha over measured points
+            pts = [t for t in best if t is not None]
+            alpha = max(
+                math.log10(max(pts[i + 1], 1e-4) / max(pts[i], 1e-4))
+                for i in range(len(pts) - 1)
+            )
+            out.append((name, best, alpha))
+            shown = " ".join("      —" if t is None else f"{t:7.2f}s" for t in best)
+            print(f"{name:32s} {shown} alpha={alpha:5.2f}")
         return out
 
     rows = measure(HEAVY15, runs=3)
     audit_rows = measure(AUDIT, runs=2)
 
+    cols = ["1x (sf0.1)"] + [f"{c}x" for c in SCALES]
+    header = "| query | " + " | ".join(cols) + " | alpha |"
+    sep = "|---|" + "---|" * (len(cols) + 1)
+
+    def table(rws):
+        out = [header, sep]
+        for name, best, alpha in rws:
+            flag = " **super-linear**" if alpha > 1.15 else ""
+            cells = " | ".join("—" if t is None else f"{t:.2f}" for t in best)
+            out.append(f"| {name} | {cells} | {alpha:.2f}{flag} |")
+        return out
+
     lines = [
         MARKER,
         "",
-        "## 10x scale-up beyond sf0.1 (measured)",
+        "## 10x / 100x scale-up beyond sf0.1 (measured)",
         "",
-        "Regenerate with `python tools/scale10_report.py`. The fixture is a",
-        "key-shifted 10-way union of sf0.1 (~6 M lineitem rows) in a scratch",
-        "dir — FK-consistent key strides, per-copy text/embedding bijections",
-        "so duplicate and neighbor structure scales linearly (see the tool's",
-        "docstring for the full model). Warm best-of-3 seconds; `ratio` is",
-        "t(10x)/t(1x). Linear-in-data plans land at <= ~10 plus fixed",
-        "overhead (which holds ratios *below* 10 at these absolute times);",
-        "ratio > ~15 flags super-linear work.",
+        "Regenerate with `python tools/scale10_report.py`. The fixtures are",
+        "key-shifted 10-way and 100-way unions of sf0.1 (~6 M and ~60 M",
+        "lineitem rows — the 100x point is ~sf10, two decades past the",
+        "bench SF) in a gitignored scratch dir: FK-consistent key strides,",
+        "per-copy text/embedding bijections so duplicate and neighbor",
+        "structure scales linearly (see the tool's docstring for the full",
+        "model). Warm best-of-3 (heavy set) / best-of-2 (audit) seconds;",
+        "`alpha` = max per-decade exponent of t ∝ data^alpha, 1.0 = linear.",
+        "alpha > ~1.15 on a measured decade flags super-linear work.",
         "",
         "This measurement earned its keep on its first run: it caught",
-        "`ann_incremental_assign` at **20.5x** (1.62 s -> 33.2 s). Named",
-        "cause: the \"daily batch\" was defined as a fixed FRACTION of the",
-        "corpus (`vec_id % 10 == 0`), so the batch grew 10x with the data",
-        "and compounded with 10x IVF cell growth into ~100x candidate",
-        "pairs. Fix: the batch is now the BOUNDED trailing arrival window",
-        "(the newest AIA_WINDOW ids, exactly oracle-mirrored), making the",
-        "daily cost O(batch) as the docstring always claimed; the residual",
-        "cell-size term stays linear and is held bounded at real scale by",
-        "growing k ~ sqrt(corpus) at retrain (k is a Lloyd parameter).",
+        "`ann_incremental_assign` at **20.5x** for 10x data (1.62 s ->",
+        "33.2 s). Named cause: the \"daily batch\" was defined as a fixed",
+        "FRACTION of the corpus (`vec_id % 10 == 0`), so the batch grew",
+        "10x with the data and compounded with 10x IVF cell growth into",
+        "~100x candidate pairs. Fix: the batch is now the BOUNDED trailing",
+        "arrival window (the newest AIA_WINDOW ids, exactly",
+        "oracle-mirrored), making the daily cost O(batch) as the docstring",
+        "always claimed; the residual cell-size term stays linear and is",
+        "held bounded at real scale by growing k ~ sqrt(corpus) at retrain",
+        "(k is a Lloyd parameter).",
         "",
-        "| query | 1x (sf0.1) | 10x | ratio |",
-        "|---|---|---|---|",
-    ]
-    for name, t1, t10, r in rows:
-        flag = " **super-linear**" if r > 15 else ""
-        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {r:.1f}{flag} |")
-    lines += [
+        "Third catch (config, not plan): with only the static 32 shuffle",
+        "partitions, `link_prediction_suppliers`' wedge groupBy hit ~23M",
+        "rows/partition at 100x and went spill-bound (73.3 s, alpha 1.26 —",
+        "the only heavy query past the flag). Fix in session.py:",
+        "`coalescePartitions.initialPartitionNum = 8x cores`, so shuffles",
+        "START wide and AQE coalesces them by measured size — 52.0 s,",
+        "alpha 1.04, with the small-SF bench unchanged (AQE coalesces the",
+        "same plans straight back down).",
+        "",
+    ] + table(rows) + [
         "",
         "### Structural-risk audit (fixed-fan-out / batch-vs-index shapes)",
         "",
-        "The same coupling class as the caught bug, measured explicitly",
-        "(warm best-of-2): IVF cells, sign-LSH buckets, and minhash bands",
-        "partition the corpus with a fixed fan-out, and the incremental",
-        "queries screen a batch against a persisted index. Content-derived",
-        "buckets (bands, grams) stay bounded by true duplicate structure;",
-        "fixed-k space partitions grow cells linearly and are held bounded",
-        "at real scale by the k ~ sqrt(corpus) retrain policy.",
+        "The same coupling class as the caught bug, measured explicitly:",
+        "IVF cells, sign-LSH buckets, and minhash bands partition the",
+        "corpus with a fixed fan-out, and the incremental queries screen a",
+        "batch against a persisted index. Content-derived buckets (minhash",
+        "bands, grams) stay bounded by true duplicate structure; fixed-k",
+        "space partitions grow cells linearly and are held bounded at real",
+        "scale by the k ~ sqrt(corpus) retrain policy.",
         "",
-        "| query | 1x (sf0.1) | 10x | ratio |",
-        "|---|---|---|---|",
-    ]
-    for name, t1, t10, r in audit_rows:
-        flag = " **super-linear**" if r > 15 else ""
-        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {r:.1f}{flag} |")
-    lines.append("")
+        "Second measured catch (the 100x decade): `dedup_embedding_cosine`",
+        "and `mutual_nn_pairs` consume the `lsh_scored_pairs` artifact,",
+        "whose 4-band x 4-bit sign-LSH has only 16 buckets per band —",
+        "candidates are ~n^2/16 BY CONSTRUCTION (its own docstring measures",
+        "~23% of all pairs at sf0.1). At 200k vectors that is ~10^9 pairs;",
+        "the 100x build OOM-spilled and was aborted, so their 100x cell is",
+        "'—'. The scale path is the banding-width retrain policy: hyperplane",
+        "bits grow ~log2(n) so buckets stay O(n/2^bits) — the direct analog",
+        "of the IVF k ~ sqrt(n) policy. At the fixture's size, the 4-bit",
+        "geometry is what the oracle-pinned query semantics specify.",
+        "",
+    ] + table(audit_rows) + [""]
 
     doc = (REPO / "docs" / "SCALING.md").read_text()
     if MARKER in doc:
