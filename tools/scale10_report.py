@@ -274,6 +274,46 @@ def main() -> None:
     rows = measure(HEAVY15, runs=3)
     audit_rows = measure(AUDIT, runs=2)
 
+    def measure_streaming(runs: int = 2) -> list[int]:
+        """Sustained input rows/s of the reference warning pipeline
+        (readStream -> derive -> classify -> filter -> payload ->
+        noop, availableNow run-to-completion) at every scale point —
+        the streaming side of the scale story: throughput should HOLD
+        or improve as the input grows (bigger inputs amortize
+        micro-batch planning), never decay."""
+        from iot_sparkstreaming_spark.io.sources import events_stream
+        from iot_sparkstreaming_spark.queries.reference import derive_telemetry
+        from iot_sparkstreaming_spark.streaming.pipelines import warning_pipeline
+        from iot_sparkstreaming_spark.tables import load_table
+
+        def run_once(d: str) -> None:
+            fitbit = derive_telemetry(events_stream(spark, d)).withColumnRenamed(
+                "event_ms", "machine_timestamp"
+            )
+            q = (
+                warning_pipeline(fitbit)
+                .writeStream.format("noop")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once("/root/testdata/sf0.001")  # one-time planner/codegen warm-up
+        out = []
+        for d in dirs:
+            n = load_table(spark, d, "events").count()
+            best = math.inf
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                run_once(d)
+                best = min(best, time.perf_counter() - t0)
+            rps = round(n / best)
+            out.append(rps)
+            print(f"streaming_warning_noop {d}: {n} rows, {best:.2f}s, {rps} rows/s")
+        return out
+
+    stream_rps = measure_streaming()
+
     cols = ["1x (sf0.1)"] + [f"{c}x" for c in SCALES]
     header = "| query | " + " | ".join(cols) + " | alpha |"
     sep = "|---|" + "---|" * (len(cols) + 1)
@@ -345,7 +385,22 @@ def main() -> None:
         "of the IVF k ~ sqrt(n) policy. At the fixture's size, the 4-bit",
         "geometry is what the oracle-pinned query semantics specify.",
         "",
-    ] + table(audit_rows) + [""]
+    ] + table(audit_rows) + [
+        "",
+        "### Streaming throughput under scale",
+        "",
+        "Sustained input rows/s of the reference warning pipeline",
+        "(readStream -> derive -> classify -> filter -> payload -> noop,",
+        "availableNow run-to-completion, best-of-2 after a warm-up pass).",
+        "Bigger inputs amortize micro-batch planning, so the rate should",
+        "hold or RISE with scale — a falling rate would flag per-batch",
+        "state growing with the corpus.",
+        "",
+        "| query | " + " | ".join(f"{c} rows/s" for c in ["1x"] + [f"{c}x" for c in SCALES]) + " |",
+        "|---|" + "---|" * (len(SCALES) + 1),
+        "| streaming_warning_noop | " + " | ".join(f"{r:,}" for r in stream_rps) + " |",
+        "",
+    ]
 
     doc = (REPO / "docs" / "SCALING.md").read_text()
     if MARKER in doc:
