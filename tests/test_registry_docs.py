@@ -89,7 +89,7 @@ def test_generated_doc_counts_match_readme() -> None:
     m = re.search(r"exponents for (\d+)\s+representative queries", readme)
     assert m, "README.md lost its scaling-count sentence"
     m10 = re.search(
-        r"audit \((\d+) rows", readme
+        r"\((\d+) scale-measured rows", readme
     )
     assert m10, "README.md lost its scale10-row-count mention"
     want = int(m.group(1)) + int(m10.group(1))
