@@ -191,3 +191,25 @@ def test_lsh_scored_pairs_artifact_shared(plans):
         plan = plans[name]
         assert "embeddings" not in plan, f"{name} re-derives from embeddings:\n{plan}"
         assert "xxhash64" not in plan, f"{name} re-hashes LSH bands:\n{plan}"
+
+
+def test_shuffles_start_wide_and_aqe_coalesces(spark):
+    """The session sets adaptive.coalescePartitions.initialPartitionNum
+    to 8x the static shuffle-partition count: shuffles START wide and
+    AQE coalesces them down by measured map-output size. Pinned because
+    the 100x scale measurement (docs/SCALING.md) showed the static
+    count alone going spill-bound on the wedge-join groupBy (~23M
+    rows/partition, 18x/decade wall-clock) while the wide-initial
+    posture restored linear scaling with the small-SF plans coalescing
+    straight back down."""
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    )
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    ) == str(cpus * 8)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(cpus)
