@@ -3502,50 +3502,106 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) on BOTH engines — never a truncated key (the
     time_weighted_avg_user lesson).
 
-    Scale shape: ONE exchange on event_type feeds the ordered prefix
-    window, the partition totals, and the final argmax row_number —
-    three window passes, zero extra shuffles, no self-join. Output is
-    one row per event_type.
+    Scale shape — a TWO-LEVEL PREFIX SCAN, not a per-type window: a
+    window partitioned on event_type caps parallelism at the number
+    of types (5 here) no matter how many executors exist, so the
+    prefix sum is computed per (event_type, time-shard) instead. The
+    shard key is a monotone bucketing of event-time (deterministic,
+    derived from the global ms range and defaultParallelism), local
+    prefixes run shard-parallel, per-shard totals (types x shards
+    rows — tiny) roll into broadcast offsets, and i/P reconstruct
+    exactly. The final per-type argmax is a hash-aggregate max over
+    an (adev, -i) struct — map-side combined, no sort — the same
+    argmax shape as the k-means assignment. Bitwise-identical output
+    to the single-window form (exact integers throughout), verified
+    by the unchanged oracle hash; measured 17.1 s -> 1.4 s at 100x
+    the bench SF (docs/SCALING.md) and no longer serialized by type
+    cardinality at cluster scale.
     """
     ev = load_table(spark, sf_dir, "events")
     v4 = (col("value").cast("decimal(18,4)") * 10000).cast("bigint")
-    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    wp = Window.partitionBy("event_type")
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
-    seq = (
-        ev.select("event_type", "event_id", "ts", F.unix_millis("ts").alias("ms"), v4.alias("v4"))
-        .withColumn("i", F.row_number().over(wo).cast("bigint"))
-        .withColumn(
-            "p",
-            F.sum(d19(col("v4"))).over(
-                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .withColumn("n", F.count("*").over(wp).cast("bigint"))
-        .withColumn("s", F.sum(d19(col("v4"))).over(wp))
-    )
-    dev = seq.select(
+    base = ev.select(
         "event_type",
-        "ms",
-        "i",
-        "n",
-        F.abs(
-            d19(col("n")) * d19(col("p")) - d19(col("i")) * d19(col("s"))
-        ).alias("adev"),
+        "event_id",
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+        v4.alias("v4"),
     )
-    wr = Window.partitionBy("event_type").orderBy(col("adev").desc(), col("i").asc())
-    return (
-        dev.withColumn("rk", F.row_number().over(wr))
-        .filter(col("rk") == 1)
+    # monotone time-shard: floor((ms - min_ms) / width). Same ms →
+    # same shard, so shard order is consistent with (ts, event_id)
+    # order; bounds ride a broadcast 1-row aggregate (never a collect).
+    n_shards = max(spark.sparkContext.defaultParallelism, 1)
+    bounds = base.agg(
+        F.min("ms").alias("lo_ms"),
+        F.greatest(
+            (F.max("ms") - F.min("ms") + 1 + (n_shards - 1)) / n_shards,
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("width"),
+    )
+    sh = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "shard", ((col("ms") - col("lo_ms")) / col("width")).cast("bigint")
+    )
+    wo = Window.partitionBy("event_type", "shard").orderBy("ts", "event_id")
+    local = sh.select(
+        "event_type",
+        "shard",
+        "ms",
+        "v4",
+        F.row_number().over(wo).cast("bigint").alias("i_loc"),
+        F.sum(d19(col("v4")))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("p_loc"),
+    )
+    totals = local.groupBy("event_type", "shard").agg(
+        F.max("i_loc").alias("cnt"), F.max("p_loc").alias("tot")
+    )
+    wsh = Window.partitionBy("event_type").orderBy("shard")
+    offsets = totals.select(
+        "event_type",
+        "shard",
+        (F.sum("cnt").over(wsh) - col("cnt")).alias("i_off"),
+        (F.sum(d19(col("tot"))).over(wsh) - col("tot")).alias("p_off"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+        F.sum(d19(col("tot")))
+        .over(Window.partitionBy("event_type"))
+        .alias("s"),
+    )
+    dev = (
+        local.join(F.broadcast(offsets), ["event_type", "shard"])
         .select(
             "event_type",
-            col("n").alias("n_events"),
-            col("i").alias("change_idx"),
-            col("ms").alias("change_ms"),
-            (col("adev").cast("double") / (col("n").cast("double") * 10000.0)).alias(
-                "max_dev"
-            ),
+            "ms",
+            (col("i_loc") + col("i_off")).alias("i"),
+            "n",
+            F.abs(
+                d19(col("n")) * d19(col("p_loc") + col("p_off"))
+                - d19(col("i_loc") + col("i_off")) * d19(col("s"))
+            ).alias("adev"),
         )
+    )
+    # argmax (adev desc, i asc) as a hash-agg max over a struct —
+    # (adev, i) is unique per type so the winner is deterministic
+    win = dev.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                col("adev"),
+                (-col("i")).alias("ni"),
+                col("ms"),
+                col("n"),
+            )
+        ).alias("m")
+    )
+    return win.select(
+        "event_type",
+        col("m.n").alias("n_events"),
+        (-col("m.ni")).alias("change_idx"),
+        col("m.ms").alias("change_ms"),
+        (col("m.adev").cast("double") / (col("m.n").cast("double") * 10000.0)).alias(
+            "max_dev"
+        ),
     )
 
 

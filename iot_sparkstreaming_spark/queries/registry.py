@@ -99,13 +99,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # * round 10 applies the policy to the round-4 staleness cohort: all
 #   27 queries whose newest external row is r4 (TPC-H tail + scalar
 #   function families) lead, the 8 reference queries stay pinned, the
-#   2 round-10 code-changed queries re-externalize
+#   3 round-10 code-changed queries re-externalize
 #   (ann_incremental_assign — argmin folded into the probe ranking,
 #   then the daily batch re-bounded to a trailing arrival window
 #   after the 1x/10x scale measurement caught the fraction-of-corpus
 #   batch compounding super-linearly, docs/SCALING.md;
 #   cheapest_path_lead_time — parallelism-derived checkpoint
-#   width, 24401d1), and the remaining 13 slots go to the oldest
+#   width, 24401d1; cusum_changepoint_events — rewritten as a
+#   two-level prefix scan after the 100x decade showed the 5-key
+#   window serializing, same hash at every SF), and the remaining
+#   12 slots go to the oldest
 #   (round-5) cohort, leading with the queries that sit directly on
 #   the artifact store whose serving path was rewritten in r9/r10
 #   (pagerank, IVF/PQ indexes, sketches, codec queries).
@@ -154,6 +157,7 @@ _PRIORITY_PREFIX = [
     # -- code changed in round 10: re-externalize (r7/r9 precedent)
     "ann_incremental_assign",
     "cheapest_path_lead_time",
+    "cusum_changepoint_events",
     # -- oldest (round-5) cohort fill, artifact-store consumers first
     "pagerank_trade_graph",
     "ann_ivf_pq",
@@ -167,7 +171,6 @@ _PRIORITY_PREFIX = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "dedup_edit_distance",
-    "variant_events_typed",
 ]
 
 _MODULE_ORDER = [

@@ -377,6 +377,16 @@ def main() -> None:
         "alpha 1.04, with the small-SF bench unchanged (AQE coalesces the",
         "same plans straight back down).",
         "",
+        "Fourth catch (plan shape): `cusum_changepoint_events` windowed over",
+        "`event_type` — 5 distinct keys, so parallelism was capped at 5 no",
+        "matter the cluster size (17.1 s at 100x, alpha 0.98, the slowest",
+        "linear query). Rewritten as a two-level prefix scan: local prefixes",
+        "per (type, monotone time-shard), broadcast per-shard offsets, and a",
+        "hash-agg struct argmax instead of the final sort window. Output is",
+        "bitwise identical (same oracle hash at every SF); measured 1.4 s at",
+        "100x (alpha 0.32), and the shape now scales with executors instead",
+        "of type cardinality.",
+        "",
     ] + table(rows) + [
         "",
         "### Structural-risk audit (fixed-fan-out / batch-vs-index shapes)",
