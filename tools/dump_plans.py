@@ -78,7 +78,7 @@ SHOWCASE = [
     ("session_window_events", "built-in session_window merge: ONE user_id exchange, session merge inside the sort — no LAG/SUM window cascade"),
     ("simpson_diversity_user", "two cascaded map-side-combined aggregates on one user_id key; integer moments until one division"),
     ("ann_incremental_assign", "daily batch assigns vs BROADCAST frozen centroids (O(batch) argmin); historical index is the loaded artifact; probe join shuffles on cell id only"),
-    ("cusum_changepoint_events", "ONE event_type exchange feeds prefix window, partition totals AND the argmax — three window passes, zero extra shuffles"),
+    ("cusum_changepoint_events", "two-level prefix scan: shard-parallel local prefixes + broadcast offsets + hash-agg struct argmax — parallelism scales with executors, not type cardinality"),
     ("minhash_error_report", "exact Jaccard only for banded candidates; candidate set broadcasts so corpus shingle-set arrays never shuffle"),
     ("embedding_pca_power", "each mat-vec round: d-row broadcast join + hash agg (the PageRank edge-join shape); scatter is the memoized O(partitions*d^2) artifact"),
     ("ks_drift_events", "ONE event_type exchange carries both ECDF rank windows and the sup-gap argmax; integer cross-multiplied gap, no binning"),

@@ -100,7 +100,7 @@ SHOWCASE = [
     ("benford_first_digit_orders", "map-only digit + 9-cell agg"),
     ("session_window_events", "native session_window merge"),
     ("ann_incremental_assign", "O(batch) assign vs frozen index"),
-    ("cusum_changepoint_events", "one-exchange changepoint scan"),
+    ("cusum_changepoint_events", "sharded two-level prefix scan"),
     ("minhash_error_report", "candidate-bounded sketch audit"),
     ("embedding_pca_power", "3 broadcast mat-vec rounds"),
     ("ks_drift_events", "one-exchange unbinned KS scan"),
