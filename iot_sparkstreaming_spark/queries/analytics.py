@@ -1847,21 +1847,26 @@ def value_equidepth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, with the same (value, event_id) tie-break that makes the
     ranking itself deterministic.
 
-    Scale shape: one exchange on event_type for the ranking window
-    (both the row_number and the partition count ride it), then a
-    (types × 4)-group map-side-combined aggregate. Per-type full sort
-    is the cost — the same trade as percentile_event_values, with
-    percentile_approx as the documented sketch path when a type's
-    population exceeds one executor's sort budget.
+    Scale shape: a two-level prefix scan (operators/prefix.py — the
+    cusum discipline): the rank window runs per (event_type, monotone
+    value-shard) so parallelism scales with executors instead of the
+    5-value type cardinality, broadcast per-shard offsets reconstruct
+    the exact global rank, then a (types × 4)-group map-side-combined
+    aggregate. Measured 10.4 s -> 2.6 s at 100x the bench SF
+    (docs/SCALING.md) at the cost of ~0.5 s of fixed two-level
+    overhead at fixture scale; output bitwise identical to the
+    single-window form. percentile_approx remains the documented
+    sketch path when exact ranks are not required.
     """
+    from iot_sparkstreaming_spark.operators.prefix import two_level_prefix
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count("*").over(wn).cast("bigint").alias("n"),
+    ranked = two_level_prefix(
+        spark,
+        ev.select("event_type", "value", "event_id"),
+        part="event_type",
+        order_num=col("value"),
+        tiebreaks=["event_id"],
     )
     return (
         ranked.select(
@@ -3502,22 +3507,21 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) on BOTH engines — never a truncated key (the
     time_weighted_avg_user lesson).
 
-    Scale shape — a TWO-LEVEL PREFIX SCAN, not a per-type window: a
-    window partitioned on event_type caps parallelism at the number
-    of types (5 here) no matter how many executors exist, so the
-    prefix sum is computed per (event_type, time-shard) instead. The
-    shard key is a monotone bucketing of event-time (deterministic,
-    derived from the global ms range and defaultParallelism), local
-    prefixes run shard-parallel, per-shard totals (types x shards
-    rows — tiny) roll into broadcast offsets, and i/P reconstruct
-    exactly. The final per-type argmax is a hash-aggregate max over
-    an (adev, -i) struct — map-side combined, no sort — the same
-    argmax shape as the k-means assignment. Bitwise-identical output
-    to the single-window form (exact integers throughout), verified
-    by the unchanged oracle hash; measured 17.1 s -> 1.4 s at 100x
-    the bench SF (docs/SCALING.md) and no longer serialized by type
-    cardinality at cluster scale.
+    Scale shape — a TWO-LEVEL PREFIX SCAN (operators/prefix.py), not
+    a per-type window: a window partitioned on event_type caps
+    parallelism at the number of types (5 here) no matter how many
+    executors exist, so the rank and prefix sum are computed per
+    (event_type, monotone time-shard) and reconstructed exactly from
+    broadcast per-shard offsets. The final per-type argmax is a
+    hash-aggregate max over an (adev, -i) struct — map-side combined,
+    no sort — the same argmax shape as the k-means assignment.
+    Bitwise-identical output to the single-window form (exact
+    integers throughout), verified by the unchanged oracle hash;
+    measured 17.1 s -> 1.4 s at 100x the bench SF (docs/SCALING.md)
+    and no longer serialized by type cardinality at cluster scale.
     """
+    from iot_sparkstreaming_spark.operators.prefix import two_level_prefix
+
     ev = load_table(spark, sf_dir, "events")
     v4 = (col("value").cast("decimal(18,4)") * 10000).cast("bigint")
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
@@ -3528,59 +3532,24 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("ms"),
         v4.alias("v4"),
     )
-    # monotone time-shard: floor((ms - min_ms) / width). Same ms →
-    # same shard, so shard order is consistent with (ts, event_id)
-    # order; bounds ride a broadcast 1-row aggregate (never a collect).
-    n_shards = max(spark.sparkContext.defaultParallelism, 1)
-    bounds = base.agg(
-        F.min("ms").alias("lo_ms"),
-        F.greatest(
-            (F.max("ms") - F.min("ms") + 1 + (n_shards - 1)) / n_shards,
-            F.lit(1),
-        )
-        .cast("bigint")
-        .alias("width"),
+    # ms is monotone in ts, so sharding on it is consistent with the
+    # (ts, event_id) oracle order
+    seq = two_level_prefix(
+        spark,
+        base,
+        part="event_type",
+        order_num=col("ms"),
+        tiebreaks=["ts", "event_id"],
+        measures={"p": d19(col("v4"))},
     )
-    sh = base.crossJoin(F.broadcast(bounds)).withColumn(
-        "shard", ((col("ms") - col("lo_ms")) / col("width")).cast("bigint")
-    )
-    wo = Window.partitionBy("event_type", "shard").orderBy("ts", "event_id")
-    local = sh.select(
+    dev = seq.select(
         "event_type",
-        "shard",
         "ms",
-        "v4",
-        F.row_number().over(wo).cast("bigint").alias("i_loc"),
-        F.sum(d19(col("v4")))
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("p_loc"),
-    )
-    totals = local.groupBy("event_type", "shard").agg(
-        F.max("i_loc").alias("cnt"), F.max("p_loc").alias("tot")
-    )
-    wsh = Window.partitionBy("event_type").orderBy("shard")
-    offsets = totals.select(
-        "event_type",
-        "shard",
-        (F.sum("cnt").over(wsh) - col("cnt")).alias("i_off"),
-        (F.sum(d19(col("tot"))).over(wsh) - col("tot")).alias("p_off"),
-        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
-        F.sum(d19(col("tot")))
-        .over(Window.partitionBy("event_type"))
-        .alias("s"),
-    )
-    dev = (
-        local.join(F.broadcast(offsets), ["event_type", "shard"])
-        .select(
-            "event_type",
-            "ms",
-            (col("i_loc") + col("i_off")).alias("i"),
-            "n",
-            F.abs(
-                d19(col("n")) * d19(col("p_loc") + col("p_off"))
-                - d19(col("i_loc") + col("i_off")) * d19(col("s"))
-            ).alias("adev"),
-        )
+        col("rn").alias("i"),
+        "n",
+        F.abs(
+            d19(col("n")) * d19(col("p_pfx")) - d19(col("rn")) * d19(col("p_tot"))
+        ).alias("adev"),
     )
     # argmax (adev desc, i asc) as a hash-agg max over a struct —
     # (adev, i) is unique per type so the winner is deterministic
@@ -5693,34 +5662,36 @@ def weighted_median_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing row always lands inside the tied run), so the result is
     a function of the data, not the partitioning.
 
-    Scale shape: one hash exchange on event_type feeds both window
-    sums and the final min-aggregate — the same single-shuffle
-    cumulative-window pattern as ``window_running_total``; weights
-    stay bigint end to end (no double accumulation to drift). A
-    skewed giant type degrades to one partition's sort, the standard
-    cumulative-window bound (noted in docs/SCALING.md).
+    Scale shape: a two-level prefix scan (operators/prefix.py — the
+    cusum discipline): the cumulative weight runs per (event_type,
+    monotone value-shard) with broadcast per-shard offsets
+    reconstructing the exact global running sum, so parallelism
+    scales with executors instead of the 5-value type cardinality;
+    weights stay bigint end to end (no double accumulation to drift).
+    Measured 12.3 s -> 6.0 s at 100x the bench SF (docs/SCALING.md —
+    the residual is the per-row JSON weight extraction, linear and
+    shard-parallel); output bitwise identical to the single-window
+    form.
     """
+    from iot_sparkstreaming_spark.operators.prefix import two_level_prefix
+
     ev = load_table(spark, sf_dir, "events")
     wt = (F.get_json_object(col("props"), "$.k").cast("bigint") + 1).alias("wt")
     w = ev.select("event_type", "value", "event_id", wt)
-    win = (
-        Window.partitionBy("event_type")
-        .orderBy("value", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot = Window.partitionBy("event_type")
-    c = w.select(
-        "event_type",
-        "value",
-        F.sum("wt").over(win).alias("cumw"),
-        F.sum("wt").over(tot).alias("totw"),
+    c = two_level_prefix(
+        spark,
+        w,
+        part="event_type",
+        order_num=col("value"),
+        tiebreaks=["event_id"],
+        measures={"cumw": col("wt")},
     )
     return (
-        c.filter(2 * col("cumw") >= col("totw"))
+        c.filter(2 * col("cumw_pfx") >= col("cumw_tot"))
         .groupBy("event_type")
         .agg(
             F.min("value").alias("wmedian"),
-            F.min("totw").cast("bigint").alias("total_weight"),
+            F.min("cumw_tot").cast("bigint").alias("total_weight"),
         )
     )
 

@@ -105,10 +105,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   after the 1x/10x scale measurement caught the fraction-of-corpus
 #   batch compounding super-linearly, docs/SCALING.md;
 #   cheapest_path_lead_time — parallelism-derived checkpoint
-#   width, 24401d1; cusum_changepoint_events — rewritten as a
-#   two-level prefix scan after the 100x decade showed the 5-key
-#   window serializing, same hash at every SF), and the remaining
-#   12 slots go to the oldest
+#   width, 24401d1; cusum_changepoint_events,
+#   value_equidepth_bins_events and weighted_median_value_type —
+#   rewritten onto the shared two-level prefix scan
+#   (operators/prefix.py) after the 100x decade showed their 5-key
+#   windows serializing, same hash at every SF), and the remaining
+#   10 slots go to the oldest
 #   (round-5) cohort, leading with the queries that sit directly on
 #   the artifact store whose serving path was rewritten in r9/r10
 #   (pagerank, IVF/PQ indexes, sketches, codec queries).
@@ -158,6 +160,8 @@ _PRIORITY_PREFIX = [
     "ann_incremental_assign",
     "cheapest_path_lead_time",
     "cusum_changepoint_events",
+    "value_equidepth_bins_events",
+    "weighted_median_value_type",
     # -- oldest (round-5) cohort fill, artifact-store consumers first
     "pagerank_trade_graph",
     "ann_ivf_pq",
@@ -169,8 +173,6 @@ _PRIORITY_PREFIX = [
     "image_bmp_thumbnail",
     "audio_wav_features",
     "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "dedup_edit_distance",
 ]
 
 _MODULE_ORDER = [

@@ -385,7 +385,11 @@ def main() -> None:
         "hash-agg struct argmax instead of the final sort window. Output is",
         "bitwise identical (same oracle hash at every SF); measured 1.4 s at",
         "100x (alpha 0.32), and the shape now scales with executors instead",
-        "of type cardinality.",
+        "of type cardinality. The scan is the shared operators/prefix.py",
+        "two_level_prefix, which also replaced the serialized windows in",
+        "value_equidepth_bins_events (10.4 -> 2.6 s at 100x) and",
+        "weighted_median_value_type (12.3 -> 6.0 s) — same hashes, unit",
+        "tests cover negative measures and shard-edge ties.",
         "",
     ] + table(rows) + [
         "",
