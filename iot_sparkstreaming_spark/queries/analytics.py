@@ -5662,18 +5662,25 @@ def weighted_median_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing row always lands inside the tied run), so the result is
     a function of the data, not the partitioning.
 
-    Scale shape: a two-level prefix scan (operators/prefix.py — the
-    cusum discipline): the cumulative weight runs per (event_type,
-    monotone value-shard) with broadcast per-shard offsets
-    reconstructing the exact global running sum, so parallelism
-    scales with executors instead of the 5-value type cardinality;
-    weights stay bigint end to end (no double accumulation to drift).
+    Scale shape: a SIZE-GATED two-level prefix scan (operators/
+    prefix.py — the cusum discipline): past SHARD_MIN_BYTES the
+    cumulative weight runs per (event_type, monotone value-shard)
+    with broadcast per-shard offsets reconstructing the exact global
+    running sum, so parallelism scales with executors instead of the
+    5-value type cardinality; below it (sf0.1 events is ~2 MiB) the
+    sharded form's fixed overhead — a second scan for the bounds
+    aggregate plus two tiny exchanges — exceeds the serialized sort
+    it saves, so the gate keeps the cheap one-window plan (r10's only
+    >20% small-SF regression, reclaimed here). Output is bitwise
+    identical on BOTH sides of the gate; the gate input is a pure
+    filesystem stat (tables.table_bytes), no extra Spark job.
     Measured 12.3 s -> 6.0 s at 100x the bench SF (docs/SCALING.md —
     the residual is the per-row JSON weight extraction, linear and
-    shard-parallel); output bitwise identical to the single-window
-    form.
+    shard-parallel); weights stay bigint end to end (no double
+    accumulation to drift).
     """
     from iot_sparkstreaming_spark.operators.prefix import two_level_prefix
+    from iot_sparkstreaming_spark.tables import table_bytes
 
     ev = load_table(spark, sf_dir, "events")
     wt = (F.get_json_object(col("props"), "$.k").cast("bigint") + 1).alias("wt")
@@ -5685,6 +5692,7 @@ def weighted_median_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_num=col("value"),
         tiebreaks=["event_id"],
         measures={"cumw": col("wt")},
+        input_bytes=table_bytes(sf_dir, "events"),
     )
     return (
         c.filter(2 * col("cumw_pfx") >= col("cumw_tot"))

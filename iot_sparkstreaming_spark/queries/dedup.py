@@ -493,14 +493,17 @@ def _emb_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_neardup_oracle() -> str:
     """Oracle replaying the IDENTICAL banded sign-LSH construction
-    (same literal hyperplanes as queries/similarity.py) in DuckDB."""
+    (same literal hyperplanes as queries/similarity.py, same adaptive
+    bits-from-COUNT(*) geometry — see similarity._geo_sql) in DuckDB."""
     from iot_sparkstreaming_spark.queries.similarity import (
         N_BANDS,
         _band_bucket_sql,
+        _geo_sql,
     )
 
     band_selects = "\nUNION ALL\n".join(
-        f"  SELECT vec_id, v, {b} AS band, {_band_bucket_sql('v', b)} AS bucket FROM e"
+        f"  SELECT vec_id, v, {b} AS band, {_band_bucket_sql('v', b)} AS bucket"
+        f" FROM e, geo"
         for b in range(N_BANDS)
     )
     cos = (
@@ -508,7 +511,10 @@ def _emb_neardup_oracle() -> str:
         " / sqrt(list_dot_product(eb.v, eb.v)), 6)"
     )
     return f"""
-WITH e AS (
+WITH geo AS (
+  {_geo_sql()}
+),
+e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -546,15 +552,17 @@ def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer already shuffled, so persisting it changes constant
     factors, not asymptotics.
 
-    MEASURED SCALE LIMIT (docs/SCALING.md 100x audit): the asymptote
-    itself is owned by the banding width. 4 bands x 4 hyperplane bits
-    = 16 buckets per band, so candidates are ~n²/16 by construction —
-    fine at fixture sizes (~23% of all pairs at sf0.1), but the 100x
-    fixture (200k vectors, ~10^9 candidate pairs) OOM-spilled this
-    build. At real corpus scale the index is built with more bits
-    (bits ~ log2 n keeps buckets O(n/2^bits) bounded) — the retrain-
-    time policy analogous to IVF's k ~ sqrt(n); the 4-bit geometry
-    here is the oracle-pinned fixture-size parameterization.
+    The asymptote is owned by the banding width, and since round 11
+    the width is ADAPTIVE: ``lsh_bits(n)`` = clamp(floor(log2 n) -
+    6, 4, 16) hyperplanes per band, derived from the corpus count at
+    index build time and re-derived by every consumer oracle from the
+    same COUNT(*) (similarity._geo_sql). Expected bucket occupancy is
+    ~n/2^bits = O(2^6) under the uniform sign model, so candidates
+    stay ~n * occupancy — linear — instead of the fixed-4-bit ~n²/16
+    that the round-10 100x audit measured OOM-ing this build at 200k
+    vectors (docs/SCALING.md; 4 bits is exactly right for fixture
+    sizes n <= 2047, where the clamp floors and the original geometry
+    — and every oracle hash — is unchanged).
     Cosines round to 6 dp BEFORE any consumer logic so the threshold
     test and the argmax ordering see identical values on both engines.
     """
@@ -592,7 +600,8 @@ def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_embedding_cosine", oracle=_emb_neardup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: banded sign-LSH candidate generation
-    (4 bands × 4 hyperplane bits, the similarity.py construction)
+    (4 bands × lsh_bits(n) adaptive hyperplane bits, the similarity.py
+    construction — 4 bits at fixture sizes)
     followed by EXACT cosine rescoring at ≥ 0.4 — the two-stage shape
     that survives 100×: band buckets are a map-only pass, candidates
     come from equi-joins on (band, bucket), and only candidates pay
@@ -1527,16 +1536,18 @@ dedup_weighted_sampling.__doc__ = dedup_weighted_sampling.__doc__.replace(
 
 
 def _mutual_nn_oracle() -> str:
-    """The banded sign-LSH construction (same literal hyperplanes),
-    followed by per-vector best-candidate selection on BOTH sides and
-    the reciprocity join."""
+    """The banded sign-LSH construction (same literal hyperplanes,
+    same adaptive bits-from-COUNT(*) geometry), followed by per-vector
+    best-candidate selection on BOTH sides and the reciprocity join."""
     from iot_sparkstreaming_spark.queries.similarity import (
         N_BANDS,
         _band_bucket_sql,
+        _geo_sql,
     )
 
     band_selects = "\nUNION ALL\n".join(
-        f"  SELECT vec_id, v, {b} AS band, {_band_bucket_sql('v', b)} AS bucket FROM e"
+        f"  SELECT vec_id, v, {b} AS band, {_band_bucket_sql('v', b)} AS bucket"
+        f" FROM e, geo"
         for b in range(N_BANDS)
     )
     cos = (
@@ -1544,7 +1555,10 @@ def _mutual_nn_oracle() -> str:
         " / sqrt(list_dot_product(eb.v, eb.v)), 6)"
     )
     return f"""
-WITH e AS (
+WITH geo AS (
+  {_geo_sql()}
+),
+e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),

@@ -99,7 +99,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # * round 10 applies the policy to the round-4 staleness cohort: all
 #   27 queries whose newest external row is r4 (TPC-H tail + scalar
 #   function families) lead, the 8 reference queries stay pinned, the
-#   3 round-10 code-changed queries re-externalize
+#   5 round-10 code-changed queries re-externalize
 #   (ann_incremental_assign — argmin folded into the probe ranking,
 #   then the daily batch re-bounded to a trailing arrival window
 #   after the 1x/10x scale measurement caught the fraction-of-corpus

@@ -29,8 +29,34 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 DIM = 64
 N_BANDS = 4
-PLANES_PER_BAND = 4
+PLANES_PER_BAND = 4  # the bit-count FLOOR: fixture-size geometry
 N_PLANES = N_BANDS * PLANES_PER_BAND
+
+# -- scale-adaptive banding width (round-11; the sign-LSH analog of
+# the IVF k ~ sqrt(n) retrain policy). With a FIXED b bits per band,
+# buckets number 2^b and candidate pairs grow ~n^2/2^b — the 100x
+# scale audit measured the 4-bit geometry OOM-ing at 200k vectors
+# (docs/SCALING.md). Growing bits with the corpus keeps the expected
+# bucket occupancy ~n/2^bits bounded (~2^BITS_OFFSET rows under a
+# uniform sign model), so candidates stay O(n * occupancy) — linear.
+# bits(n) = clamp(floor(log2 n) - BITS_OFFSET, PLANES_PER_BAND,
+# MAX_BITS): the floor pins the oracle-validated fixture geometry for
+# n <= 2047 (every sf <= 0.1), and the cap bounds the literal plane
+# table embedded in both engines' plans (4 bands x 16 bits = 64
+# planes); corpora past 2^(MAX_BITS+BITS_OFFSET) = ~4M vectors extend
+# MAX_BITS at index-retrain time the same way IVF re-derives k. The
+# DuckDB oracles re-derive the identical bits from COUNT(*) (see
+# _geo_sql), so the parameterization is checked, not just stated.
+MAX_BITS = 16
+BITS_OFFSET = 6
+
+
+def lsh_bits(n: int) -> int:
+    """Adaptive per-band hyperplane count for an n-vector corpus.
+    ``bit_length() - 1`` is exact floor(log2 n) — no float rounding."""
+    if n < 1:
+        return PLANES_PER_BAND
+    return max(PLANES_PER_BAND, min(MAX_BITS, n.bit_length() - 1 - BITS_OFFSET))
 
 
 def _plane_weight(p: int, d: int) -> float:
@@ -39,8 +65,19 @@ def _plane_weight(p: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+def _plane_index(band: int, bit: int) -> int:
+    """Plane id for (band, bit). Bits below PLANES_PER_BAND keep the
+    ORIGINAL round-3 plane ids (band*4 + bit) so fixture-size buckets
+    — and every oracle hash at sf <= 0.1 — are bit-for-bit unchanged;
+    the adaptive bits extend past the original table."""
+    if bit < PLANES_PER_BAND:
+        return band * PLANES_PER_BAND + bit
+    return N_PLANES + band * (MAX_BITS - PLANES_PER_BAND) + (bit - PLANES_PER_BAND)
+
+
 PLANES: list[list[float]] = [
-    [_plane_weight(p, d) for d in range(DIM)] for p in range(N_PLANES)
+    [_plane_weight(p, d) for d in range(DIM)]
+    for p in range(N_PLANES + N_BANDS * (MAX_BITS - PLANES_PER_BAND))
 ]
 
 
@@ -170,32 +207,54 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _geo_sql(corpus_sql: str = "embeddings") -> str:
+    """The banding-geometry CTE body: re-derives the EXACT Python
+    ``lsh_bits`` clamp from COUNT(*) in SQL. floor(log2 n) is exact in
+    IEEE for every n (log2 of a power of two is representable; between
+    powers the value is > 1 ulp from the integer), so the two engines
+    cannot disagree on the floor."""
+    return (
+        f"SELECT GREATEST({PLANES_PER_BAND}, LEAST({MAX_BITS}, "
+        f"CAST(FLOOR(LOG2(COUNT(*))) AS INT) - {BITS_OFFSET})) AS bits "
+        f"FROM {corpus_sql}"
+    )
+
+
 def _band_bucket_sql(v: str, band: int) -> str:
-    """4-bit sign bucket of one band (planes band*4 .. band*4+3)."""
+    """Adaptive sign bucket of one band: the full MAX_BITS-wide bucket
+    masked to the low ``bits`` bits (bit i's weight is 2^i, so the
+    mask IS "use the first bits planes"). Requires a ``geo`` relation
+    (see :func:`_geo_sql`) cross-joined into scope for ``bits``; at
+    fixture sizes bits = 4 and the masked value equals the original
+    4-plane bucket exactly."""
     terms = []
-    for i in range(PLANES_PER_BAND):
-        plane = PLANES[band * PLANES_PER_BAND + i]
+    for i in range(MAX_BITS):
+        plane = PLANES[_plane_index(band, i)]
         lits = "[" + ", ".join(repr(x) for x in plane) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product({lits}::DOUBLE[], {v}) >= 0 "
             f"THEN {1 << i} ELSE 0 END)"
         )
-    return "(" + " + ".join(terms) + ")"
+    wide = "(" + " + ".join(terms) + ")"
+    return f"({wide} & ((CAST(1 AS BIGINT) << bits) - 1))"
 
 
 ANN_ORACLE = f"""
-WITH e AS (
+WITH geo AS (
+  {_geo_sql()}
+),
+e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 bands AS (
-  SELECT vec_id, label, v, 0 AS band, {_band_bucket_sql('v', 0)} AS bucket FROM e
+  SELECT vec_id, label, v, 0 AS band, {_band_bucket_sql('v', 0)} AS bucket FROM e, geo
   UNION ALL
-  SELECT vec_id, label, v, 1 AS band, {_band_bucket_sql('v', 1)} AS bucket FROM e
+  SELECT vec_id, label, v, 1 AS band, {_band_bucket_sql('v', 1)} AS bucket FROM e, geo
   UNION ALL
-  SELECT vec_id, label, v, 2 AS band, {_band_bucket_sql('v', 2)} AS bucket FROM e
+  SELECT vec_id, label, v, 2 AS band, {_band_bucket_sql('v', 2)} AS bucket FROM e, geo
   UNION ALL
-  SELECT vec_id, label, v, 3 AS band, {_band_bucket_sql('v', 3)} AS bucket FROM e
+  SELECT vec_id, label, v, 3 AS band, {_band_bucket_sql('v', 3)} AS bucket FROM e, geo
 ),
 scored AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -215,10 +274,14 @@ WHERE rk <= {TOP_K}
 """
 
 
-def _band_bucket_col(v: Column, band: int) -> Column:
+def _band_bucket_col(v: Column, band: int, bits: int = PLANES_PER_BAND) -> Column:
+    """Sign bucket of one band from the first ``bits`` planes. Bit i
+    weighs 2^i, so this equals the oracle's MAX_BITS-wide bucket
+    masked to the low ``bits`` bits — the Spark plan just skips the
+    masked-off dot products instead of computing-then-discarding."""
     out = F.lit(0)
-    for i in range(PLANES_PER_BAND):
-        w = F.array(*[F.lit(x) for x in PLANES[band * PLANES_PER_BAND + i]])
+    for i in range(bits):
+        w = F.array(*[F.lit(x) for x in PLANES[_plane_index(band, i)]])
         out = out + F.when(_dot(w, v) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out
 
@@ -228,16 +291,28 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ANN index is the canonical build-once/query-many artifact, so
     it is materialized and session-memoized: both self-join branches
     of every LSH consumer (ann_lsh_cosine, dedup_embedding_cosine)
-    read the 16-byte index rows instead of re-running the 16
-    hyperplane dot products per branch per call."""
+    read the 16-byte index rows instead of re-running the per-band
+    hyperplane dot products per branch per call.
+
+    The band width is the ADAPTIVE ``lsh_bits(corpus count)`` —
+    derived here at index build time (the count is a parquet
+    metadata-priced action, paid once per artifact build, exactly
+    like IVF's k ~ sqrt(n) at retrain) and re-derived independently
+    by every consumer's DuckDB oracle from the same COUNT(*), so a
+    drift between the two derivations fails the hash gate instead of
+    hiding."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        bits = lsh_bits(emb.count())
         e = _vectors(spark, sf_dir)
         return (
             e.withColumn(
                 "band_buckets",
-                F.array(*[_band_bucket_col(col("v"), b) for b in range(N_BANDS)]),
+                F.array(
+                    *[_band_bucket_col(col("v"), b, bits) for b in range(N_BANDS)]
+                ),
             )
             .select("vec_id", F.posexplode("band_buckets").alias("band", "bucket"))
         )
@@ -247,22 +322,24 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_cosine", oracle=ANN_ORACLE)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via BANDED sign-LSH: 16 hyperplanes
-    grouped into 4 bands of 4 bits; two vectors are candidates if they
-    share ANY band's bucket (the OR-construction that trades a few
-    extra candidates for much higher recall than one wide hash —
-    single-bucket 8-bit LSH measured 6% recall on this data, banding
-    lifts it severalfold; tests/test_similarity_ops.py enforces the
-    floor).
+    """Approximate top-5 neighbors via BANDED sign-LSH: 4 bands of
+    ``lsh_bits(n)`` hyperplane bits each (4 at fixture sizes, growing
+    ~log2 of the corpus — see the module-level banding policy); two
+    vectors are candidates if they share ANY band's bucket (the
+    OR-construction that trades a few extra candidates for much
+    higher recall than one wide hash — single-bucket 8-bit LSH
+    measured 6% recall on this data, banding lifts it severalfold;
+    tests/test_similarity_ops.py enforces the floor).
 
-    Scale shape: band buckets are a map-only pass (16 fixed dot
+    Scale shape: band buckets are a map-only pass (4*bits fixed dot
     products in codegen), candidates come from 4 equi-joins on
     (band, bucket) expressed as one join on the exploded band column,
     and the DISTINCT collapses pairs found by multiple bands before
-    ranking. Per-band fan-in is bounded (16 buckets/band), and the
-    oracle replays the identical construction with the same literal
-    hyperplanes, so the hash check proves the pruned plan computes
-    exactly what it claims."""
+    ranking. Per-band bucket occupancy is held ~O(2^BITS_OFFSET) by
+    the adaptive width, and the oracle replays the identical
+    construction with the same literal hyperplanes AND the same
+    bits-from-COUNT(*) derivation, so the hash check proves the
+    pruned plan computes exactly what it claims."""
     e = _vectors(spark, sf_dir)
     # band join + candidate DISTINCT move only (id, band, bucket);
     # vectors join back per UNIQUE candidate so each pair pays one dot

@@ -46,6 +46,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of one table (file or directory parquet layout) —
+    a pure filesystem stat, no Spark job. Callers use it as a plan
+    gate (e.g. operators/prefix: single-window below SHARD_MIN_BYTES),
+    so it must stay O(#files) cheap. Returns None when the size is
+    UNKNOWN (missing path, non-local URI): gates must treat unknown
+    as large and keep the scale-safe plan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if not os.path.isdir(path):
+        return None
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def session_memo(spark: SparkSession, key: tuple, builder):
     """Session-scoped memo for deterministic derived DataFrames (the
     materialized-view pattern): precomputed invariants like

@@ -134,18 +134,13 @@ AUDIT = [
     "dedup_minhash_lsh",
 ]
 
-#: measured at 10x but NOT 100x, with the measured reason: both
-#: consume the `lsh_scored_pairs` artifact, whose 4-band x 4-bit
-#: sign-LSH candidate generation has only 16 buckets per band — so
-#: candidates are ~n^2/16 BY CONSTRUCTION (the dedup_embedding_cosine
-#: docstring's measured "~23% of all pairs" at sf0.1). At 200k
-#: vectors that is ~10^9 pairs: the 100x build OOM-spilled and was
-#: aborted (first measured break of the fixed-width banding). The
-#: scale path is the banding-width retrain policy — hyperplane bits
-#: grow ~log2(n) so buckets stay O(n/2^bits) bounded — the direct
-#: analog of the k ~ sqrt(n) IVF policy; at the fixture's size the
-#: 4-bit geometry is what the oracle-pinned query semantics specify.
-SKIP_100X = {"dedup_embedding_cosine", "mutual_nn_pairs"}
+#: round-10 measured the fixed 4-bit sign-LSH OOM-ing the
+#: `lsh_scored_pairs` build at 100x (~n^2/16 candidates by
+#: construction); round-11 made the banding width adaptive —
+#: lsh_bits(n) = clamp(floor(log2 n) - 6, 4, 16) hyperplanes per
+#: band, oracle-mirrored from COUNT(*) — so the build is now
+#: measured at every scale point like everything else.
+SKIP_100X: set[str] = set()
 
 MARKER = "<!-- scale10: generated by tools/scale10_report.py -->"
 
@@ -389,7 +384,12 @@ def main() -> None:
         "two_level_prefix, which also replaced the serialized windows in",
         "value_equidepth_bins_events (10.4 -> 2.6 s at 100x) and",
         "weighted_median_value_type (12.3 -> 6.0 s) — same hashes, unit",
-        "tests cover negative measures and shard-edge ties.",
+        "tests cover negative measures, shard-edge ties, NULL order values",
+        "and NULL measures. weighted_median additionally SIZE-GATES the",
+        "scan (round 11): below SHARD_MIN_BYTES the sharded form's fixed",
+        "overhead exceeds the serialized sort it saves, so small inputs",
+        "keep the identical-output single-window plan (reclaiming the one",
+        "r10 small-SF regression) and the scale fixtures shard.",
         "",
     ] + table(rows) + [
         "",
@@ -403,16 +403,22 @@ def main() -> None:
         "space partitions grow cells linearly and are held bounded at real",
         "scale by the k ~ sqrt(corpus) retrain policy.",
         "",
-        "Second measured catch (the 100x decade): `dedup_embedding_cosine`",
-        "and `mutual_nn_pairs` consume the `lsh_scored_pairs` artifact,",
-        "whose 4-band x 4-bit sign-LSH has only 16 buckets per band —",
-        "candidates are ~n^2/16 BY CONSTRUCTION (its own docstring measures",
-        "~23% of all pairs at sf0.1). At 200k vectors that is ~10^9 pairs;",
-        "the 100x build OOM-spilled and was aborted, so their 100x cell is",
-        "'—'. The scale path is the banding-width retrain policy: hyperplane",
-        "bits grow ~log2(n) so buckets stay O(n/2^bits) — the direct analog",
-        "of the IVF k ~ sqrt(n) policy. At the fixture's size, the 4-bit",
-        "geometry is what the oracle-pinned query semantics specify.",
+        "Second measured catch (the 100x decade), FIXED in round 11:",
+        "`dedup_embedding_cosine` and `mutual_nn_pairs` consume the",
+        "`lsh_scored_pairs` artifact, whose fixed 4-band x 4-bit sign-LSH",
+        "had only 16 buckets per band — candidates ~n^2/16 BY CONSTRUCTION,",
+        "and the 100x build (200k vectors -> ~10^9 pairs) OOM-spilled. The",
+        "banding width is now ADAPTIVE: lsh_bits(n) = clamp(floor(log2 n)",
+        "- 6, 4, 16) hyperplanes per band (queries/similarity.py), derived",
+        "from the corpus count at index build time and re-derived by every",
+        "consumer's DuckDB oracle from the same COUNT(*) (_geo_sql), so the",
+        "derivation is hash-checked, not just stated. Bucket occupancy is",
+        "held ~2^6 rows, candidates stay linear; fixture sizes (n <= 2047)",
+        "floor at the original oracle-pinned 4-bit geometry, so every",
+        "sf <= 0.1 hash is unchanged. The 10x fixture selects 8 bits, the",
+        "100x fixture 11 — the rows below are the first real 100x cells",
+        "for these two queries (tests/test_lsh_adaptive.py pins the",
+        "three-way derivation parity).",
         "",
     ] + table(audit_rows) + [
         "",
