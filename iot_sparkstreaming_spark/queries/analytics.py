@@ -1168,7 +1168,14 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, not quadratic in parts); triangle enumeration uses
     degree-ordered orientation so wedge work is m^1.5-bounded even on
     power-law co-purchase hubs — see operators/graph.py
-    triangle_counts for the WWW'11 provenance."""
+    triangle_counts for the WWW'11 provenance. MEASURED, not argued
+    (round 11, tools/triangle_scale.py → docs/SCALING.md): on a
+    deterministic power-law graph the oriented wedge mass stays under
+    m^1.5 at 1x and 10x and grows near-linearly (8.2M vs the naive
+    id-ordering's 13.8B wedges at 10x — a 1683x reduction), runtime
+    decade exponent 0.59. This fixture's near-complete random graph
+    remains the documented dense exception: its wedge mass is
+    quadratic in the DATA for any exact algorithm."""
     from iot_sparkstreaming_spark.operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -5038,32 +5045,58 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: common counts and degrees are bigints; Jaccard is one
     division of exact integers.
 
-    Scale shape: the edge list is the memoized `_trade_pairs`
-    artifact; the wedge self-join shuffles on the pivot key (customer)
-    where the cutoff bounds the per-key fan-out; the rollup to
-    supplier pairs combines map-side. On a power-law graph the cutoff
-    is what turns an O(Σd²) blowup into a tunable budget — cf. the
-    degree-ordered orientation in `triangle_count_parts`.
+    Scale shape (rewritten round 11 — the wedge SELF-JOIN was the one
+    heavy query still at alpha ~1.0 at 100x): wedges are enumerated
+    from the ADJACENCY LIST instead of a self-join. One groupBy(a)
+    collects each surviving pivot's sorted neighbor array (<= cap
+    elements, so rows are bounded), the cap filter is a size() test
+    on that array (no degree-table join), and ordered pairs explode
+    from a codegen'd nested-transform over the array — so the edge
+    list crosses the wire ONCE (the collect_list exchange) instead of
+    three times (degree join + both self-join sides), and the only
+    other exchange is the map-side-combined rollup of exploded pairs
+    to supplier keys. Output is bitwise identical to the join form:
+    the pair set per customer is the same Σ min-bounded enumeration.
+    On a power-law graph the cutoff is what turns an O(Σd²) blowup
+    into a tunable budget — cf. the degree-ordered orientation in
+    `triangle_count_parts`.
     """
     pairs = _trade_pairs(spark, sf_dir)
-    deg = pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
-    # kept (the capped edge list) feeds THREE consumers — the supplier
-    # degree table and both wedge sides — so materialize the degree
-    # agg + filter join once; it is edge-sized, bounded by the
-    # uncapped edge list at any scale.
-    kept = pairs.join(
-        deg.filter(col("d") <= LP_MAX_DEG).select("a"), "a"
-    ).localCheckpoint(eager=True)
-    sdeg = kept.groupBy("b").agg(F.count("*").cast("bigint").alias("d"))
-    p1 = kept.select(col("a").alias("ca"), col("b").alias("s1"))
-    p2 = kept.select(col("a").alias("ca"), col("b").alias("s2"))
+    # adjacency feeds TWO consumers (supplier degrees and wedge
+    # pairs), so materialize the collect_list exchange once; it is
+    # edge-bounded (arrays of <= cap suppliers per surviving pivot).
+    adj = (
+        pairs.groupBy("a")
+        .agg(F.sort_array(F.collect_list("b")).alias("nb"))
+        .filter(F.size("nb") <= LP_MAX_DEG)
+        .select("nb")
+        .localCheckpoint(eager=True)
+    )
+    sdeg = (
+        adj.select(F.explode("nb").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    # ordered pairs (nb[i], nb[j]) for i < j via TWO Generate steps
+    # (posexplode, then explode of the tail slice): nb is sorted and
+    # duplicate-free (the edge set is distinct), so s1 < s2 holds by
+    # construction. Pairs stream out of the generators straight into
+    # the partial agg — no struct-array materialization per pivot
+    # (a flatten-of-nested-transform variant measured ~70% slower:
+    # it allocates the full pair array per row before exploding).
     wedges = (
-        p1.join(p2, (p1.ca == p2.ca) & (col("s1") < col("s2")))
+        adj.select(F.posexplode("nb").alias("i", "s1"), "nb")
+        .select(
+            "s1",
+            F.explode(
+                F.slice(col("nb"), col("i") + F.lit(2), F.size("nb"))
+            ).alias("s2"),
+        )
         .groupBy("s1", "s2")
         .agg(F.count("*").cast("bigint").alias("common"))
     )
-    d1 = sdeg.select(col("b").alias("s1"), col("d").alias("deg1"))
-    d2 = sdeg.select(col("b").alias("s2"), col("d").alias("deg2"))
+    d1 = sdeg.select(col("s").alias("s1"), col("d").alias("deg1"))
+    d2 = sdeg.select(col("s").alias("s2"), col("d").alias("deg2"))
     return (
         wedges.join(d1, "s1")
         .join(d2, "s2")

@@ -115,38 +115,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   the artifact store whose serving path was rewritten in r9/r10
 #   (pagerank, IVF/PQ indexes, sketches, codec queries).
 #
+# * round 11 applies the policy again: 8 reference pinned, the 8
+#   round-11 code-changed queries (scale-adaptive sign-LSH banding —
+#   ann_lsh_cosine, dedup_embedding_cosine, mutual_nn_pairs,
+#   rp_project_embeddings; the adjacency-list wedge rewrite of
+#   link_prediction_suppliers; and the three operators/prefix.py
+#   consumers after its NULL-semantics + size-gate rewrite), and the
+#   34 remaining slots drain the ENTIRE round-5 staleness cohort (32)
+#   plus the 2 oldest round-6 entries — after r11 no query's latest
+#   external row predates r6.
+#
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # -- round-4 staleness cohort (27): newest external row is r4;
-    #    refreshed through the rewritten artifact-store serving path
-    "approx_distinct_sketch",
-    "customers_without_orders",
-    "datetime_ship_delay",
-    "distinct_suppliers_per_segment",
-    "embedding_norm_stats",
-    "feature_binning_histogram",
-    "grouping_sets_revenue",
-    "json_extract_events",
-    "nation_census_outer",
-    "percentile_event_values",
-    "pivot_priority_by_status",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "regex_part_taxonomy",
-    "string_functions_customer",
-    "udaf_iqr_pandas",
+    # ROUND 11 window (standing policy): 8 reference pinned + the 8
+    # round-11 code-changed queries + 34 oldest-first (the full r5
+    # staleness cohort of 32 + the 2 oldest r6 entries) — after this
+    # round no query's latest external row predates r6.
+    #
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
     "user_activity_category",
@@ -156,23 +142,58 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- code changed in round 10: re-externalize (r7/r9 precedent)
-    "ann_incremental_assign",
-    "cheapest_path_lead_time",
+    # -- code changed in round 11: re-externalize (standing policy).
+    #    The first four ride the scale-adaptive sign-LSH banding
+    #    (lsh_bits / extended PLANES table / _geo_sql oracles);
+    #    rp_project_embeddings' body is unchanged but reads the
+    #    extended PLANES global, so it re-externalizes out of caution.
+    #    link_prediction_suppliers: adjacency-list wedge enumeration.
+    #    The last three sit on operators/prefix.py, whose NULL
+    #    semantics + size gate were rewritten this round.
+    "ann_lsh_cosine",
+    "dedup_embedding_cosine",
+    "mutual_nn_pairs",
+    "rp_project_embeddings",
+    "link_prediction_suppliers",
+    "weighted_median_value_type",
     "cusum_changepoint_events",
     "value_equidepth_bins_events",
-    "weighted_median_value_type",
-    # -- oldest (round-5) cohort fill, artifact-store consumers first
-    "pagerank_trade_graph",
-    "ann_ivf_pq",
-    "ann_pq_adc",
-    "cms_heavy_hitters",
-    "hll_union_region_suppliers",
-    "funnel_analysis",
-    "image_bmp_features",
-    "image_bmp_thumbnail",
-    "audio_wav_features",
-    "winnowing_fingerprints",
+    # -- oldest-first fill (34): the complete round-5 cohort (32) ...
+    "band_join_error_near_signup",
+    "scd2_user_dimension",
+    "rollup_minute_to_hour",
+    "window_topk_salted",
+    "stats_correlation",
+    "gapfill_hourly_series",
+    "ngram_topk_corpus",
+    "priority_sample_per_source",
+    "oov_rate_per_doc",
+    "quality_gate_composite",
+    "embedding_centroid_per_label",
+    "winnowing_overlap_pairs",
+    "retention_cohorts",
+    "setops_user_cohorts",
+    "asof_click_to_purchase",
+    "range_join_views_before_error",
+    "tumbling_window_hourly",
+    "sliding_avg_1h",
+    "window_rank_family",
+    "setops_multiset_intersect",
+    "setops_multiset_except",
+    "q12_shipping_modes",
+    "triangle_count_parts",
+    "anomaly_zscore_events",
+    "ewma_user_value",
+    "bigram_lift_topk",
+    "zorder_locality_events",
+    "approx_quantile_bounds",
+    "variant_events_typed",
+    "expectations_audit_events",
+    "dedup_edit_distance",
+    "rolling_median_value",
+    # -- ... plus the 2 oldest round-6 entries
+    "acf_user_value",
+    "value_histogram_events",
 ]
 
 _MODULE_ORDER = [

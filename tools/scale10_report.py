@@ -324,6 +324,61 @@ def main() -> None:
 
     stream_rps = measure_streaming()
 
+    def measure_keyed_sink(runs: int = 2) -> list[int]:
+        """Sustained input rows/s of the SAME pipeline through the
+        transactional keyed_files upsert sink (io/keyed_sink.py) —
+        the exactly-once path whose per-epoch manifest commit is the
+        kind of per-batch constant that could grow with key
+        cardinality; a falling rate across decades would flag that.
+        Fresh sink+checkpoint per trial (the writer is transactional
+        per checkpoint; reuse would make trials 2+ no-op replays)."""
+        import shutil
+        import tempfile
+
+        from iot_sparkstreaming_spark.io import keyed_sink
+        from iot_sparkstreaming_spark.io.sources import events_stream
+        from iot_sparkstreaming_spark.queries.reference import derive_telemetry
+        from iot_sparkstreaming_spark.streaming.pipelines import warning_pipeline
+        from iot_sparkstreaming_spark.tables import load_table
+
+        keyed_sink.register(spark)
+
+        def run_once(d: str) -> None:
+            tmpd = tempfile.mkdtemp(prefix="scale-keyed-sink-")
+            try:
+                fitbit = derive_telemetry(events_stream(spark, d)).withColumnRenamed(
+                    "event_ms", "machine_timestamp"
+                )
+                q = (
+                    warning_pipeline(fitbit)
+                    .writeStream.format("keyed_files")
+                    .option("path", os.path.join(tmpd, "out"))
+                    .option("key", "user_id")
+                    .option("version", "machine_timestamp")
+                    .option("checkpointLocation", os.path.join(tmpd, "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                shutil.rmtree(tmpd, ignore_errors=True)
+
+        run_once("/root/testdata/sf0.001")  # Python-worker + plan warm-up
+        out = []
+        for d in dirs:
+            n = load_table(spark, d, "events").count()
+            best = math.inf
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                run_once(d)
+                best = min(best, time.perf_counter() - t0)
+            rps = round(n / best)
+            out.append(rps)
+            print(f"streaming_warning_keyed_sink {d}: {n} rows, {best:.2f}s, {rps} rows/s")
+        return out
+
+    sink_rps = measure_keyed_sink()
+
     cols = ["1x (sf0.1)"] + [f"{c}x" for c in SCALES]
     header = "| query | " + " | ".join(cols) + " | alpha |"
     sep = "|---|" + "---|" * (len(cols) + 1)
@@ -444,6 +499,14 @@ def main() -> None:
         "| query | " + " | ".join(f"{c} rows/s" for c in ["1x"] + [f"{c}x" for c in SCALES]) + " |",
         "|---|" + "---|" * (len(SCALES) + 1),
         "| streaming_warning_noop | " + " | ".join(f"{r:,}" for r in stream_rps) + " |",
+        "| streaming_warning_keyed_sink | " + " | ".join(f"{r:,}" for r in sink_rps) + " |",
+        "",
+        "`keyed_sink` is the transactional exactly-once upsert writer",
+        "(io/keyed_sink.py) — same input denominator as the noop row, so",
+        "the gap between the rows is the price of the per-epoch manifest",
+        "commit + keyed merge; the rate holding (or rising) across decades",
+        "shows the per-batch commit constant does NOT grow with key",
+        "cardinality.",
         "",
     ]
 
