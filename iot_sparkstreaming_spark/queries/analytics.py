@@ -5060,6 +5060,17 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     On a power-law graph the cutoff is what turns an O(Σd²) blowup
     into a tunable budget — cf. the degree-ordered orientation in
     `triangle_count_parts`.
+
+    Measured 100x profile (docs/SCALING.md; was the one heavy query
+    at alpha 1.04 in r10, now 44.8 s / alpha 0.99): the irreducible
+    term is the wedge rollup itself — Σ min(deg,cap)² = 673M wedge
+    rows (exactly 100x the 1x wedge mass, so the cap holds under
+    scale-up) hash-aggregating to 49.95M DISTINCT supplier pairs
+    (C(suppliers-per-shard, 2) x shards — the OUTPUT is ~50M rows, so
+    sub-linear time is not available to any exact algorithm here);
+    generation and the adjacency build are <20% of the total. The
+    packed single-bigint pair key took the measured 20% off that
+    exchange; the remainder is linear shuffle/agg throughput.
     """
     pairs = _trade_pairs(spark, sf_dir)
     # adjacency feeds TWO consumers (supplier degrees and wedge
@@ -5084,6 +5095,13 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the partial agg — no struct-array materialization per pivot
     # (a flatten-of-nested-transform variant measured ~70% slower:
     # it allocates the full pair array per row before exploding).
+    # The pair aggregates on ONE packed bigint key (s1 << 32 | s2 —
+    # lossless: trade-graph node ids are 2*key+1, far below 2^31 at
+    # any SF the key domain reaches) and unpacks after: the wedge agg
+    # is the measured 100x bottleneck (~673M rows collapsing to ~50M
+    # distinct pairs), and halving the hash/shuffle key width measured
+    # 20% off that exchange at 100x with identical output.
+    packed = (col("s1") * F.lit(1 << 32) + col("s2")).alias("k")
     wedges = (
         adj.select(F.posexplode("nb").alias("i", "s1"), "nb")
         .select(
@@ -5092,8 +5110,14 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(col("nb"), col("i") + F.lit(2), F.size("nb"))
             ).alias("s2"),
         )
-        .groupBy("s1", "s2")
+        .select(packed)
+        .groupBy("k")
         .agg(F.count("*").cast("bigint").alias("common"))
+        .select(
+            F.shiftright(col("k"), 32).alias("s1"),
+            (col("k") % F.lit(1 << 32)).alias("s2"),
+            "common",
+        )
     )
     d1 = sdeg.select(col("s").alias("s1"), col("d").alias("deg1"))
     d2 = sdeg.select(col("s").alias("s2"), col("d").alias("deg2"))

@@ -215,7 +215,7 @@ def _geo_sql(corpus_sql: str = "embeddings") -> str:
     cannot disagree on the floor."""
     return (
         f"SELECT GREATEST({PLANES_PER_BAND}, LEAST({MAX_BITS}, "
-        f"CAST(FLOOR(LOG2(COUNT(*))) AS INT) - {BITS_OFFSET})) AS bits "
+        f"CAST(FLOOR(LOG2(GREATEST(COUNT(*), 1))) AS INT) - {BITS_OFFSET})) AS bits "
         f"FROM {corpus_sql}"
     )
 

@@ -84,7 +84,8 @@ def test_generated_doc_counts_match_readme() -> None:
     n_rows = sum(
         1
         for line in scaling.splitlines()
-        if line.startswith("| ") and not line.startswith(("| query", "|---"))
+        if line.startswith("| ")
+        and not line.startswith(("| query", "| scale |", "|---"))
     )
     m = re.search(r"exponents for (\d+)\s+representative queries", readme)
     assert m, "README.md lost its scaling-count sentence"
@@ -96,6 +97,10 @@ def test_generated_doc_counts_match_readme() -> None:
     assert want == n_rows, f"README says {want} total, SCALING has {n_rows}"
 
     arts = (repo / "docs" / "ARTIFACTS.md").read_text()
+    # count only the BASE cold-build table: the marker-preserved scale
+    # section re-lists a subset of artifacts per decade, not new ones
+    if "<!-- artifact-scale:" in arts:
+        arts = arts[: arts.index("<!-- artifact-scale:")]
     n_arts = sum(
         1
         for line in arts.splitlines()

@@ -116,7 +116,7 @@ SHOWCASE = [
     ("lang_confusion_matrix", "rides the map-only lang-ID pass; ONE hash agg to the gold*pred grid; marginal windows run over dozens of cells"),
     ("viewers_without_purchase", "both sides pre-aggregate to per-user rows behind pushed filters; anti join shuffles key-sized tables, purchaser set AQE-broadcastable"),
     ("ols_time_regression_user", "min-ts window and moment aggregate ride ONE user_id exchange; slope/intercept/R2 are per-row arithmetic on the one-row-per-user table"),
-    ("link_prediction_suppliers", "wedge self-join pivots on the degree-capped customer key from ONE checkpointed capped edge list (3 consumers); supplier-pair rollup combines map-side; degree joins are key-sized"),
+    ("link_prediction_suppliers", "adjacency-list wedges: ONE collect_list exchange builds capped sorted neighbor arrays (size-filtered, no degree join); pairs stream from two Generate steps into the map-side-combined supplier-pair rollup; the edge list crosses the wire once"),
     ("classifier_agreement_kappa", "one map-only pass scores both annotators; hash agg to <=16 cells; kappa algebra runs on constant-size tables"),
     ("ohlc_bars_type_hour", "ONE (type,hour) exchange: asc row_number + count-over-window mark first/last (no desc re-sort); bar rollup reuses the key"),
     ("phrase_search_positional", "postings filtered to phrase vocabulary BEFORE the position self-join; phrase book broadcasts; adjacency join co-partitions on doc_id"),
@@ -125,7 +125,7 @@ SHOWCASE = [
     ("pareto_front_customers", "four windows share one segment exchange and sort; threshold decided in cross-multiplied bigint cents; suffix aggregate reuses the key"),
     ("rollup_incremental_merge", "hist rollup is the loaded artifact; daily cost = one batch-day rollup + a merge agg over two rollup-sized tables; zero corpus re-scan"),
     ("cheapest_path_lead_time", "each relax round = ONE edge join + min agg (PageRank shape) over the memoized weighted edge artifact; rounds coalesce the node-sized dist table and localCheckpoint it, so lineage never grows"),
-    ("weighted_median_value_type", "ONE event_type exchange carries both window sums and the final min agg; weights stay bigint end to end"),
+    ("weighted_median_value_type", "size-gated prefix scan: below SHARD_MIN_BYTES one event_type exchange carries both window sums and the final min agg; past it the two-level shard scan takes over (identical output); weights stay bigint end to end"),
     ("sql_unpivot_user_metrics", "one map-side-combined conditional-count agg; UNPIVOT is a narrow 4x generator, zero extra shuffle"),
     ("grid_density_core", "points collapse to grid cells in one map-side agg; 9-offset neighborhood joins the bounded CELL table (broadcast), never the points"),
     ("er_fellegi_sunter", "blocked (nation, balance-band) equi-join bounds candidate pairs; integer FS weights scored in a narrow projection"),

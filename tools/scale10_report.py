@@ -228,6 +228,13 @@ def build_fixture(spark, copies: int) -> None:
 
 
 def main() -> None:
+    # local[32] puts all 32 executor threads inside ONE driver JVM, so
+    # the bench default (8g — plenty at sf<=0.1) starves the 100x
+    # decade: 32 concurrent tasks over ~60M-row shuffles need the heap
+    # a real cluster would spread across executors. Size it to the
+    # machine unless the caller already chose.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
     from iot_sparkstreaming_spark.queries.registry import load_all
     from iot_sparkstreaming_spark.session import get_spark
 

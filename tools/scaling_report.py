@@ -218,18 +218,23 @@ def main() -> None:
         "`triangle_count_parts` (not listed) is quadratic-dense on THIS",
         "fixture because uniform random part assignment makes the",
         "co-purchase graph near-complete; the operator itself is",
-        "m^1.5-bounded on real power-law graphs (see its docstring).",
+        "m^1.5-bounded on real power-law graphs (see its docstring and",
+        "the measured power-law section below, tools/triangle_scale.py).",
         "",
     ]
-    # preserve the measured 10x section maintained by scale10_report.py
+    # preserve the measured sections other tools maintain (triangle
+    # power-law demo, 10x/100x scale-up) — cut at whichever generated
+    # marker appears FIRST so none of them is dropped
     target = REPO / "docs" / "SCALING.md"
     tail = ""
     if target.exists():
         prev = target.read_text()
-        from scale10_report import MARKER  # noqa: PLC0415
+        from scale10_report import MARKER as M10  # noqa: PLC0415
+        from triangle_scale import MARKER as MTRI  # noqa: PLC0415
 
-        if MARKER in prev:
-            tail = "\n" + prev[prev.index(MARKER):]
+        cut = min((prev.index(m) for m in (MTRI, M10) if m in prev), default=None)
+        if cut is not None:
+            tail = "\n" + prev[cut:]
     target.write_text("\n".join(out) + tail)
     print(f"wrote {target} ({len(rows)} rows)")
     spark.stop()
