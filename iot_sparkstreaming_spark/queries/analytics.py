@@ -5731,10 +5731,13 @@ def weighted_median_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     >20% small-SF regression, reclaimed here). Output is bitwise
     identical on BOTH sides of the gate; the gate input is a pure
     filesystem stat (tables.table_bytes), no extra Spark job.
-    Measured 12.3 s -> 6.0 s at 100x the bench SF (docs/SCALING.md —
-    the residual is the per-row JSON weight extraction, linear and
-    shard-parallel); weights stay bigint end to end (no double
-    accumulation to drift).
+    Measured with the gate (round 11): 0.67 s warm at sf0.1 (the
+    single-window side; r10's sharded-everywhere form was 1.02), and
+    the sharded side holds 1.23 s at 10x / 5.47 s at 100x — the 10x
+    fixture's 16 MiB events already flips the gate, and the r10
+    baseline was 6.0 s at 100x; the residual is the per-row JSON
+    weight extraction, linear and shard-parallel. Weights stay bigint
+    end to end (no double accumulation to drift).
     """
     from iot_sparkstreaming_spark.operators.prefix import two_level_prefix
     from iot_sparkstreaming_spark.tables import table_bytes
