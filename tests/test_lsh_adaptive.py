@@ -120,6 +120,71 @@ def test_geo_sql_is_the_registered_derivation(spark):
     assert got == lsh_bits(n)
 
 
+def test_full_query_parity_above_the_floor(spark, tmp_path, monkeypatch):
+    """END-TO-END adaptive-geometry check: the registered
+    dedup_embedding_cosine query AND its DuckDB oracle, hash-compared
+    on a corpus big enough that lsh_bits selects 6 bits (4,500
+    vectors) — the regime the sf0.01 driver gate can never reach
+    (its 500-vector corpus floors at 4). The corpus is 9 key-shifted
+    sign-flipped copies of sf0.01's embeddings (the scale10 fixture
+    model: within-copy geometry preserved, cross-copy cosines
+    scattered), so real near-dup structure survives the scale-up.
+    If the Spark build and the SQL _geo_sql clamp ever derive
+    different bit counts — or the masked wide bucket diverges from
+    the first-bits construction — this hash splits."""
+    import hashlib
+
+    from iot_sparkstreaming_spark.queries.registry import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
+    src = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+    n_src = src.count()
+    copies = []
+    for i in range(9):
+        signs = F.array(
+            *[F.lit(-1.0 if hashlib.md5(f"{i}:{d}".encode()).digest()[0] & 1 else 1.0)
+              for d in range(64)]
+        )
+        c = src.select(
+            (col("vec_id") + F.lit(i * n_src)).alias("vec_id"),
+            "label",
+            (F.zip_with(col("embedding"), signs, lambda x, s: (x * s).cast("float"))
+             if i else col("embedding")).alias("embedding"),
+        )
+        copies.append(c)
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    big.write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    assert lsh_bits(9 * n_src) == 6  # genuinely above the floor
+
+    q = load_all()["dedup_embedding_cosine"]
+    sdf = q.spark(spark, str(d))
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(float(r[c]) if isinstance(r[c], float) else r[c] for c in scols)
+        for r in sdf.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    res = con.execute(q.oracle)
+    dcols = sorted(dd[0] for dd in res.description)
+    idx = [
+        [dd[0] for dd in res.description].index(c) for c in dcols
+    ]
+    drows = sorted(tuple(r[i] for i in idx) for r in res.fetchall())
+
+    assert scols == dcols
+    assert len(srows) == len(drows) > 0
+    assert srows == drows
+
+
 def test_candidate_mass_stays_linear_under_adaptive_bits():
     """The policy's point, checked arithmetically: expected candidate
     pairs per band under a uniform sign model is n^2/2^bits; with
