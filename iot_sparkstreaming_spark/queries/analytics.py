@@ -5062,8 +5062,9 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     `triangle_count_parts`.
 
     Measured 100x profile (docs/SCALING.md; was the one heavy query
-    at alpha 1.04 in r10, now 44.8 s / alpha 0.99): the irreducible
-    term is the wedge rollup itself — Σ min(deg,cap)² = 673M wedge
+    at alpha 1.04 / 52.0 s in r10, now 44.8-50.8 s across runs,
+    alpha 0.99-1.08 — right at linear, inside run variance): the
+    irreducible term is the wedge rollup itself — Σ min(deg,cap)² = 673M wedge
     rows (exactly 100x the 1x wedge mass, so the cap holds under
     scale-up) hash-aggregating to 49.95M DISTINCT supplier pairs
     (C(suppliers-per-shard, 2) x shards — the OUTPUT is ~50M rows, so

@@ -946,21 +946,25 @@ SEMDEDUP_THRESHOLD = 0.35
 def _semdedup_oracle() -> str:
     """Oracle replaying the identical centroid-assignment construction
     (same deterministic centroid subset as queries/similarity.py's
-    IVF) and the same within-cluster prune rule in DuckDB."""
+    IVF, same adaptive stride-from-COUNT(*) geometry) and the same
+    within-cluster prune rule in DuckDB."""
     from iot_sparkstreaming_spark.queries.similarity import (
         CENT_OFFSET,
-        CENT_STRIDE,
         _COS_SQL,
+        _ivf_stride_sql,
     )
 
     return f"""
-WITH e AS (
+WITH st AS (
+  {_ivf_stride_sql()}
+),
+e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cid, v AS cvec FROM e
-  WHERE vec_id % {CENT_STRIDE} = {CENT_OFFSET}
+  SELECT vec_id AS cid, v AS cvec FROM e, st
+  WHERE vec_id % st.stride = {CENT_OFFSET}
 ),
 assigned AS (
   SELECT vec_id, v, cid FROM (
@@ -1001,28 +1005,40 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     SMALLER-id member of its cluster has cosine ≥ 0.35 with it; the
     emitted row names its best keeper (argmax cosine, min id on
     ties). Centroids are the same deterministic corpus subset as
-    ann_ivf_cosine (``vec_id % 30 == 10``) — swapping in trained
+    ann_ivf_cosine (``vec_id % stride == 10`` with the ADAPTIVE
+    stride ~ sqrt(n), floored at 30 for fixture corpora and
+    oracle-mirrored from COUNT(*)) — swapping in trained
     k-means centroids changes recall, not the plan or the rule.
 
     Scale shape: assignment is the IVF broadcast + hash-agg argmax
     (map-side, no sort window over corpus×k); the only corpus
     shuffle after that is the equi-join on ``cid``, where AQE
-    skew-splits hot clusters. k grows ~√n so the centroid broadcast
-    stays small. Cluster sizes ride the assigned row (window on the
-    same cid partitioning — no second shuffle, no sizes join).
+    skew-splits hot clusters. The adaptive ~sqrt(n) stride BALANCES
+    the construction's two terms: assignment costs n·k and the
+    within-cluster prune costs ~n·(n/k)/2 pairs, so k ~ sqrt(n) puts
+    both at n^1.5 — for n past the fixture floor that beats either
+    extreme (fixed cell size made assignment n²/stride; fixed k would
+    make the prune n²/k), and it is the best single-knob geometry a
+    deterministic centroid subset admits. Production corpora with a
+    TRAINED index instead tune k for constant cell size and amortize
+    assignment through the nested index (the ann_ivf_kmeans family).
+    Cluster sizes ride the assigned row (window on the same cid
+    partitioning — no second shuffle, no sizes join).
     """
     from pyspark.sql.window import Window
 
     from iot_sparkstreaming_spark.queries.similarity import (
         CENT_OFFSET,
-        CENT_STRIDE,
+        ivf_stride_for,
     )
 
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_assigned() -> DataFrame:
         e = _emb_vectors(spark, sf_dir)
-        cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
+        cent = e.filter(
+            col("vec_id") % ivf_stride_for(spark, sf_dir) == CENT_OFFSET
+        ).select(
             col("vec_id").alias("cid"),
             col("v").alias("cvec"),
             col("norm").alias("cn"),

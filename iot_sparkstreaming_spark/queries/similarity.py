@@ -466,18 +466,83 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-style partitioned ANN (the clustered scale path)
 # ---------------------------------------------------------------------------
 
-CENT_STRIDE = 30  # centroid ids: vec_id % 30 == 10 (disjoint from queries)
+CENT_STRIDE = 30  # fixture-floor stride: vec_id % 30 == 10 (disjoint from queries)
 CENT_OFFSET = 10
 N_PROBE = 4
 
+# -- scale-adaptive centroid stride (round 11; the deterministic-IVF
+# twin of the lsh_bits policy). A FIXED stride means k = n/stride
+# cells: cell size stays constant (good) but the assignment crossJoin
+# does n*k = n^2/stride dot products and the centroid broadcast grows
+# linearly — the same documented-but-not-implemented k ~ sqrt(n) gap
+# the round-10 audit burned the fixed LSH banding for. The stride now
+# derives from the corpus count at build time: fixture corpora
+# (n < IVF_FLOOR_N — every harness SF) keep the original oracle-pinned
+# stride-30 geometry, larger ones take stride = ceil(n / floor(sqrt
+# (n))) ~ sqrt(n), so k ~ sqrt(n) cells of ~sqrt(n) rows: assignment
+# is n^1.5, broadcast O(sqrt(n)) — and every consumer's DuckDB oracle
+# re-derives the identical stride from the same COUNT(*)
+# (_ivf_stride_sql), so the parameterization is hash-checked.
+IVF_FLOOR_N = 2048
+
+
+def ivf_stride(n: int) -> int:
+    """Adaptive centroid stride for an n-vector corpus. isqrt and
+    ceil-division are exact integer ops — no float rounding."""
+    if n < IVF_FLOOR_N:
+        return CENT_STRIDE
+    import math
+
+    return -(-n // math.isqrt(n))
+
+
+def _ivf_stride_sql(corpus_sql: str = "embeddings") -> str:
+    """The stride CTE body: the EXACT Python ``ivf_stride`` clamp in
+    SQL. FLOOR(SQRT(n)) cannot disagree with isqrt (sqrt of a perfect
+    square is exactly representable; between squares the value is
+    >> 1 ulp from the integer), and CEIL of the double quotient
+    cannot cross an integer (the fractional part is >= 1/sqrt(n),
+    astronomically larger than the quotient's ulp)."""
+    return (
+        f"SELECT CASE WHEN COUNT(*) < {IVF_FLOOR_N} THEN {CENT_STRIDE} "
+        f"ELSE CAST(CEIL(COUNT(*) / FLOOR(SQRT(COUNT(*)))) AS BIGINT) END "
+        f"AS stride FROM {corpus_sql}"
+    )
+
+
+def ivf_stride_for(spark: SparkSession, sf_dir: str) -> int:
+    """The adaptive stride for one sf_dir. The count behind it is a
+    parquet metadata-priced action, session-memoized per sf_dir
+    (build-time parameter derivation, exactly like _lsh_bands' bit
+    count)."""
+    from iot_sparkstreaming_spark.tables import session_memo
+
+    def derive() -> int:
+        return ivf_stride(load_table(spark, sf_dir, "embeddings").count())
+
+    return session_memo(spark, ("ivf_stride", sf_dir), derive)
+
+
+def _ivf_cent(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """The deterministic centroid subset ``(cid, cvec, cn)`` of the
+    similarity-module vector table under the adaptive stride."""
+    return e.filter(
+        col("vec_id") % ivf_stride_for(spark, sf_dir) == CENT_OFFSET
+    ).select(
+        col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
+    )
+
 IVF_ORACLE = f"""
-WITH e AS (
+WITH st AS (
+  {_ivf_stride_sql()}
+),
+e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cid, v AS cvec FROM e
-  WHERE vec_id % {CENT_STRIDE} = {CENT_OFFSET}
+  SELECT vec_id AS cid, v AS cvec FROM e, st
+  WHERE vec_id % st.stride = {CENT_OFFSET}
 ),
 assigned AS (
   SELECT vec_id, label, v, cid FROM (
@@ -511,9 +576,7 @@ WHERE rk <= {TOP_K}
 """
 
 
-def _ivf_assigned(
-    spark: SparkSession, sf_dir: str, e: DataFrame, cent: DataFrame
-) -> DataFrame:
+def _ivf_assigned(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     """Inverted-list assignment: one broadcast + hash-aggregated
     argmax (max of (ccos, -cid) structs == highest cosine, lowest cid
     on ties — identical pick to the oracle's ROW_NUMBER, but a
@@ -522,10 +585,17 @@ def _ivf_assigned(
     assignment IS the IVF index — the build-once artifact (written
     partitionBy(cid) in production) — so it is materialized +
     session-memoized and SHARED by every consumer (`ann_ivf_cosine`,
-    `ann_ivf_pq`)."""
+    `ann_ivf_pq`).
+
+    The centroid set is constructed INSIDE the builder (not passed
+    in): the artifact store fingerprints the builder's CODE, and a
+    closure-captured DataFrame is invisible to that hash — deriving
+    cent here makes the token recurse through _ivf_cent → ivf_stride,
+    so a geometry change can never be answered by a stale index."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_assigned() -> DataFrame:
+        cent = _ivf_cent(spark, sf_dir, e)
         return (
             e.crossJoin(F.broadcast(cent))
             .select(
@@ -558,13 +628,17 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest centroids' lists, scoring ~nprobe/C of the corpus.
 
     Centroids here are a deterministic arithmetic subset of the
-    corpus (``vec_id % 30 == 10``) rather than k-means output — the
-    operator mechanics (assignment pass, probe pruning, exact
+    corpus (``vec_id % stride == 10``) rather than k-means output —
+    the operator mechanics (assignment pass, probe pruning, exact
     re-ranking) are identical and oracle-checkable; swapping in
-    trained centroids changes recall, not the plan.
+    trained centroids changes recall, not the plan. The stride is the
+    ADAPTIVE ``ivf_stride(n)`` (~sqrt(n), floored at 30 for fixture
+    corpora, re-derived by the oracle from the same COUNT(*)), so
+    k ~ sqrt(n) cells of ~sqrt(n) rows: the assignment crossJoin does
+    n^1.5 dot products instead of the n^2/30 a fixed stride implies.
 
-    Scale shape: centroid set is tiny → broadcast cross join + argmax
-    window makes assignment one map-side pass over the corpus. At
+    Scale shape: centroid set is O(sqrt(n)) → broadcast cross join +
+    argmax makes assignment one map-side pass over the corpus. At
     100 TB the assigned corpus would be written
     ``partitionBy("cid")`` so a search reads only the probed
     partitions (partition pruning on cid); the candidate join is an
@@ -572,11 +646,9 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is checked in tests/test_similarity_ops.py; THIS oracle
     proves the pruned plan computes exactly what it claims."""
     e = _vectors(spark, sf_dir)
-    cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
-        col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
-    )
+    cent = _ivf_cent(spark, sf_dir, e)
 
-    assigned = _ivf_assigned(spark, sf_dir, e, cent)
+    assigned = _ivf_assigned(spark, sf_dir, e)
 
     probes = (
         e.filter(col("vec_id") < N_QUERIES)
@@ -861,13 +933,16 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 IVF_PQ_ORACLE = f"""
-WITH e AS (
+WITH st AS (
+  {_ivf_stride_sql()}
+),
+e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cid, v AS cvec FROM e
-  WHERE vec_id % {CENT_STRIDE} = {CENT_OFFSET}
+  SELECT vec_id AS cid, v AS cvec FROM e, st
+  WHERE vec_id % st.stride = {CENT_OFFSET}
 ),
 assigned AS (
   SELECT vec_id, label, cid FROM (
@@ -950,10 +1025,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_sparkstreaming_spark.artifacts import artifact_memo  # noqa: F401
 
     e = _vectors(spark, sf_dir)
-    cent = e.filter(col("vec_id") % CENT_STRIDE == CENT_OFFSET).select(
-        col("vec_id").alias("cid"), col("v").alias("cvec"), col("nv").alias("cn")
-    )
-    assigned = _ivf_assigned(spark, sf_dir, e, cent).select("vec_id", "label", "cid")
+    cent = _ivf_cent(spark, sf_dir, e)
+    assigned = _ivf_assigned(spark, sf_dir, e).select("vec_id", "label", "cid")
     recon = _pq_recon(spark, sf_dir, e)
 
     probes = (
@@ -1336,18 +1409,24 @@ def _kmeans_parts(spark: SparkSession, sf_dir: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_ivf_assigned(
-    spark: SparkSession, sf_dir: str, e: DataFrame, cent: DataFrame
-) -> DataFrame:
+def _kmeans_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized corpus→cell assignment table (vec_id, v, cid) against
     the FINAL Lloyd centroids — the inverted-file index that
     ``ann_ivf_kmeans`` serves probes from and
     ``ann_incremental_assign`` treats as the persisted historical
     index. One broadcast hash-agg argmin over the corpus; in
-    production this is the table written partitionBy(cid)."""
+    production this is the table written partitionBy(cid).
+
+    Inputs are derived INSIDE the builder (same discipline as
+    _ivf_assigned): the store fingerprints builder CODE, and a
+    closure-captured DataFrame is invisible to that hash — deriving
+    e/cent here recurses the token through _kmeans_parts, so a Lloyd
+    change can never be answered by a stale assignment."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_assigned() -> DataFrame:
+        parts = _kmeans_parts(spark, sf_dir)
+        e, cent = parts["e"], parts["cent"]
         d2 = _d2(col("v"), col("cvec"))
         return (
             e.crossJoin(F.broadcast(cent))
@@ -1422,7 +1501,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     parts = _kmeans_parts(spark, sf_dir)
     e, cent = parts["e"], parts["cent"]
-    assigned = _kmeans_ivf_assigned(spark, sf_dir, e, cent)
+    assigned = _kmeans_ivf_assigned(spark, sf_dir)
 
     d2p = _d2(col("qv"), col("cvec"))
     w_probe = Window.partitionBy("query_id").orderBy(d2p.asc(), col("cid").asc())
@@ -1622,7 +1701,7 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted historical index: everything that existed at train
     # time (the memoized artifact minus today's ids)
     hist = (
-        _kmeans_ivf_assigned(spark, sf_dir, e, cent)
+        _kmeans_ivf_assigned(spark, sf_dir)
         .crossJoin(F.broadcast(cut))
         .filter(~is_new)
     )
@@ -2234,7 +2313,7 @@ def kmeans_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     parts = _kmeans_parts(spark, sf_dir)
     e, cent = parts["e"], parts["cent"]
-    assigned = _kmeans_ivf_assigned(spark, sf_dir, e, cent)
+    assigned = _kmeans_ivf_assigned(spark, sf_dir)
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
     sv = F.transform(
         col("v"), lambda x: F.round(x * KM_SCALE).cast("bigint")

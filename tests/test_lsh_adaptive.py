@@ -120,23 +120,15 @@ def test_geo_sql_is_the_registered_derivation(spark):
     assert got == lsh_bits(n)
 
 
-def test_full_query_parity_above_the_floor(spark, tmp_path, monkeypatch):
-    """END-TO-END adaptive-geometry check: the registered
-    dedup_embedding_cosine query AND its DuckDB oracle, hash-compared
-    on a corpus big enough that lsh_bits selects 6 bits (4,500
-    vectors) — the regime the sf0.01 driver gate can never reach
-    (its 500-vector corpus floors at 4). The corpus is 9 key-shifted
-    sign-flipped copies of sf0.01's embeddings (the scale10 fixture
-    model: within-copy geometry preserved, cross-copy cosines
-    scattered), so real near-dup structure survives the scale-up.
-    If the Spark build and the SQL _geo_sql clamp ever derive
-    different bit counts — or the masked wide bucket diverges from
-    the first-bits construction — this hash splits."""
+@pytest.fixture(scope="module")
+def big_corpus(spark, tmp_path_factory):
+    """A 4,500-vector corpus — 9 key-shifted sign-flipped copies of
+    sf0.01's embeddings (the scale10 fixture model: within-copy
+    geometry preserved, cross-copy cosines scattered), big enough
+    that BOTH adaptive derivations leave their fixture floors:
+    lsh_bits selects 6 and ivf_stride selects ceil(4500/67) = 68."""
     import hashlib
 
-    from iot_sparkstreaming_spark.queries.registry import load_all
-
-    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
     src = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
     n_src = src.count()
     copies = []
@@ -155,34 +147,84 @@ def test_full_query_parity_above_the_floor(spark, tmp_path, monkeypatch):
     big = copies[0]
     for c in copies[1:]:
         big = big.unionByName(c)
-    d = tmp_path / "corpus"
+    d = tmp_path_factory.mktemp("adaptive") / "corpus"
     d.mkdir()
     big.write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d), 9 * n_src
 
-    assert lsh_bits(9 * n_src) == 6  # genuinely above the floor
 
-    q = load_all()["dedup_embedding_cosine"]
-    sdf = q.spark(spark, str(d))
+def _query_vs_oracle(spark, sf_dir, qname):
+    from iot_sparkstreaming_spark.queries.registry import load_all
+
+    q = load_all()[qname]
+    sdf = q.spark(spark, sf_dir)
     scols = sorted(sdf.columns)
     srows = sorted(
         tuple(float(r[c]) if isinstance(r[c], float) else r[c] for c in scols)
         for r in sdf.collect()
     )
-
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
     )
     res = con.execute(q.oracle)
-    dcols = sorted(dd[0] for dd in res.description)
-    idx = [
-        [dd[0] for dd in res.description].index(c) for c in dcols
-    ]
+    raw_cols = [dd[0] for dd in res.description]
+    dcols = sorted(raw_cols)
+    idx = [raw_cols.index(c) for c in dcols]
     drows = sorted(tuple(r[i] for i in idx) for r in res.fetchall())
-
     assert scols == dcols
     assert len(srows) == len(drows) > 0
     assert srows == drows
+
+
+def test_full_lsh_query_parity_above_the_floor(spark, big_corpus, monkeypatch, tmp_path):
+    """END-TO-END adaptive-geometry check: the registered
+    dedup_embedding_cosine query AND its DuckDB oracle, hash-compared
+    where lsh_bits selects 6 bits — the regime the sf0.01 driver gate
+    can never reach (its 500-vector corpus floors at 4). If the Spark
+    build and the SQL _geo_sql clamp ever derive different bit counts
+    — or the masked wide bucket diverges from the first-bits
+    construction — this splits."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
+    d, n = big_corpus
+    assert lsh_bits(n) == 6  # genuinely above the floor
+    _query_vs_oracle(spark, d, "dedup_embedding_cosine")
+
+
+def test_full_ivf_query_parity_above_the_floor(spark, big_corpus, monkeypatch, tmp_path):
+    """Same end-to-end discipline for the adaptive IVF stride: the
+    registered ann_ivf_cosine query and its oracle on the corpus
+    where ivf_stride leaves the 30-floor (4,500 vectors -> stride 68,
+    k ~ 66 cells), hash-compared row for row."""
+    from iot_sparkstreaming_spark.queries.similarity import ivf_stride
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
+    d, n = big_corpus
+    assert ivf_stride(n) > 30  # genuinely above the floor
+    _query_vs_oracle(spark, d, "ann_ivf_cosine")
+
+
+def test_ivf_stride_clamp_and_sql_parity():
+    from iot_sparkstreaming_spark.queries.similarity import (
+        IVF_FLOOR_N,
+        _ivf_stride_sql,
+        ivf_stride,
+    )
+
+    # fixture floor: every harness SF keeps the stride-30 geometry
+    for n in (1, 500, 2000, IVF_FLOOR_N - 1):
+        assert ivf_stride(n) == 30
+    # above: stride ~ sqrt(n), so k = n // stride ~ sqrt(n)
+    assert ivf_stride(IVF_FLOOR_N) == 46
+    assert ivf_stride(20_000) == 142
+    assert ivf_stride(200_000) == 448
+    con = duckdb.connect()
+    sql = _ivf_stride_sql("(SELECT UNNEST(RANGE({n})) )")
+    for n in list(range(1, 4300, 13)) + [
+        k * k + d for k in range(45, 1000, 37) for d in (-1, 0, 1)
+    ] + [200_000]:
+        got = con.execute(sql.format(n=n)).fetchone()[0]
+        assert got == ivf_stride(n), n
 
 
 def test_candidate_mass_stays_linear_under_adaptive_bits():

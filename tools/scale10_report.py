@@ -461,9 +461,15 @@ def main() -> None:
         "IVF cells, sign-LSH buckets, and minhash bands partition the",
         "corpus with a fixed fan-out, and the incremental queries screen a",
         "batch against a persisted index. Content-derived buckets (minhash",
-        "bands, grams) stay bounded by true duplicate structure; fixed-k",
-        "space partitions grow cells linearly and are held bounded at real",
-        "scale by the k ~ sqrt(corpus) retrain policy.",
+        "bands, grams) stay bounded by true duplicate structure; since",
+        "round 11 BOTH space-partition parameterizations actually derive",
+        "from the corpus count at build time, oracle-mirrored, instead of",
+        "being a documented policy: sign-LSH bits = clamp(log2 n - 6, 4,",
+        "16) and the deterministic-IVF centroid stride ~ sqrt(n) (floored",
+        "at the fixture geometry; queries/similarity.py lsh_bits /",
+        "ivf_stride). The IVF stride balances assignment (n*k) against",
+        "the within-cluster pair term (n²/k) at n^1.5 each — the best",
+        "single-knob geometry a deterministic centroid subset admits.",
         "",
         "Second measured catch (the 100x decade), FIXED in round 11:",
         "`dedup_embedding_cosine` and `mutual_nn_pairs` consume the",
