@@ -5082,6 +5082,21 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("b")).alias("nb"))
         .filter(F.size("nb") <= LP_MAX_DEG)
         .select("nb")
+        # Loud guard for the packed wedge key below: bigint arithmetic
+        # WRAPS silently, so a node id >= 2^31 would corrupt pair
+        # counts with no signal. nb is sorted, so element_at(-1) is the
+        # per-pivot max; the assert rides the edge-bounded adjacency
+        # rows (never the ~100x-larger wedge stream) and the filter
+        # wrapper keeps Catalyst from pruning the unused column.
+        .filter(
+            F.assert_true(
+                F.element_at(col("nb"), -1) < F.lit(1 << 31),
+                F.lit(
+                    "link_prediction_suppliers: node id >= 2^31 would "
+                    "overflow the packed wedge key"
+                ),
+            ).isNull()
+        )
         .localCheckpoint(eager=True)
     )
     sdeg = (

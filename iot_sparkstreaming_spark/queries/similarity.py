@@ -576,7 +576,7 @@ WHERE rk <= {TOP_K}
 """
 
 
-def _ivf_assigned(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-list assignment: one broadcast + hash-aggregated
     argmax (max of (ccos, -cid) structs == highest cosine, lowest cid
     on ties — identical pick to the oracle's ROW_NUMBER, but a
@@ -587,14 +587,16 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     session-memoized and SHARED by every consumer (`ann_ivf_cosine`,
     `ann_ivf_pq`).
 
-    The centroid set is constructed INSIDE the builder (not passed
-    in): the artifact store fingerprints the builder's CODE, and a
-    closure-captured DataFrame is invisible to that hash — deriving
-    cent here makes the token recurse through _ivf_cent → ivf_stride,
-    so a geometry change can never be answered by a stale index."""
+    EVERY input is constructed INSIDE the builder (no DataFrame
+    parameters): the artifact store fingerprints the builder's CODE,
+    and a closure-captured DataFrame is invisible to that hash —
+    deriving the vectors and centroids here makes the token recurse
+    through _vectors / _ivf_cent → ivf_stride, so a geometry or
+    vector-prep change can never be answered by a stale index."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_assigned() -> DataFrame:
+        e = _vectors(spark, sf_dir)
         cent = _ivf_cent(spark, sf_dir, e)
         return (
             e.crossJoin(F.broadcast(cent))
@@ -648,7 +650,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     cent = _ivf_cent(spark, sf_dir, e)
 
-    assigned = _ivf_assigned(spark, sf_dir, e)
+    assigned = _ivf_assigned(spark, sf_dir)
 
     probes = (
         e.filter(col("vec_id") < N_QUERIES)
@@ -828,17 +830,24 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_recon(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, r) — PQ reconstructions (concatenated nearest
     centroids per subspace). The codes table is the build-once
     compression artifact; materialized + session-memoized and SHARED
-    by every consumer (`ann_pq_adc`, `ann_ivf_pq`)."""
+    by every consumer (`ann_pq_adc`, `ann_ivf_pq`).
+
+    EVERY input is constructed INSIDE the builder (same fingerprint
+    discipline as :func:`_ivf_assigned`): the store hashes builder
+    CODE, and a closure-captured DataFrame is invisible to that hash —
+    deriving the vectors and codebook here makes the token recurse
+    through _vectors / _pq_codebook, so a vector-prep or codebook
+    change can never be answered by stale reconstructions."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
-    cb = _pq_codebook(e)
-    jseq = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
-
     def build_recon() -> DataFrame:
+        e = _vectors(spark, sf_dir)
+        cb = _pq_codebook(e)
+        jseq = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
         sub = e.select("vec_id", "v", jseq).select(
             "vec_id",
             "j",
@@ -904,7 +913,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_ops.py; this oracle proves the compressed
     plan computes exactly what it claims."""
     e = _vectors(spark, sf_dir)
-    recon = _pq_recon(spark, sf_dir, e)
+    recon = _pq_recon(spark, sf_dir)
 
     q = e.filter(col("vec_id") < N_QUERIES).select(
         col("vec_id").alias("query_id"), col("v").alias("qv")
@@ -1026,8 +1035,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _vectors(spark, sf_dir)
     cent = _ivf_cent(spark, sf_dir, e)
-    assigned = _ivf_assigned(spark, sf_dir, e).select("vec_id", "label", "cid")
-    recon = _pq_recon(spark, sf_dir, e)
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "label", "cid")
+    recon = _pq_recon(spark, sf_dir)
 
     probes = (
         e.filter(col("vec_id") < N_QUERIES)

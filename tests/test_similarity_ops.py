@@ -174,7 +174,7 @@ def test_pq_seed_vectors_reconstruct_exactly(spark):
     )
 
     e = _vectors(spark, SF_DIR_ORACLE)
-    recon = _pq_recon(spark, SF_DIR_ORACLE, e)
+    recon = _pq_recon(spark, SF_DIR_ORACLE)
     seeds = (
         e.filter(
             (col("vec_id") >= PQ_SEED_BASE) & (col("vec_id") < PQ_SEED_BASE + PQ_K)

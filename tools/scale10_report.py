@@ -245,6 +245,13 @@ def main() -> None:
         build_fixture(spark, copies)
 
     dirs = [BASE] + [scale_dir(c) for c in SCALES]
+    dir_scale = dict(zip(dirs, [1] + SCALES))
+    # cheap warm-up fixture for the streaming metrics below; fall back
+    # to the 1x base dir on a machine without the harness testdata so
+    # the report degrades to a slower warm-up instead of crashing
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = dirs[0]
 
     def query_dirs(name: str) -> list[str]:
         if name in SKIP_100X:
@@ -276,11 +283,15 @@ def main() -> None:
         out = []
         for name in names:
             best = timed[name]
-            # max per-decade exponent of t ∝ data^alpha over measured points
-            pts = [t for t in best if t is not None]
+            # max exponent of t ∝ data^alpha over measured points,
+            # normalized by the TRUE scale ratio of each consecutive
+            # pair (a skipped middle point spans two decades, not one)
+            pts = [
+                (dir_scale[d], t) for d, t in zip(dirs, best) if t is not None
+            ]
             alpha = max(
-                math.log10(max(pts[i + 1], 1e-4) / max(pts[i], 1e-4))
-                for i in range(len(pts) - 1)
+                math.log10(max(t2, 1e-4) / max(t1, 1e-4)) / math.log10(c2 / c1)
+                for (c1, t1), (c2, t2) in zip(pts, pts[1:])
             )
             out.append((name, best, alpha))
             shown = " ".join("      —" if t is None else f"{t:7.2f}s" for t in best)
@@ -315,7 +326,7 @@ def main() -> None:
             )
             q.awaitTermination()
 
-        run_once("/root/testdata/sf0.001")  # one-time planner/codegen warm-up
+        run_once(warm_dir)  # one-time planner/codegen warm-up
         out = []
         for d in dirs:
             n = load_table(spark, d, "events").count()
@@ -370,7 +381,7 @@ def main() -> None:
             finally:
                 shutil.rmtree(tmpd, ignore_errors=True)
 
-        run_once("/root/testdata/sf0.001")  # Python-worker + plan warm-up
+        run_once(warm_dir)  # Python-worker + plan warm-up
         out = []
         for d in dirs:
             n = load_table(spark, d, "events").count()
