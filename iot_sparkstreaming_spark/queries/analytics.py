@@ -5061,97 +5061,35 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a tunable budget — cf. the degree-ordered orientation in
     `triangle_count_parts`.
 
-    Measured 100x profile (docs/SCALING.md; was the one heavy query
-    at alpha 1.04 / 52.0 s in r10, now 44.8-50.8 s across runs,
-    alpha 0.99-1.08 — right at linear, inside run variance): the
-    irreducible term is the wedge rollup itself — Σ min(deg,cap)² = 673M wedge
-    rows (exactly 100x the 1x wedge mass, so the cap holds under
-    scale-up) hash-aggregating to 49.95M DISTINCT supplier pairs
-    (C(suppliers-per-shard, 2) x shards — the OUTPUT is ~50M rows, so
-    sub-linear time is not available to any exact algorithm here);
-    generation and the adjacency build are <20% of the total. The
-    packed single-bigint pair key took the measured 20% off that
-    exchange; the remainder is linear shuffle/agg throughput.
+    Measured 100x profile (the round-12 stage decomposition —
+    tools/linkpred_profile.py, table in docs/SCALING.md): the
+    irreducible term is the wedge rollup itself — Σ min(deg,cap)² =
+    673M wedge rows (exactly 100x the 1x wedge mass, so the cap holds
+    under scale-up) hash-aggregating to 49.95M DISTINCT supplier
+    pairs (C(suppliers-per-shard, 2) x shards — the OUTPUT is ~50M
+    rows, so sub-linear time is not available to any exact algorithm
+    here); adjacency build and degree joins are the small remainder.
+    The packed single-bigint pair key took the measured 20% off that
+    exchange. The same operator on a power-law bipartite graph (where
+    the cap actually bites) is measured separately by the profile
+    tool — the fixture's near-complete shard graph maximizes distinct
+    output pairs per wedge, which is what keeps the fixture cell at
+    the linear edge.
+
+    The enumeration body is the shared operators/graph.py trio
+    (wedge_adjacency → wedge_pair_counts → wedge_link_prediction), so
+    the profile tool times the IDENTICAL stages this query runs.
     """
+    from iot_sparkstreaming_spark.operators.graph import (
+        wedge_adjacency,
+        wedge_link_prediction,
+    )
+
     pairs = _trade_pairs(spark, sf_dir)
     # adjacency feeds TWO consumers (supplier degrees and wedge
     # pairs), so materialize the collect_list exchange once; it is
     # edge-bounded (arrays of <= cap suppliers per surviving pivot).
-    adj = (
-        pairs.groupBy("a")
-        .agg(F.sort_array(F.collect_list("b")).alias("nb"))
-        .filter(F.size("nb") <= LP_MAX_DEG)
-        .select("nb")
-        # Loud guard for the packed wedge key below: bigint arithmetic
-        # WRAPS silently, so a node id >= 2^31 would corrupt pair
-        # counts with no signal. nb is sorted, so element_at(-1) is the
-        # per-pivot max; the assert rides the edge-bounded adjacency
-        # rows (never the ~100x-larger wedge stream) and the filter
-        # wrapper keeps Catalyst from pruning the unused column.
-        .filter(
-            F.assert_true(
-                F.element_at(col("nb"), -1) < F.lit(1 << 31),
-                F.lit(
-                    "link_prediction_suppliers: node id >= 2^31 would "
-                    "overflow the packed wedge key"
-                ),
-            ).isNull()
-        )
-        .localCheckpoint(eager=True)
-    )
-    sdeg = (
-        adj.select(F.explode("nb").alias("s"))
-        .groupBy("s")
-        .agg(F.count("*").cast("bigint").alias("d"))
-    )
-    # ordered pairs (nb[i], nb[j]) for i < j via TWO Generate steps
-    # (posexplode, then explode of the tail slice): nb is sorted and
-    # duplicate-free (the edge set is distinct), so s1 < s2 holds by
-    # construction. Pairs stream out of the generators straight into
-    # the partial agg — no struct-array materialization per pivot
-    # (a flatten-of-nested-transform variant measured ~70% slower:
-    # it allocates the full pair array per row before exploding).
-    # The pair aggregates on ONE packed bigint key (s1 << 32 | s2 —
-    # lossless: trade-graph node ids are 2*key+1, far below 2^31 at
-    # any SF the key domain reaches) and unpacks after: the wedge agg
-    # is the measured 100x bottleneck (~673M rows collapsing to ~50M
-    # distinct pairs), and halving the hash/shuffle key width measured
-    # 20% off that exchange at 100x with identical output.
-    packed = (col("s1") * F.lit(1 << 32) + col("s2")).alias("k")
-    wedges = (
-        adj.select(F.posexplode("nb").alias("i", "s1"), "nb")
-        .select(
-            "s1",
-            F.explode(
-                F.slice(col("nb"), col("i") + F.lit(2), F.size("nb"))
-            ).alias("s2"),
-        )
-        .select(packed)
-        .groupBy("k")
-        .agg(F.count("*").cast("bigint").alias("common"))
-        .select(
-            F.shiftright(col("k"), 32).alias("s1"),
-            (col("k") % F.lit(1 << 32)).alias("s2"),
-            "common",
-        )
-    )
-    d1 = sdeg.select(col("s").alias("s1"), col("d").alias("deg1"))
-    d2 = sdeg.select(col("s").alias("s2"), col("d").alias("deg2"))
-    return (
-        wedges.join(d1, "s1")
-        .join(d2, "s2")
-        .select(
-            "s1",
-            "s2",
-            "common",
-            "deg1",
-            "deg2",
-            (
-                col("common").cast("double")
-                / (col("deg1") + col("deg2") - col("common")).cast("double")
-            ).alias("jaccard"),
-        )
-    )
+    return wedge_link_prediction(wedge_adjacency(pairs, LP_MAX_DEG))
 
 
 link_prediction_suppliers.__doc__ = link_prediction_suppliers.__doc__.replace(

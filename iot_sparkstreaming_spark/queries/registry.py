@@ -127,19 +127,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   entries — the code-changed arm outranks the fill per (a)(b)(c),
 #   so those 2 stragglers (plus the r6 cohort) lead round 12.
 #
+# * round 12 applies the policy again: 8 reference pinned, the 5
+#   round-12 code-changed queries (the operators/graph.py wedge
+#   extraction; the _ivf_assigned/_pq_recon fingerprint-hygiene
+#   family); the 37-slot fill takes the 2 round-5 stragglers the r11
+#   code-changed arm displaced plus 35 of the 39-query round-6
+#   cohort — leaving 4 r6 queries to lead round 13.
+#
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # ROUND 11 window (standing policy, arms in the policy's own
-    # priority order): 8 reference pinned + the 12 round-11
-    # code-changed queries + 30 oldest-first. Round 11 changed more
-    # code than task 4 anticipated ("at minimum the task-1 and task-2
-    # rewrites"): the adaptive IVF stride landed too, so the
-    # code-changed arm takes 12 slots and the oldest-first remainder
-    # covers 30 of the 32-query r5 cohort. The 2 r5 stragglers
-    # (dedup_edit_distance, rolling_median_value — both locally green
-    # in tests/test_oracle_parity.py every round) lead round 12's
-    # fill by the same oldest-first rule.
+    # ROUND 12 window (standing policy, arms in the policy's own
+    # priority order): 8 reference pinned + the 5 round-12
+    # code-changed queries + 37 oldest-first (the 2 round-5
+    # stragglers the r11 code-changed arm displaced, then 35 of the
+    # 39-query round-6 cohort in its original landing order). The 4
+    # r6 remainders (mad_outlier_per_user, decile_lift_orders,
+    # seasonal_hour_of_week, crossfold_assign_docs — all locally
+    # green in tests/test_oracle_parity.py every round) lead round
+    # 13's fill by the same oldest-first rule.
     #
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
@@ -150,61 +156,59 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- code changed in round 11: re-externalize (standing policy).
-    #    The first four ride the scale-adaptive sign-LSH banding
-    #    (lsh_bits / extended PLANES table / _geo_sql oracles);
-    #    rp_project_embeddings' body is unchanged but reads the
-    #    extended PLANES global, so it re-externalizes out of caution.
-    #    link_prediction_suppliers: adjacency-list wedge enumeration.
-    #    The last three sit on operators/prefix.py, whose NULL
-    #    semantics + size gate were rewritten this round.
-    "ann_lsh_cosine",
-    "dedup_embedding_cosine",
-    "mutual_nn_pairs",
-    "rp_project_embeddings",
+    # -- code changed in round 12: re-externalize (standing policy).
+    #    link_prediction_suppliers: wedge enumeration extracted into
+    #    the shared operators/graph.py trio + the packed-key overflow
+    #    guard (same plan, new code path). The other four ride the
+    #    artifact-fingerprint hygiene fix (_ivf_assigned/_pq_recon now
+    #    derive every input inside the builder): ann_ivf_cosine and
+    #    ann_pq_adc consume those builders directly, ann_ivf_pq
+    #    consumes both, rrf_fuse_rankers composes ann_ivf_cosine.
     "link_prediction_suppliers",
-    "weighted_median_value_type",
-    "cusum_changepoint_events",
-    "value_equidepth_bins_events",
-    #    ... and the adaptive-IVF-stride family (ivf_stride ~ sqrt(n),
-    #    oracle-mirrored — ann_ivf_cosine/ann_ivf_pq/semdedup build
-    #    cent from the derived stride; rrf composes the IVF oracle)
     "ann_ivf_cosine",
     "ann_ivf_pq",
-    "semdedup_cluster_prune",
+    "ann_pq_adc",
     "rrf_fuse_rankers",
-    # -- oldest-first fill (30): the round-5 cohort minus its 2
-    #    newest entries (see the straggler note above)
-    "band_join_error_near_signup",
-    "scd2_user_dimension",
-    "rollup_minute_to_hour",
-    "window_topk_salted",
-    "stats_correlation",
-    "gapfill_hourly_series",
-    "ngram_topk_corpus",
-    "priority_sample_per_source",
-    "oov_rate_per_doc",
-    "quality_gate_composite",
-    "embedding_centroid_per_label",
-    "winnowing_overlap_pairs",
-    "retention_cohorts",
-    "setops_user_cohorts",
-    "asof_click_to_purchase",
-    "range_join_views_before_error",
-    "tumbling_window_hourly",
-    "sliding_avg_1h",
-    "window_rank_family",
-    "setops_multiset_intersect",
-    "setops_multiset_except",
-    "q12_shipping_modes",
-    "triangle_count_parts",
-    "anomaly_zscore_events",
-    "ewma_user_value",
-    "bigram_lift_topk",
-    "zorder_locality_events",
-    "approx_quantile_bounds",
-    "variant_events_typed",
-    "expectations_audit_events",
+    # -- oldest-first fill (37): the 2 round-5 stragglers first
+    #    (their latest external row is r5 — the oldest anywhere),
+    #    then the round-6 cohort in its r6-window landing order
+    "dedup_edit_distance",
+    "rolling_median_value",
+    "acf_user_value",
+    "value_histogram_events",
+    "kcore_trade_graph",
+    "event_transition_matrix",
+    "rolling_trend_slope",
+    "interval_coverage_user",
+    "chi2_contingency_cells",
+    "pareto_frontier_parts",
+    "shuffle_skew_report",
+    "scd2_point_in_time_join",
+    "ab_test_conversion",
+    "survival_signup_to_purchase",
+    "graph_assortativity_trade",
+    "value_drift_report",
+    "bm25_topk_docs",
+    "lm_bigram_likelihood",
+    "dup_token_spans",
+    "dedup_span_scrub",
+    "basket_pair_rules",
+    "weighted_sample_per_source",
+    "ordered_funnel_users",
+    "embedding_gram_matrix",
+    "kmeans_lloyd_embeddings",
+    "ann_ivf_kmeans",
+    "kmeans_cluster_quality",
+    "snapshot_diff_orders",
+    "fk_integrity_audit",
+    "profile_orders_columns",
+    "image_png_features",
+    "video_y4m_frames",
+    "vocab_coverage_curve",
+    "dedup_incremental_minhash",
+    "bloom_prune_semijoin",
+    "tfidf_cosine_pairs",
+    "salted_skew_join_events",
 ]
 
 _MODULE_ORDER = [

@@ -438,12 +438,16 @@ def main() -> None:
         "",
         "Third catch (config, not plan): with only the static 32 shuffle",
         "partitions, `link_prediction_suppliers`' wedge groupBy hit ~23M",
-        "rows/partition at 100x and went spill-bound (73.3 s, alpha 1.26 —",
-        "the only heavy query past the flag). Fix in session.py:",
-        "`coalescePartitions.initialPartitionNum = 8x cores`, so shuffles",
-        "START wide and AQE coalesces them by measured size — 52.0 s,",
-        "alpha 1.04, with the small-SF bench unchanged (AQE coalesces the",
-        "same plans straight back down).",
+        "rows/partition at 100x and went spill-bound (73.3 s, alpha",
+        "1.26). Fixed in session.py (shuffles START wide; AQE coalesces",
+        "them by measured size, small-SF plans unchanged), then rewritten",
+        "in round 11 onto adjacency-list wedge enumeration (now the",
+        "shared operators/graph.py wedge_* trio) — current cells are in",
+        "the table below, and the round-12 stage-level decomposition plus",
+        "its power-law companion measurement (the linkpred-profile",
+        "section above) pin the residual at-linear exponent on the",
+        "fixture's near-complete shard graph, whose distinct OUTPUT pairs",
+        "grow with the wedge mass itself — not on the plan.",
         "",
         "Fourth catch (plan shape): `cusum_changepoint_events` windowed over",
         "`event_type` — 5 distinct keys, so parallelism was capped at 5 no",
