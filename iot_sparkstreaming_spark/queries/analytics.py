@@ -5498,8 +5498,16 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def build_hist() -> DataFrame:
+        # events scan + watermark derive INSIDE the builder
+        # (fingerprint discipline: closure-captured frames are
+        # invisible to the store's code hash; rollup is a captured
+        # FUNCTION, which the token does recurse into)
+        hev = load_table(spark, sf_dir, "events")
+        hmaxd = hev.agg(F.max(F.to_date(col("ts"))).alias("maxd"))
         return rollup(
-            ev.crossJoin(F.broadcast(maxd)).filter(F.to_date(col("ts")) < col("maxd"))
+            hev.crossJoin(F.broadcast(hmaxd)).filter(
+                F.to_date(col("ts")) < col("maxd")
+            )
         )
 
     hist = artifact_memo(spark, ("hourly_rollup_hist", sf_dir), build_hist)

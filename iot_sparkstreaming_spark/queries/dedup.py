@@ -287,12 +287,17 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two selects on purpose: the md5 base-hash pass must not be
     inlined k-fold into the signature (see shingle_hashes
-    docstring)."""
+    docstring).
+
+    Inputs derive INSIDE the builder (fingerprint discipline, round
+    12): the store hashes builder code, and a closure-captured
+    DataFrame is invisible to it — deriving sh here recurses the
+    token through _shingled, so a shingling change can never be
+    answered by stale signatures."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
-    sh = _shingled(spark, sf_dir)
-
     def build_sigs() -> DataFrame:
+        sh = _shingled(spark, sf_dir)
         hashed = sh.select("doc_id", shingle_hashes(col("sh")).alias("hs"))
         return hashed.select(
             "doc_id", minhash_from_hashes(col("hs"), MINHASH_K).alias("sig")
@@ -399,14 +404,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole), so the banded join has FULL recall versus the
     oracle's brute-force all-pairs scan — which is exactly what this
     oracle proves. Band join shuffles 4 byte-sized keys per doc."""
-    docs = load_table(spark, sf_dir, "documents")
     # two selects on purpose: one md5 pass per doc, then 32 cheap
     # bit-terms over the hashed array (see token_hashes docstring).
     # Materialized: the 8-byte-per-doc simhashes feed both band-join
-    # branches; without it the md5+bit-term pass runs twice.
+    # branches; without it the md5+bit-term pass runs twice. The doc
+    # scan derives INSIDE the builder (fingerprint discipline: a
+    # closure-captured frame is invisible to the store's code hash).
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build_sims() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
         hashed = docs.select(
             "doc_id", token_hashes(tokens(col("text"))).alias("th")
         )
@@ -1279,8 +1286,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = col("doc_id") % INCR_BATCH_MOD == 0
 
     def build_index() -> DataFrame:
-        # the persisted historical index: corpus-side band rows
-        return bands_of(sigs.filter(~is_batch))
+        # the persisted historical index: corpus-side band rows.
+        # Signatures and the batch split derive INSIDE the builder
+        # (fingerprint discipline: closure-captured frames/Columns are
+        # invisible to the store's code hash; deriving here recurses
+        # the token through _minhash_sigs and pins INCR_BATCH_MOD).
+        hist_sigs = _minhash_sigs(spark, sf_dir).filter(
+            ~(col("doc_id") % INCR_BATCH_MOD == 0)
+        )
+        return bands_of(hist_sigs)
 
     hist = artifact_memo(spark, ("minhash_hist_index", sf_dir), build_index)
     new_bands = bands_of(sigs.filter(is_batch))

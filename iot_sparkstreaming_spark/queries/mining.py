@@ -1831,8 +1831,15 @@ def doc_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
 
     def build_index() -> DataFrame:
+        # the doc scan and batch split derive INSIDE the builder
+        # (fingerprint discipline: closure-captured frames/Columns are
+        # invisible to the store's code hash; deriving here pins
+        # NOVELTY_BATCH_MOD and the load path into the token)
+        hist = load_table(spark, sf_dir, "documents").filter(
+            ~(col("doc_id") % NOVELTY_BATCH_MOD == 0)
+        )
         return (
-            grams_of(docs.filter(~is_batch))
+            grams_of(hist)
             .groupBy("gram")
             .agg(F.min("doc_id").alias("first_doc"))
         )

@@ -127,12 +127,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   entries — the code-changed arm outranks the fill per (a)(b)(c),
 #   so those 2 stragglers (plus the r6 cohort) lead round 12.
 #
-# * round 12 applies the policy again: 8 reference pinned, the 5
+# * round 12 applies the policy again: 8 reference pinned, the 11
 #   round-12 code-changed queries (the operators/graph.py wedge
-#   extraction; the _ivf_assigned/_pq_recon fingerprint-hygiene
-#   family); the 37-slot fill takes the 2 round-5 stragglers the r11
-#   code-changed arm displaced plus 35 of the 39-query round-6
-#   cohort — leaving 4 r6 queries to lead round 13.
+#   extraction; the builder-fingerprint hygiene sweep — every
+#   artifact builder that closure-captured a DataFrame/Column now
+#   derives its inputs inside, touching the IVF/PQ family plus the
+#   minhash-signature, simhash, novelty-index, and rollup-history
+#   builders); the 31-slot fill takes the 2 round-5 stragglers the
+#   r11 code-changed arm displaced plus 29 of the 39-query round-6
+#   cohort — leaving 10 r6 queries to lead round 13.
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
@@ -159,19 +162,31 @@ _PRIORITY_PREFIX = [
     # -- code changed in round 12: re-externalize (standing policy).
     #    link_prediction_suppliers: wedge enumeration extracted into
     #    the shared operators/graph.py trio + the packed-key overflow
-    #    guard (same plan, new code path). The other four ride the
-    #    artifact-fingerprint hygiene fix (_ivf_assigned/_pq_recon now
-    #    derive every input inside the builder): ann_ivf_cosine and
-    #    ann_pq_adc consume those builders directly, ann_ivf_pq
-    #    consumes both, rrf_fuse_rankers composes ann_ivf_cosine.
+    #    guard (same plan, new code path). The rest ride the
+    #    builder-fingerprint hygiene sweep (every artifact builder
+    #    that closure-captured a DataFrame/Column now derives its
+    #    inputs inside): ann_ivf_cosine/ann_pq_adc consume the fixed
+    #    _ivf_assigned/_pq_recon directly, ann_ivf_pq consumes both,
+    #    rrf_fuse_rankers composes ann_ivf_cosine; the minhash family
+    #    sits on the fixed _minhash_sigs/_index builders, and
+    #    dedup_simhash / doc_novelty_incremental /
+    #    rollup_incremental_merge own the other fixed builders.
     "link_prediction_suppliers",
     "ann_ivf_cosine",
     "ann_ivf_pq",
     "ann_pq_adc",
     "rrf_fuse_rankers",
-    # -- oldest-first fill (37): the 2 round-5 stragglers first
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "minhash_error_report",
+    "dedup_simhash",
+    "doc_novelty_incremental",
+    "rollup_incremental_merge",
+    # -- oldest-first fill (31): the 2 round-5 stragglers first
     #    (their latest external row is r5 — the oldest anywhere),
     #    then the round-6 cohort in its r6-window landing order
+    #    (dedup_incremental_minhash left this arm for the
+    #    code-changed arm above)
     "dedup_edit_distance",
     "rolling_median_value",
     "acf_user_value",
@@ -203,12 +218,6 @@ _PRIORITY_PREFIX = [
     "fk_integrity_audit",
     "profile_orders_columns",
     "image_png_features",
-    "video_y4m_frames",
-    "vocab_coverage_curve",
-    "dedup_incremental_minhash",
-    "bloom_prune_semijoin",
-    "tfidf_cosine_pairs",
-    "salted_skew_join_events",
 ]
 
 _MODULE_ORDER = [
