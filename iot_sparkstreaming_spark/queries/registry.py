@@ -135,20 +135,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   minhash-signature, simhash, novelty-index, and rollup-history
 #   builders); the 31-slot fill takes the 2 round-5 stragglers the
 #   r11 code-changed arm displaced plus 29 of the 39-query round-6
-#   cohort — leaving 10 r6 queries to lead round 13.
+#   cohort (a 30th, dedup_incremental_minhash, re-externalizes via
+#   the code-changed arm) — leaving 9 r6 queries to lead round 13,
+#   each pre-verified with the driver-identical comparator before
+#   the round closed (PREVERIFY_r12.txt, r8 precedent: nothing
+#   ships with zero fresh hash evidence).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
     # ROUND 12 window (standing policy, arms in the policy's own
-    # priority order): 8 reference pinned + the 5 round-12
-    # code-changed queries + 37 oldest-first (the 2 round-5
-    # stragglers the r11 code-changed arm displaced, then 35 of the
-    # 39-query round-6 cohort in its original landing order). The 4
-    # r6 remainders (mad_outlier_per_user, decile_lift_orders,
-    # seasonal_hour_of_week, crossfold_assign_docs — all locally
-    # green in tests/test_oracle_parity.py every round) lead round
-    # 13's fill by the same oldest-first rule.
+    # priority order): 8 reference pinned + the 11 round-12
+    # code-changed queries + 31 oldest-first (the 2 round-5
+    # stragglers the r11 code-changed arm displaced, then 29 of the
+    # 39-query round-6 cohort in its original landing order). The 9
+    # r6 remainders — all locally green in
+    # tests/test_oracle_parity.py every round AND pre-verified with
+    # the driver-identical comparator in PREVERIFY_r12.txt — lead
+    # round 13's fill by the same oldest-first rule.
     #
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
