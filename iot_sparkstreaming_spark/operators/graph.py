@@ -235,29 +235,35 @@ def wedge_adjacency(pairs: DataFrame, cap: int, src: str = "a", dst: str = "b") 
     side of the enumeration off the heavy tail.
 
     One groupBy(src) collects the arrays (the edge list crosses the
-    wire exactly once), the cap filter is a size() test on the array
-    (no degree-table join), and the result is eagerly checkpointed:
-    both consumers (neighbor degrees and wedge pairs) read the bounded
-    arrays instead of re-shuffling edges. Rows are edge-bounded, so
-    the checkpoint is ~|edges| x 8 bytes.
+    wire exactly once; collect_set dedupes, so a caller may pass a
+    raw non-distinct edge list — multiplicities neither inflate the
+    cap test nor double-count wedges), the cap filter is a size()
+    test on the DISTINCT-neighbor array (no degree-table join), and
+    the result is eagerly checkpointed: both consumers (neighbor
+    degrees and wedge pairs) read the bounded arrays instead of
+    re-shuffling edges. Rows are edge-bounded, so the checkpoint is
+    ~|edges| x 8 bytes.
 
     The guard makes the packed-key trick in :func:`wedge_pair_counts`
-    loud: bigint arithmetic WRAPS silently, so a node id >= 2^31 would
-    corrupt pair counts with no signal. nb is sorted, so
-    element_at(-1) is the per-pivot max; the assert rides the
-    edge-bounded adjacency rows (never the ~wedge-mass-sized pair
-    stream) and the filter wrapper keeps Catalyst from pruning it."""
+    loud: bigint arithmetic WRAPS silently, so a node id >= 2^31 — or
+    a NEGATIVE id, whose packed term cancels into a colliding key —
+    would corrupt pair counts with no signal. nb is sorted, so
+    element_at(1)/element_at(-1) are the per-pivot min/max; the
+    assert rides the edge-bounded adjacency rows (never the
+    ~wedge-mass-sized pair stream) and the filter wrapper keeps
+    Catalyst from pruning it."""
     return (
         pairs.groupBy(col(src).alias("a"))
-        .agg(F.sort_array(F.collect_list(col(dst))).alias("nb"))
+        .agg(F.sort_array(F.collect_set(col(dst))).alias("nb"))
         .filter(F.size("nb") <= cap)
         .select("nb")
         .filter(
             F.assert_true(
-                F.element_at(col("nb"), -1) < F.lit(1 << 31),
+                (F.element_at(col("nb"), -1) < F.lit(1 << 31))
+                & (F.element_at(col("nb"), 1) >= 0),
                 F.lit(
-                    "wedge enumeration: node id >= 2^31 would overflow "
-                    "the packed wedge key"
+                    "wedge enumeration: node id outside [0, 2^31) would "
+                    "overflow the packed wedge key"
                 ),
             ).isNull()
         )

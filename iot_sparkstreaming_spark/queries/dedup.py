@@ -94,6 +94,41 @@ JACCARD_THRESHOLD = 0.5
 #: semantics — while the PLAN is bounded on hot keys at any scale.
 STOP_SHINGLE_MAX_DF = 50
 
+def pre_cutoff_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ``(doc_id, s_h)`` posting rows for EVERY shingle —
+    the inverted index BEFORE the stop-shingle cutoff. Shared by the
+    :func:`_posting_list` builder and tools/ngram_postings.py's
+    document-frequency audit, so the audit measures the exact
+    production construction by CONSTRUCTION (an edit here moves both
+    the artifact fingerprint and the audit together, instead of the
+    tool silently auditing stale expressions). See
+    :func:`_posting_list` for the full construction rationale."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tk.select(
+        "doc_id",
+        F.concat_ws(
+            " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("s"),
+        F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
+    )
+    return (
+        tri.filter(col("full_width"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(col("s")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("s_h"),
+        )
+        .distinct()
+    )
+
+
 def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stop-shingle-filtered inverted-index posting list
     ``(doc_id, s_h, n_sh)`` — the shared substrate of
@@ -129,27 +164,8 @@ def _posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        tk = docs.select(
-            "doc_id", F.posexplode(tokens(col("text"))).alias("pos", "tok")
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        tri = tk.select(
-            "doc_id",
-            F.concat_ws(
-                " ", col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("s"),
-            F.lead("tok", 2).over(w).isNotNull().alias("full_width"),
-        )
         return (
-            tri.filter(col("full_width"))
-            .select(
-                "doc_id",
-                F.conv(F.substring(F.md5(col("s")), 1, 15), 16, 10)
-                .cast("bigint")
-                .alias("s_h"),
-            )
-            .distinct()
+            pre_cutoff_postings(spark, sf_dir)
             .withColumn("__df", F.count("*").over(Window.partitionBy("s_h")))
             .filter(col("__df") <= STOP_SHINGLE_MAX_DF)
             .drop("__df")

@@ -127,28 +127,30 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   entries — the code-changed arm outranks the fill per (a)(b)(c),
 #   so those 2 stragglers (plus the r6 cohort) lead round 12.
 #
-# * round 12 applies the policy again: 8 reference pinned, the 11
+# * round 12 applies the policy again: 8 reference pinned, the 13
 #   round-12 code-changed queries (the operators/graph.py wedge
 #   extraction; the builder-fingerprint hygiene sweep — every
 #   artifact builder that closure-captured a DataFrame/Column now
 #   derives its inputs inside, touching the IVF/PQ family plus the
 #   minhash-signature, simhash, novelty-index, and rollup-history
-#   builders); the 31-slot fill takes the 2 round-5 stragglers the
-#   r11 code-changed arm displaced plus 29 of the 39-query round-6
-#   cohort (a 30th, dedup_incremental_minhash, re-externalizes via
-#   the code-changed arm) — leaving 9 r6 queries to lead round 13,
-#   each pre-verified with the driver-identical comparator before
-#   the round closed (PREVERIFY_r12.txt, r8 precedent: nothing
-#   ships with zero fresh hash evidence).
+#   builders; and the shared pre-cutoff posting extraction behind
+#   the ngram audit); the 29-slot fill takes the 2 round-5
+#   stragglers the r11 code-changed arm displaced plus 27 of the
+#   39-query round-6 cohort (a 28th, dedup_incremental_minhash,
+#   re-externalizes via the code-changed arm) — leaving 11 r6
+#   queries to lead round 13, each pre-verified with the
+#   driver-identical comparator before the round closed
+#   (PREVERIFY_r12.txt, r8 precedent: nothing ships with zero fresh
+#   hash evidence).
 #
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
     # ROUND 12 window (standing policy, arms in the policy's own
-    # priority order): 8 reference pinned + the 11 round-12
-    # code-changed queries + 31 oldest-first (the 2 round-5
-    # stragglers the r11 code-changed arm displaced, then 29 of the
-    # 39-query round-6 cohort in its original landing order). The 9
+    # priority order): 8 reference pinned + the 13 round-12
+    # code-changed queries + 29 oldest-first (the 2 round-5
+    # stragglers the r11 code-changed arm displaced, then 27 of the
+    # 39-query round-6 cohort in its original landing order). The 11
     # r6 remainders — all locally green in
     # tests/test_oracle_parity.py every round AND pre-verified with
     # the driver-identical comparator in PREVERIFY_r12.txt — lead
@@ -186,7 +188,12 @@ _PRIORITY_PREFIX = [
     "dedup_simhash",
     "doc_novelty_incremental",
     "rollup_incremental_merge",
-    # -- oldest-first fill (31): the 2 round-5 stragglers first
+    #    ... and the two consumers of the shared posting list, whose
+    #    pre-cutoff construction was extracted (pre_cutoff_postings)
+    #    so the ngram-postings audit measures it by construction
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    # -- oldest-first fill (29): the 2 round-5 stragglers first
     #    (their latest external row is r5 — the oldest anywhere),
     #    then the round-6 cohort in its r6-window landing order
     #    (dedup_incremental_minhash left this arm for the
@@ -220,8 +227,6 @@ _PRIORITY_PREFIX = [
     "kmeans_cluster_quality",
     "snapshot_diff_orders",
     "fk_integrity_audit",
-    "profile_orders_columns",
-    "image_png_features",
 ]
 
 _MODULE_ORDER = [

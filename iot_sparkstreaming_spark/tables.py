@@ -81,6 +81,15 @@ def session_memo(spark: SparkSession, key: tuple, builder):
     return cache[key]
 
 
+def clear_session_memo(spark: SparkSession) -> None:
+    """Drop every session-memoized frame so the next access rebuilds.
+    Owns the memo's storage attribute (measurement tools that need a
+    forced rebuild — artifact_costs best-of-N trials — call this
+    instead of reaching into the private dict, which a rename would
+    silently turn into a no-op)."""
+    spark.__dict__.setdefault("_graft_memo", {}).clear()
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Branch on the OBSERVED dtype of ``events.ts`` and normalize to a
     session-TZ ``timestamp``. Pure ``DataFrame → DataFrame`` so the same

@@ -43,10 +43,12 @@ def test_wedge_pair_counts_match_bruteforce(spark):
     )
 
     # 3 pivots sharing overlapping neighbor sets + one hub pivot that
-    # must be dropped by cap=3
+    # must be dropped by cap=3; duplicate edges exercise the
+    # collect_set dedup (multiplicities must not inflate the cap test
+    # or double-count wedges)
     edges = [
         (1, 10), (1, 20), (1, 30),
-        (2, 20), (2, 30),
+        (2, 20), (2, 30), (2, 20), (2, 20),  # dupes: still degree 2
         (3, 10), (3, 30),
         (9, 10), (9, 20), (9, 30), (9, 40),  # degree 4 > cap
     ]
@@ -121,7 +123,13 @@ def test_overflow_guard_fails_loudly(spark):
     with pytest.raises(Exception, match="overflow the packed wedge key"):
         wedge_adjacency(_pairs_df(spark, edges), cap=10)
 
-    # one below the limit is fine
-    ok = wedge_adjacency(_pairs_df(spark, [(1, 10), (1, (1 << 31) - 1)]), cap=10)
+    # negative ids would cancel into colliding packed keys — also loud
+    with pytest.raises(Exception, match="overflow the packed wedge key"):
+        wedge_adjacency(_pairs_df(spark, [(1, -5), (1, 10)]), cap=10)
+
+    # the full valid range is fine
+    ok = wedge_adjacency(
+        _pairs_df(spark, [(1, 0), (1, 10), (1, (1 << 31) - 1)]), cap=10
+    )
     assert ok.count() == 1
     ok.unpersist()
