@@ -257,9 +257,14 @@ MAX_LINE_BYTES = 1750
 #: timed trials per streaming metric. One ~1.3 s availableNow pass
 #: swings ±25% between rounds from JVM/GC noise alone (BENCH_r07 vs
 #: r08 noop: 101,667 → 76,220 rows/s with zero code change on that
-#: path); the headline is the MEDIAN of three and the full trial list
-#: is recorded so a real regression is tellable from a noisy draw.
-STREAM_TRIALS = 3
+#: path); the headline is the MEDIAN of the trials and the full trial
+#: list is recorded so a real regression is tellable from a noisy
+#: draw. Raised 3 → 5 in round 13: the noop series slid 250 k → 170 k
+#: → 75.5 k rows/s across three rounds with ZERO streaming-code diffs
+#: while the sink series moved the other way — a wider sample plus the
+#: streaming-local calibration probe below is what turns that from an
+#: argument into a division.
+STREAM_TRIALS = 5
 
 
 def _median(xs: list[float]) -> float:
@@ -359,6 +364,14 @@ def compact_line(
         # uniform sandbox speed shifts
         "calib_cpu_sec": (calib or {}).get("cpu_single_thread_sec"),
         "calib_spark_noop_sec": (calib or {}).get("spark_noop_sec"),
+        # environment-normalized headline total (seconds per calib-cpu
+        # second): cross-round comparisons are this field's ratio —
+        # uniform sandbox speed shifts cancel. r12 reference: 306.7.
+        "warm_total_per_calib_cpu": (
+            round(total / calib["cpu_single_thread_sec"], 2)
+            if calib and calib.get("cpu_single_thread_sec")
+            else None
+        ),
     }
     shown: dict[str, float] = {}
     by_cost = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -443,6 +456,14 @@ def main() -> None:
     # recording min/spread across three draws separates a real
     # regression from a noisy draw without judge re-derivation.
     heavy = sorted(times, key=lambda n: times[n], reverse=True)[:15]
+    # ann_incremental_assign is pinned into the third-run set even when
+    # a lucky draw drops it out of the top-15: its warm constant is the
+    # noisiest headline series (2.49/1.43/1.65/2.29 s across r9-r12)
+    # while its measured decade exponent is 0.45, i.e. the variance is
+    # a small-constant × environment effect, not plan work — the pinned
+    # three-run spread in heavy_query_runs is what shows that per round.
+    if "ann_incremental_assign" in times and "ann_incremental_assign" not in heavy:
+        heavy.append("ann_incremental_assign")
     for name in heavy:
         t0 = time.perf_counter()
         registry[name].spark(spark, sf_dir).count()
@@ -453,6 +474,17 @@ def main() -> None:
 
     total = round(sum(times.values()), 4)
     cold_total = round(sum(cold_times.values()), 4)
+
+    # SECOND calibration probe, taken immediately before the streaming
+    # trials (round-13 task: the noop rows/s series slid 3.3× over two
+    # rounds with zero streaming-code diffs). The start-of-run probe
+    # measures a cold quiet JVM; the streaming metrics run LAST, after
+    # ~2 minutes of heavy queries have heated the JVM, grown the heap,
+    # and dirtied the page cache — so they must be normalized by what
+    # the machine was worth AT THAT POINT, not at process start. The
+    # probe-normalized rate (rows/s × cpu_sec, environment-invariant
+    # under uniform speed shifts) is emitted beside the raw rate.
+    calib_stream = calibration_probe(spark)
 
     # Streaming throughput: the reference's ONE hard performance number
     # is "per-trigger processing time < 1 s at input rate" (BASELINE.md,
@@ -678,6 +710,31 @@ def main() -> None:
         # normalize cross-round totals by the probe ratio (one division)
         # instead of re-deriving uniform sandbox shifts forensically
         "calibration": calib,
+        # second probe, taken immediately before the streaming trials —
+        # the environment the streaming rates were actually measured in
+        "calibration_at_streaming": calib_stream,
+        # cross-round comparators (round-13 task): a uniform environment
+        # shift cancels in these, a real regression does not.
+        # warm_total_per_calib_cpu — headline seconds per calib-cpu
+        # second (r12 reference row: 94.46 / 0.308 = 306.7).
+        # streaming_*_rps_x_calib_cpu — rows/s × the streaming-local
+        # cpu probe (a 2×-slower machine halves rows/s and doubles the
+        # probe, so the product holds; r12 lacked the streaming-local
+        # probe, so its start-of-run approximation is 75,531 × 0.308 ≈
+        # 23,264 for the noop row).
+        "warm_total_per_calib_cpu": round(
+            total / calib["cpu_single_thread_sec"], 2
+        ),
+        "streaming_noop_rps_x_calib_cpu": (
+            round(stream_rps * calib_stream["cpu_single_thread_sec"])
+            if stream_rps
+            else None
+        ),
+        "streaming_sink_rps_x_calib_cpu": (
+            round(sink_rps * calib_stream["cpu_single_thread_sec"])
+            if sink_rps
+            else None
+        ),
     }
     # Per-artifact disk-tier accounting (r8 verdict task 3): which
     # artifacts were BUILT cold this run (and how long each took) vs

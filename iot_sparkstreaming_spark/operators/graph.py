@@ -255,7 +255,11 @@ def wedge_adjacency(pairs: DataFrame, cap: int, src: str = "a", dst: str = "b") 
     return (
         pairs.groupBy(col(src).alias("a"))
         .agg(F.sort_array(F.collect_set(col(dst))).alias("nb"))
-        .filter(F.size("nb") <= cap)
+        # collect_set drops nulls, so an all-null-dst pivot yields an
+        # EMPTY array; drop it here (it generates zero wedges anyway) so
+        # element_at on the empty array can't feed NULL into the
+        # overflow assert below and raise with the wrong diagnosis
+        .filter((F.size("nb") > 0) & (F.size("nb") <= cap))
         .select("nb")
         .filter(
             F.assert_true(

@@ -143,18 +143,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   (PREVERIFY_r12.txt, r8 precedent: nothing ships with zero fresh
 #   hash evidence).
 #
+# * round 13 drains the backlog the r12 verdict flagged (the
+#   "no evidence older than r7" criterion slipped once, so the
+#   stale fill outranks discretionary churn this round): 8 reference
+#   pinned + 1 code-changed (link_prediction_suppliers, sole consumer
+#   of the wedge_adjacency empty-array guard) + the 11-query r6
+#   cohort + the complete 30-query r7 cohort = 50 exactly. After
+#   r13, no query's latest external row is older than r8.
+#
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # ROUND 12 window (standing policy, arms in the policy's own
-    # priority order): 8 reference pinned + the 13 round-12
-    # code-changed queries + 29 oldest-first (the 2 round-5
-    # stragglers the r11 code-changed arm displaced, then 27 of the
-    # 39-query round-6 cohort in its original landing order). The 11
-    # r6 remainders — all locally green in
-    # tests/test_oracle_parity.py every round AND pre-verified with
-    # the driver-identical comparator in PREVERIFY_r12.txt — lead
-    # round 13's fill by the same oldest-first rule.
+    # ROUND 13 window (standing policy, arms in priority order — but
+    # per the r12 verdict the stale-cohort fill OUTRANKS discretionary
+    # code churn this round: the "no evidence older than r7" criterion
+    # slipped once in r12, so r13's only code-changed entry is the one
+    # query an ADVICE fix actually touched): 8 reference pinned + the
+    # 1 round-13 code-changed query + the 11-query round-6 cohort
+    # (each pre-verified in PREVERIFY_r12.txt) + the full 30-query
+    # round-7 cohort. 8 + 1 + 11 + 30 = 50 exactly; after this round
+    # no query's latest external row is older than r8.
     #
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
@@ -165,68 +173,59 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- code changed in round 12: re-externalize (standing policy).
-    #    link_prediction_suppliers: wedge enumeration extracted into
-    #    the shared operators/graph.py trio + the packed-key overflow
-    #    guard (same plan, new code path). The rest ride the
-    #    builder-fingerprint hygiene sweep (every artifact builder
-    #    that closure-captured a DataFrame/Column now derives its
-    #    inputs inside): ann_ivf_cosine/ann_pq_adc consume the fixed
-    #    _ivf_assigned/_pq_recon directly, ann_ivf_pq consumes both,
-    #    rrf_fuse_rankers composes ann_ivf_cosine; the minhash family
-    #    sits on the fixed _minhash_sigs/_index builders, and
-    #    dedup_simhash / doc_novelty_incremental /
-    #    rollup_incremental_merge own the other fixed builders.
+    # -- code changed in round 13: operators/graph.py wedge_adjacency
+    #    gained the empty-neighbor-array guard (ADVICE r12: all-null
+    #    dst pivots yielded an empty nb whose element_at fed NULL into
+    #    the overflow assert); link_prediction_suppliers is its only
+    #    consumer.
     "link_prediction_suppliers",
-    "ann_ivf_cosine",
-    "ann_ivf_pq",
-    "ann_pq_adc",
-    "rrf_fuse_rankers",
-    "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    "minhash_error_report",
-    "dedup_simhash",
-    "doc_novelty_incremental",
-    "rollup_incremental_merge",
-    #    ... and the two consumers of the shared posting list, whose
-    #    pre-cutoff construction was extracted (pre_cutoff_postings)
-    #    so the ngram-postings audit measures it by construction
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    # -- oldest-first fill (29): the 2 round-5 stragglers first
-    #    (their latest external row is r5 — the oldest anywhere),
-    #    then the round-6 cohort in its r6-window landing order
-    #    (dedup_incremental_minhash left this arm for the
-    #    code-changed arm above)
-    "dedup_edit_distance",
-    "rolling_median_value",
-    "acf_user_value",
-    "value_histogram_events",
-    "kcore_trade_graph",
-    "event_transition_matrix",
-    "rolling_trend_slope",
-    "interval_coverage_user",
-    "chi2_contingency_cells",
-    "pareto_frontier_parts",
-    "shuffle_skew_report",
-    "scd2_point_in_time_join",
-    "ab_test_conversion",
-    "survival_signup_to_purchase",
-    "graph_assortativity_trade",
-    "value_drift_report",
-    "bm25_topk_docs",
-    "lm_bigram_likelihood",
-    "dup_token_spans",
-    "dedup_span_scrub",
-    "basket_pair_rules",
-    "weighted_sample_per_source",
-    "ordered_funnel_users",
-    "embedding_gram_matrix",
-    "kmeans_lloyd_embeddings",
-    "ann_ivf_kmeans",
-    "kmeans_cluster_quality",
-    "snapshot_diff_orders",
-    "fk_integrity_audit",
+    # -- oldest-first fill, part 1 (11): the round-6 cohort — the 11
+    #    queries whose latest external row is r6, the oldest anywhere
+    #    (builder-preverified in PREVERIFY_r12.txt; six of them
+    #    additionally judge-rechecked MATCH in the r12 verdict)
+    "profile_orders_columns",
+    "image_png_features",
+    "video_y4m_frames",
+    "vocab_coverage_curve",
+    "bloom_prune_semijoin",
+    "tfidf_cosine_pairs",
+    "salted_skew_join_events",
+    "mad_outlier_per_user",
+    "decile_lift_orders",
+    "seasonal_hour_of_week",
+    "crossfold_assign_docs",
+    # -- oldest-first fill, part 2 (30): the complete round-7 cohort
+    #    in its original landing order
+    "dedup_exact",
+    "dedup_components",
+    "doc_token_stats",
+    "lang_id_heuristic",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "token_vocabulary",
+    "train_test_split",
+    "tfidf_top_terms",
+    "doc_repetition_stats",
+    "pii_redaction",
+    "bpe_merge_candidates",
+    "doc_rarity_stats",
+    "knn_bruteforce_cosine",
+    "quantize_embeddings_int8",
+    "contamination_ngram_overlap",
+    "stratified_sample_by_source",
+    "chunk_documents",
+    "pack_token_sequences",
+    "corpus_build_pipeline",
+    "bpe_train_merges",
+    "dedup_canonical_docs",
+    "dedup_passages",
+    "label_propagation_communities",
+    "time_weighted_avg_user",
+    "simpson_diversity_user",
+    "benford_first_digit_orders",
+    "clustering_coefficient_parts",
+    "session_window_events",
+    "embedding_pca_power",
 ]
 
 _MODULE_ORDER = [

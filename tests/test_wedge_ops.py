@@ -133,3 +133,27 @@ def test_overflow_guard_fails_loudly(spark):
     )
     assert ok.count() == 1
     ok.unpersist()
+
+
+def test_all_null_dst_pivot_dropped_not_misdiagnosed(spark):
+    """collect_set drops nulls, so a pivot whose every dst is NULL
+    yields an EMPTY neighbor array; element_at on it returns NULL and
+    assert_true(NULL) would raise with the misleading overflow message
+    (ADVICE r12). The empty array generates zero wedges anyway, so the
+    guard drops it instead of raising."""
+    from iot_sparkstreaming_spark.operators.graph import (
+        wedge_adjacency,
+        wedge_pair_counts,
+    )
+
+    edges = [(1, 10), (1, 20), (2, None), (2, None), (3, None), (3, 30)]
+    adj = wedge_adjacency(_pairs_df(spark, edges), cap=10)
+    # pivot 2 (all-null) is gone; pivot 3's null was dropped from its
+    # set, leaving [30]; pivot 1 keeps both neighbors
+    got = sorted(r["nb"] for r in adj.collect())
+    adj.unpersist()
+    assert got == [[10, 20], [30]]
+    pairs = wedge_pair_counts(wedge_adjacency(_pairs_df(spark, edges), cap=10))
+    assert {(r["s1"], r["s2"], r["common"]) for r in pairs.collect()} == {
+        (10, 20, 1)
+    }
