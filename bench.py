@@ -578,6 +578,25 @@ def main() -> None:
         stream_rows = -1  # recorded as "measurement unavailable", not 0 rows/s
         stream_err = f"{type(e).__name__}: {e}"[:500]
 
+    def _addbatch_rate(breakdown: dict[str, int], n_trials: int) -> int | None:
+        """Rows/s through the DATA PATH alone: total rows processed
+        across the timed trials over the summed addBatch milliseconds.
+        Motivation (round 13): the headline noop rate at sf0.1 is
+        CONSTANT-dominated — addBatch is ~15-20% of triggerExecution,
+        the rest per-batch driver constants (offset log, WAL commit,
+        latestOffset, planning) that track VM disk/CPU latency, and the
+        r10→r12 noop slide (250 k → 75.5 k rows/s) lived in those
+        constants: the r11→r12 breakdown shows commitOffsets+walCommit+
+        latestOffset doubling while addBatch moved 1.2×, and the sink
+        rate moved the OTHER way because its trigger time is
+        addBatch-dominated (real per-row work) and that got faster.
+        This field isolates the pipeline's processing rate from the
+        per-batch constants so the two never get conflated again."""
+        ms = (breakdown or {}).get("addBatch", 0)
+        if not ms or stream_rows <= 0 or n_trials <= 0:
+            return None
+        return round(stream_rows * n_trials / (ms / 1000.0))
+
     stream_sec = _median(stream_trials)
     stream_rps = round(stream_rows / stream_sec) if stream_sec > 0 and stream_rows > 0 else None
     stream_rps_trials = (
@@ -705,6 +724,16 @@ def main() -> None:
         # (addBatch = sink commit work vs planner/WAL overheads).
         "streaming_duration_ms_sum": stream_breakdown or None,
         "streaming_sink_duration_ms_sum": sink_breakdown or None,
+        # data-path-only rates (rows over summed addBatch time): the
+        # headline rows/s divides by WALL time, which at sf0.1 is
+        # mostly per-batch driver constants for the noop run — these
+        # fields track the pipeline itself (see _addbatch_rate)
+        "streaming_addbatch_rows_per_sec": _addbatch_rate(
+            stream_breakdown, len(stream_trials)
+        ),
+        "streaming_sink_addbatch_rows_per_sec": _addbatch_rate(
+            sink_breakdown, len(sink_trials)
+        ),
         "artifacts_preloaded": artifacts_preloaded,
         # fixed-work environment probes, taken before any timed query:
         # normalize cross-round totals by the probe ratio (one division)
