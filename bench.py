@@ -696,7 +696,8 @@ def main() -> None:
         "cold_total_wall_sec": cold_total,
         "sf": sf,
         "runs_per_query": 2,
-        # the 15 heaviest queries run a 3rd time; full per-run spread
+        # the 15 heaviest queries (plus the pinned
+        # ann_incremental_assign) run a 3rd time; full per-run spread
         # (run order: cold, warm, warm) so ±0.2 s swings are
         # attributable to noise vs regression from this file alone
         "heavy_runs_per_query": 3,
