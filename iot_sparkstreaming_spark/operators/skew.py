@@ -25,6 +25,13 @@ still matches. Row multiplicity is preserved exactly.
 shards keeping k per shard, then rank the ≤ k·n_salts survivors per
 key — bitwise-identical to the single-window top-k (the global top-k
 is contained in the union of per-shard top-ks).
+
+``capped_bucket_self_join`` is the LSH-specific member: candidate
+pairs from a band table with hot buckets sharded so per-bucket pair
+mass is linear in occupancy instead of quadratic — exact (identical
+pair set) whenever no bucket exceeds the cap, so it can be wired into
+the band self-join at the measured skew threshold without moving any
+fixture-scale hash (see the occupancy audit in docs/ARTIFACTS.md).
 """
 
 from __future__ import annotations
@@ -88,6 +95,72 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def capped_bucket_self_join(
+    bands: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    band_col: str = "band",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Candidate pairs ``(id1 < id2)`` from an LSH band table
+    ``(id, band, bucket)`` with HOT BUCKETS capped: any (band, bucket)
+    whose occupancy exceeds ``cap`` is split into ``ceil(occ / cap)``
+    deterministic shards and pairs are generated WITHIN shards only.
+    This is the cap the measured occupancy audit names as the wiring
+    point (docs/ARTIFACTS.md: the skew factor compounds ~1.2x per
+    corpus decade and crosses the 2x threshold at ~1e7 vectors — see
+    tools/lsh_occupancy.py).
+
+    Three properties make it wireable without ceremony:
+
+    * **Exact below the cap.** Buckets at or under ``cap`` get ONE
+      shard, so when no bucket is hot the output is the IDENTICAL
+      pair set (and identical plan shape modulo one count join) as
+      the naive ``bands ⋈ bands`` on (band, bucket) — fixture-scale
+      hashes cannot move.
+    * **Bounded work.** A shard holds ≤ ~cap rows, so per-bucket pair
+      mass drops from C(occ, 2) to ~occ/cap · C(cap, 2) ≈ occ·cap/2 —
+      linear in occupancy instead of quadratic, and no single task
+      ever materializes a hot bucket's full pair block.
+    * **Band-decorrelated recall loss.** The shard salt hashes
+      (id, band) — NOT id alone — so a true pair split into different
+      shards of one band's hot bucket gets an independent draw in
+      every other band it co-occurs in. Under the standard
+      OR-construction (candidate if ANY band matches), a pair sharing
+      b hot buckets survives with p = 1 − (1 − 1/k)^b for shard count
+      k, instead of being lost everywhere at once — the same
+      independence argument the banding itself rests on.
+
+    Pairs are deduped across bands (min over the contributing bands'
+    keys is irrelevant — a plain ``distinct`` on (id1, id2)), matching
+    the naive join's candidate-set semantics."""
+    occ = bands.groupBy(band_col, bucket_col).agg(F.count("*").alias("_occ"))
+    shards = F.greatest(
+        F.lit(1), F.ceil(col("_occ") / F.lit(cap)).cast("int")
+    ).alias("_nsh")
+    sharded = (
+        bands.join(occ, [band_col, bucket_col])
+        .select(
+            col(id_col),
+            col(band_col),
+            col(bucket_col),
+            F.pmod(F.hash(col(id_col), col(band_col)), shards).alias("_sh"),
+        )
+    )
+    left = sharded.select(
+        col(id_col).alias("_id1"), band_col, bucket_col, "_sh"
+    )
+    right = sharded.select(
+        col(id_col).alias("_id2"), band_col, bucket_col, "_sh"
+    )
+    return (
+        left.join(right, [band_col, bucket_col, "_sh"])
+        .filter(col("_id1") < col("_id2"))
+        .select(col("_id1").alias("id1"), col("_id2").alias("id2"))
+        .distinct()
+    )
 
 
 def salted_topk(
