@@ -334,6 +334,8 @@ def compact_line(
     stream_rps_trials: list[int] | None = None,
     sink_rps_trials: list[int] | None = None,
     calib: dict[str, object] | None = None,
+    addbatch_rps: int | None = None,
+    sink_addbatch_rps: int | None = None,
 ) -> str:
     """Serialize the driver-facing JSON line, ≤ MAX_LINE_BYTES.
 
@@ -357,6 +359,11 @@ def compact_line(
         "streaming_rows_per_sec_trials": stream_rps_trials,
         "streaming_sink_rows_per_sec": sink_rps,
         "streaming_sink_rows_per_sec_trials": sink_rps_trials,
+        # data-path-only rates (rows / summed addBatch time): the wall
+        # rates above fold in per-batch driver constants that track VM
+        # latency — see _addbatch_rate
+        "streaming_addbatch_rows_per_sec": addbatch_rps,
+        "streaming_sink_addbatch_rows_per_sec": sink_addbatch_rps,
         "artifacts_preloaded": artifacts_preloaded,
         "streaming_error": stream_err[:120] if stream_err else None,
         # fixed-work environment probes (see calibration_probe): divide
@@ -799,6 +806,8 @@ def main() -> None:
             stream_rps_trials=stream_rps_trials,
             sink_rps_trials=sink_rps_trials,
             calib=calib,
+            addbatch_rps=full["streaming_addbatch_rows_per_sec"],
+            sink_addbatch_rps=full["streaming_sink_addbatch_rows_per_sec"],
         )
     )
     spark.stop()

@@ -97,6 +97,22 @@ def salted_join(
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
 
 
+def bucket_shard(
+    id_col: Column, band_col: Column, occ_col: Column, cap: int
+) -> Column:
+    """Deterministic shard id in [0, ceil(occ / cap)) for a row of an
+    LSH band table — the single shard expression shared by
+    :func:`capped_bucket_self_join` and the occupancy audit
+    (tools/lsh_occupancy.py), so the audit measures the production
+    sharding by construction and cannot drift from it. Hashes
+    (id, band) — not id alone — so shard draws are independent across
+    bands (the OR-construction recovery property)."""
+    n_shards = F.greatest(
+        F.lit(1), F.ceil(occ_col / F.lit(cap)).cast("int")
+    )
+    return F.pmod(F.hash(id_col, band_col), n_shards)
+
+
 def capped_bucket_self_join(
     bands: DataFrame,
     cap: int,
@@ -137,16 +153,15 @@ def capped_bucket_self_join(
     keys is irrelevant — a plain ``distinct`` on (id1, id2)), matching
     the naive join's candidate-set semantics."""
     occ = bands.groupBy(band_col, bucket_col).agg(F.count("*").alias("_occ"))
-    shards = F.greatest(
-        F.lit(1), F.ceil(col("_occ") / F.lit(cap)).cast("int")
-    ).alias("_nsh")
     sharded = (
         bands.join(occ, [band_col, bucket_col])
         .select(
             col(id_col),
             col(band_col),
             col(bucket_col),
-            F.pmod(F.hash(col(id_col), col(band_col)), shards).alias("_sh"),
+            bucket_shard(
+                col(id_col), col(band_col), col("_occ"), cap
+            ).alias("_sh"),
         )
     )
     left = sharded.select(
