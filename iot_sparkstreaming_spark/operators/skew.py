@@ -147,7 +147,14 @@ def capped_bucket_self_join(
       OR-construction (candidate if ANY band matches), a pair sharing
       b hot buckets survives with p = 1 − (1 − 1/k)^b for shard count
       k, instead of being lost everywhere at once — the same
-      independence argument the banding itself rests on.
+      independence argument the banding itself rests on. MEASURED on
+      real bucket geometry (the 2 M-vector occupancy audit,
+      docs/ARTIFACTS.md): at-risk survival 47.0% vs 46.9% predicted —
+      the model holds to 0.1pp, so the recall knob for the eventual
+      wiring is analytic: replicating each id into p shards
+      (multi-probe) scales both survival and capped mass ~p², a
+      straight work-for-recall trade the recall budget picks; no new
+      measurement needed until a corpus crosses the wiring threshold.
 
     Pairs are deduped across bands (min over the contributing bands'
     keys is irrelevant — a plain ``distinct`` on (id1, id2)), matching
