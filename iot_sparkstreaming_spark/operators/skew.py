@@ -43,6 +43,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 from pyspark.sql.window import Window
 
+#: measured skew factor (candidate mass vs the uniform-sign model's
+#: own n²/2^(bits+1) per band) at which the bucket cap gets wired into
+#: the LSH band self-join: the point where real skew doubles the join
+#: work the banding geometry budgets for, i.e. one full uniform-model's
+#: worth of surplus pairs. CANONICAL value — the production gate
+#: (queries/dedup._band_candidate_pairs) and the occupancy audit
+#: (tools/lsh_occupancy.py) both import it, so the threshold the audit
+#: reports is the threshold the gate compares against by construction.
+SKEW_WIRE_THRESHOLD = 2.0
+
+#: cap multiplier the wiring starts from when the threshold is
+#: crossed: shard any bucket above CAP_MULT x the uniform expectation
+#: n/2^bits. 4x splits the p99+ tail while leaving the bulk of buckets
+#: single-shard (measured at the 2 M-vector point: −9.9% candidate
+#: mass, 47.0% at-risk survival — docs/ARTIFACTS.md).
+CAP_MULT = 4
+
 
 def _salt_col(det_col: Column, n_salts: int) -> Column:
     """Deterministic salt in [0, n_salts) — hash of a high-cardinality
@@ -98,7 +115,11 @@ def salted_join(
 
 
 def bucket_shard(
-    id_col: Column, band_col: Column, occ_col: Column, cap: int
+    id_col: Column,
+    band_col: Column,
+    occ_col: Column,
+    cap: int,
+    probe: Column | None = None,
 ) -> Column:
     """Deterministic shard id in [0, ceil(occ / cap)) for a row of an
     LSH band table — the single shard expression shared by
@@ -106,11 +127,27 @@ def bucket_shard(
     (tools/lsh_occupancy.py), so the audit measures the production
     sharding by construction and cannot drift from it. Hashes
     (id, band) — not id alone — so shard draws are independent across
-    bands (the OR-construction recovery property)."""
+    bands (the OR-construction recovery property). ``probe`` (an int
+    column holding a multi-probe replica index ≥ 1) folds into the
+    hash so each extra probe gets an independent draw; ``None`` — the
+    single-probe case AND every row's first probe — keeps the original
+    (id, band) hash, so p-probe sharding strictly EXTENDS the p=1
+    shard set (output monotone in p) and single-probe behavior is
+    bitwise unchanged by the knob's existence."""
+    if cap < 1:
+        # cap <= 0 would make occ/cap NULL (non-ANSI division by
+        # zero), greatest(1, NULL) = 1 shard, and the join would run
+        # silently uncapped — fail loudly instead (ADVICE r13).
+        raise ValueError(f"bucket_shard cap must be >= 1, got {cap}")
     n_shards = F.greatest(
         F.lit(1), F.ceil(occ_col / F.lit(cap)).cast("int")
     )
-    return F.pmod(F.hash(id_col, band_col), n_shards)
+    h = (
+        F.hash(id_col, band_col)
+        if probe is None
+        else F.hash(id_col, band_col, probe)
+    )
+    return F.pmod(h, n_shards)
 
 
 def capped_bucket_self_join(
@@ -119,6 +156,7 @@ def capped_bucket_self_join(
     id_col: str = "vec_id",
     band_col: str = "band",
     bucket_col: str = "bucket",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Candidate pairs ``(id1 < id2)`` from an LSH band table
     ``(id, band, bucket)`` with HOT BUCKETS capped: any (band, bucket)
@@ -150,26 +188,55 @@ def capped_bucket_self_join(
       independence argument the banding itself rests on. MEASURED on
       real bucket geometry (the 2 M-vector occupancy audit,
       docs/ARTIFACTS.md): at-risk survival 47.0% vs 46.9% predicted —
-      the model holds to 0.1pp, so the recall knob for the eventual
-      wiring is analytic: replicating each id into p shards
-      (multi-probe) scales both survival and capped mass ~p², a
-      straight work-for-recall trade the recall budget picks; no new
-      measurement needed until a corpus crosses the wiring threshold.
+      the model holds to 0.1pp. The recall knob is ``n_probes``:
+      each id occupies p shards per hot bucket (probe 0 = the base
+      (id, band) draw, probes ≥ 1 fold the probe index into the
+      hash), so a pair collides when the two p-sets intersect —
+      survival and capped pair mass both scale ~p², the straight
+      work-for-recall trade the recall budget picks. Measured at the
+      same 2 M-vector point (docs/ARTIFACTS.md): p=2 lifts at-risk
+      survival 47.0% → the conditional-independence model's
+      prediction to within measurement noise. Output is MONOTONE in
+      p (probe 0 reproduces the p=1 shard exactly), and cold buckets
+      skip the replication entirely (their single shard makes every
+      probe land identically).
+
+    Occupancy counts DISTINCT ids per (band, bucket) — duplicate
+    (id, band, bucket) rows in a non-deduplicated band table must not
+    inflate occupancy past the cap and shard a bucket whose true
+    occupancy is at or under it (the 'exact below the cap' guarantee
+    is stated over distinct ids).
 
     Pairs are deduped across bands (min over the contributing bands'
     keys is irrelevant — a plain ``distinct`` on (id1, id2)), matching
     the naive join's candidate-set semantics."""
-    occ = bands.groupBy(band_col, bucket_col).agg(F.count("*").alias("_occ"))
-    sharded = (
-        bands.join(occ, [band_col, bucket_col])
-        .select(
+    if cap < 1:
+        raise ValueError(f"capped_bucket_self_join cap must be >= 1, got {cap}")
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    occ = bands.groupBy(band_col, bucket_col).agg(
+        F.countDistinct(col(id_col)).alias("_occ")
+    )
+    with_occ = bands.join(occ, [band_col, bucket_col])
+    shard_cols = [
+        bucket_shard(
             col(id_col),
             col(band_col),
-            col(bucket_col),
-            bucket_shard(
-                col(id_col), col(band_col), col("_occ"), cap
-            ).alias("_sh"),
+            col("_occ"),
+            cap,
+            probe=None if i == 0 else F.lit(i),
         )
+        for i in range(n_probes)
+    ]
+    sharded = with_occ.select(
+        col(id_col),
+        col(band_col),
+        col(bucket_col),
+        # distinct probe shards only: cold buckets (1 shard) collapse
+        # to a single row, and coinciding probe draws don't duplicate
+        # join input (the final pair-distinct would hide them, but at
+        # p× the shuffle volume)
+        F.explode(F.array_distinct(F.array(*shard_cols))).alias("_sh"),
     )
     left = sharded.select(
         col(id_col).alias("_id1"), band_col, bucket_col, "_sh"

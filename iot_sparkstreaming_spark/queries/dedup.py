@@ -557,6 +557,79 @@ WHERE {cos} >= {COSINE_THRESHOLD}
 """
 
 
+def _band_candidate_pairs(
+    bands: DataFrame, *, force_cap: int | None = None
+) -> DataFrame:
+    """Candidate ``(vec_a < vec_b)`` pairs from the sign-LSH band
+    index ``(vec_id, band, bucket)`` — the OCCUPANCY-GATED band
+    self-join (the conditional docs/ARTIFACTS.md's skew-trend sentence
+    promises, executed here rather than prose).
+
+    The gate: one tiny aggregation over the (band, bucket) occupancy
+    table — at most N_BANDS·2^bits rows after the map-side combine, a
+    few KB at ANY corpus size, and the only extra action this branch
+    adds to the artifact build — measures the skew factor = candidate
+    mass Σ C(occ, 2) over the uniform-sign model's own
+    N_BANDS·n²/2^(bits+1) (the identical definition the occupancy
+    audit reports, tools/lsh_occupancy.py, which imports the SAME
+    ``SKEW_WIRE_THRESHOLD`` / ``CAP_MULT`` constants from
+    operators/skew.py so the threshold it publishes is the threshold
+    compared against here by construction).
+
+    * skew < SKEW_WIRE_THRESHOLD (2.0): the naive equi-join on
+      (band, bucket) is optimal and runs UNCHANGED — bitwise-identical
+      output and join plan, so no fixture-scale hash can move. Every
+      measured point sits here today (worst 1.69x at 2 M vectors).
+    * skew ≥ threshold: the join routes through
+      operators/skew.capped_bucket_self_join at cap = CAP_MULT × the
+      uniform expectation n/2^bits — exact below the cap, hot buckets
+      sharded with band-decorrelated salts, recall price measured and
+      model-validated in docs/ARTIFACTS.md (47.0% at-risk survival at
+      p=1; the ``n_probes`` knob buys it back ~p²).
+
+    ``force_cap`` bypasses the gate so the integration test
+    (tests/test_skew.py) can drive a tiny cap through this EXACT
+    production path — the capped branch is never dead code waiting for
+    a corpus to cross the threshold."""
+    from iot_sparkstreaming_spark.operators.skew import (
+        CAP_MULT,
+        SKEW_WIRE_THRESHOLD,
+        capped_bucket_self_join,
+    )
+    from iot_sparkstreaming_spark.queries.similarity import N_BANDS, lsh_bits
+
+    cap = force_cap
+    if cap is None:
+        occ = bands.groupBy("band", "bucket").agg(
+            F.countDistinct("vec_id").alias("_occ")
+        )
+        stats = occ.agg(
+            F.sum(
+                col("_occ").cast("bigint") * (col("_occ") - 1) / 2
+            ).alias("mass"),
+            F.sum("_occ").alias("n_rows"),
+        ).first()
+        # one row per (vec, band) in the index, so n = rows / N_BANDS
+        n = int(stats["n_rows"] or 0) // N_BANDS
+        if n > 1:
+            bits = lsh_bits(n)
+            model_mass = N_BANDS * n * n / 2 ** (bits + 1)
+            skew = float(stats["mass"] or 0.0) / model_mass
+            if skew >= SKEW_WIRE_THRESHOLD:
+                cap = max(int(CAP_MULT * n / (1 << bits)), 1)
+    if cap is not None:
+        return capped_bucket_self_join(bands, cap, id_col="vec_id").select(
+            col("id1").alias("vec_a"), col("id2").alias("vec_b")
+        )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").alias("vec_a"), col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
 def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized ``(vec_a < vec_b, cosine)`` table over the banded
     sign-LSH candidate pairs — the exact intermediate that both
@@ -595,15 +668,11 @@ def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         e = _emb_vectors(spark, sf_dir)
         bands = _lsh_bands(spark, sf_dir)
-        cand = (
-            bands.alias("a")
-            .join(bands.alias("b"), ["band", "bucket"])
-            .filter(col("a.vec_id") < col("b.vec_id"))
-            .select(
-                col("a.vec_id").alias("vec_a"), col("b.vec_id").alias("vec_b")
-            )
-            .distinct()
-        )
+        # occupancy-gated band self-join: naive equi-join below the
+        # measured skew wiring threshold (all fixtures today), the
+        # capped/sharded join from operators/skew.py at or above it —
+        # see _band_candidate_pairs
+        cand = _band_candidate_pairs(bands)
         ea = e.select(
             col("vec_id").alias("vec_a"), col("v").alias("va"), col("norm").alias("na")
         )

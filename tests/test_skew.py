@@ -142,3 +142,160 @@ def test_capped_bucket_join_band_decorrelated(spark):
     assert got == per_band[0] | per_band[1]
     # ...and each band contributes pairs the other lost (independent draws)
     assert per_band[0] - per_band[1] and per_band[1] - per_band[0]
+
+
+def test_cap_and_probes_validated():
+    """cap <= 0 used to make occ/cap NULL (non-ANSI division by zero),
+    greatest(1, NULL) = 1 shard, and the join ran silently UNCAPPED —
+    invalid knobs must raise, not weaken the guarantee (ADVICE r13)."""
+    import pytest
+
+    from iot_sparkstreaming_spark.operators.skew import (
+        bucket_shard,
+        capped_bucket_self_join,
+    )
+
+    with pytest.raises(ValueError):
+        bucket_shard(F.col("a"), F.col("b"), F.col("c"), cap=0)
+    with pytest.raises(ValueError):
+        capped_bucket_self_join(None, cap=-3)
+    with pytest.raises(ValueError):
+        capped_bucket_self_join(None, cap=5, n_probes=0)
+
+
+def test_capped_occupancy_counts_distinct_ids(spark):
+    """Occupancy is countDistinct(id), not count(*): duplicate
+    (id, band, bucket) rows in a non-deduplicated band table must not
+    inflate a bucket past the cap and silently shard it (ADVICE r13 —
+    the 'exact below the cap' guarantee is over distinct ids). 12
+    distinct ids duplicated 4x: raw count 48 >> cap 12, distinct 12 ==
+    cap, so the bucket stays single-shard and ALL C(12,2)=66 pairs
+    must emerge (a raw-count shard into 4 would lose ~3/4 of them)."""
+    from iot_sparkstreaming_spark.operators.skew import capped_bucket_self_join
+
+    rows = [(i, 0, 5) for i in range(12)] * 4
+    got = {
+        (r.id1, r.id2)
+        for r in capped_bucket_self_join(_bands_df(spark, rows), cap=12).collect()
+    }
+    assert got == _naive_pairs(set(rows))
+
+
+def test_multiprobe_monotone_and_bounded(spark):
+    """n_probes=2 must strictly EXTEND the p=1 candidate set (probe 0
+    is the base (id, band) draw, so every p=1 collision persists),
+    recover a meaningful fraction of the pairs p=1 lost (model: per
+    hot cell survival 1/k -> ~1-((k-a)/k)^2), and still stay below the
+    naive join (the cap still bounds per-shard mass)."""
+    from iot_sparkstreaming_spark.operators.skew import capped_bucket_self_join
+
+    rows = [(i, 0, 42) for i in range(40)]  # occ 40, cap 10 -> k=4 shards
+    df = _bands_df(spark, rows)
+    p1 = {
+        (r.id1, r.id2)
+        for r in capped_bucket_self_join(df, cap=10).collect()
+    }
+    p2 = {
+        (r.id1, r.id2)
+        for r in capped_bucket_self_join(df, cap=10, n_probes=2).collect()
+    }
+    naive = _naive_pairs(rows)
+    assert p1 < p2 < naive
+    # k=4: p=1 survival ~1/4, p=2 ~ up to 1-(2/4)^2 = 3/4 -- assert the
+    # direction with generous slack (hash draws, not i.i.d. samples)
+    assert len(p2) > 1.5 * len(p1)
+
+
+def test_cap_wiring_production_path_exact_when_cold(spark):
+    """THE integration test the r13 verdict asked for, part (a): drive
+    the CAPPED branch through the production candidate path
+    (queries/dedup._band_candidate_pairs, the function the
+    lsh_scored_pairs artifact builds on) with a cap at/above the
+    hottest real bucket -- no bucket is hot, so the capped branch must
+    emit the IDENTICAL candidate set as the gate's naive branch (the
+    below-cap exactness that makes the wiring a no-hash-movement
+    change by construction)."""
+    from iot_sparkstreaming_spark.queries.dedup import _band_candidate_pairs
+    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
+
+    bands = _lsh_bands(spark, SF_DIR)
+    naive = {
+        (r.vec_a, r.vec_b) for r in _band_candidate_pairs(bands).collect()
+    }
+    max_occ = (
+        bands.groupBy("band", "bucket")
+        .agg(F.countDistinct("vec_id").alias("occ"))
+        .agg(F.max("occ").alias("m"))
+        .first()["m"]
+    )
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in _band_candidate_pairs(bands, force_cap=int(max_occ)).collect()
+    }
+    assert capped == naive and len(naive) > 0
+
+
+def test_cap_wiring_production_path_bounds_hot_buckets(spark):
+    """Part (b): a forced TINY cap through the same production path
+    must (1) emit a strict subset of the naive candidates, (2) keep
+    every pair that has cold-bucket support (exactness below the cap),
+    and (3) cut the per-bucket pair mass -- recomputed via the SHARED
+    skew.bucket_shard expression, so the bound asserted is the bound
+    the operator actually enforces."""
+    from iot_sparkstreaming_spark.operators.skew import bucket_shard
+    from iot_sparkstreaming_spark.queries.dedup import _band_candidate_pairs
+    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
+
+    cap = 4
+    bands = _lsh_bands(spark, SF_DIR)
+    naive = {
+        (r.vec_a, r.vec_b) for r in _band_candidate_pairs(bands).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in _band_candidate_pairs(bands, force_cap=cap).collect()
+    }
+    assert capped < naive
+    # (2) cold-support pairs survive exactly: every naive pair sharing
+    # at least one bucket whose distinct occupancy is <= cap
+    occ = bands.groupBy("band", "bucket").agg(
+        F.countDistinct("vec_id").alias("_occ")
+    )
+    cold_rows = bands.join(occ.filter(F.col("_occ") <= cap), ["band", "bucket"])
+    cold_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in cold_rows.alias("a")
+        .join(cold_rows.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert cold_pairs <= capped
+    # (3) per-(band, bucket, shard) pair mass, via the shared shard
+    # expression: the capped mass must be a small fraction of the
+    # uncapped sum(C(occ, 2)) -- cap 4 vs ~31 expected occupancy cuts
+    # each bucket's mass ~cap/occ
+    sharded_sizes = (
+        bands.join(occ, ["band", "bucket"])
+        .select(
+            "band",
+            "bucket",
+            bucket_shard(
+                F.col("vec_id"), F.col("band"), F.col("_occ"), cap
+            ).alias("_sh"),
+        )
+        .groupBy("band", "bucket", "_sh")
+        .agg(F.count("*").alias("c"))
+    )
+    masses = sharded_sizes.join(occ, ["band", "bucket"]).agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("capped_mass"),
+        F.sum(
+            F.when(
+                F.col("_sh") == 0, F.col("_occ") * (F.col("_occ") - 1) / 2
+            ).otherwise(0.0)
+        ).alias("uncapped_mass"),
+    ).first()
+    assert masses["capped_mass"] < 0.5 * masses["uncapped_mass"]
