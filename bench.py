@@ -529,6 +529,15 @@ def main() -> None:
         try:
             for p in q.recentProgress:
                 staged["n_batches"] = staged.get("n_batches", 0) + 1
+                # fold the trial's input rows alongside its durations:
+                # the addBatch-only rate divides THESE rows by the
+                # addBatch ms, so a trial whose fold is discarded drops
+                # out of numerator and denominator together (ADVICE
+                # r13: rows x n_trials over folded ms overstated the
+                # rate by n/(n-1) per dropped fold)
+                staged["numInputRows"] = staged.get("numInputRows", 0) + int(
+                    p.get("numInputRows") or 0
+                )
                 for k, v in (p.get("durationMs") or {}).items():
                     staged[k] = staged.get(k, 0) + int(v)
         except Exception:  # noqa: BLE001 — observability must not kill the bench
@@ -585,7 +594,7 @@ def main() -> None:
         stream_rows = -1  # recorded as "measurement unavailable", not 0 rows/s
         stream_err = f"{type(e).__name__}: {e}"[:500]
 
-    def _addbatch_rate(breakdown: dict[str, int], n_trials: int) -> int | None:
+    def _addbatch_rate(breakdown: dict[str, int]) -> int | None:
         """Rows/s through the DATA PATH alone: total rows processed
         across the timed trials over the summed addBatch milliseconds.
         Motivation (round 13): the headline noop rate at sf0.1 is
@@ -598,11 +607,17 @@ def main() -> None:
         rate moved the OTHER way because its trigger time is
         addBatch-dominated (real per-row work) and that got faster.
         This field isolates the pipeline's processing rate from the
-        per-batch constants so the two never get conflated again."""
+        per-batch constants so the two never get conflated again.
+        Numerator and denominator both come from the FOLDED progress
+        entries (numInputRows and addBatch ms accumulate in the same
+        complete-or-absent _fold_progress transaction), so a trial
+        whose fold failed drops out of both sides instead of
+        overstating the rate."""
         ms = (breakdown or {}).get("addBatch", 0)
-        if not ms or stream_rows <= 0 or n_trials <= 0:
+        rows = (breakdown or {}).get("numInputRows", 0)
+        if not ms or rows <= 0:
             return None
-        return round(stream_rows * n_trials / (ms / 1000.0))
+        return round(rows / (ms / 1000.0))
 
     stream_sec = _median(stream_trials)
     stream_rps = round(stream_rows / stream_sec) if stream_sec > 0 and stream_rows > 0 else None
@@ -692,6 +707,14 @@ def main() -> None:
         [round(stream_rows / s) for s in sink_trials if s > 0] if stream_rows > 0 else []
     )
 
+    # THIRD calibration probe, at end of run (round-13 verdict task 5):
+    # the "< 1.3x quotient moves are environment" read rule rested on
+    # TWO same-code samples (253.0 / 218.8, ±15%); re-running the ~1 s
+    # probes here gives every bench THREE same-code quotient samples
+    # (start / pre-streaming / end), so the residual the rule is judged
+    # against accumulates evidence each round for free.
+    calib_end = calibration_probe(spark)
+
     # Full per-query breakdown (warm best-of-2 + cold first-run) goes
     # to a committed side file; the printed line is the bounded digest.
     full = {
@@ -736,12 +759,8 @@ def main() -> None:
         # headline rows/s divides by WALL time, which at sf0.1 is
         # mostly per-batch driver constants for the noop run — these
         # fields track the pipeline itself (see _addbatch_rate)
-        "streaming_addbatch_rows_per_sec": _addbatch_rate(
-            stream_breakdown, len(stream_trials)
-        ),
-        "streaming_sink_addbatch_rows_per_sec": _addbatch_rate(
-            sink_breakdown, len(sink_trials)
-        ),
+        "streaming_addbatch_rows_per_sec": _addbatch_rate(stream_breakdown),
+        "streaming_sink_addbatch_rows_per_sec": _addbatch_rate(sink_breakdown),
         "artifacts_preloaded": artifacts_preloaded,
         # fixed-work environment probes, taken before any timed query:
         # normalize cross-round totals by the probe ratio (one division)
@@ -750,6 +769,10 @@ def main() -> None:
         # second probe, taken immediately before the streaming trials —
         # the environment the streaming rates were actually measured in
         "calibration_at_streaming": calib_stream,
+        # third probe, taken at end of run: with the start-of-run probe
+        # this gives three same-code quotient samples per bench, the
+        # evidence base for the "< 1.3x is environment" read rule
+        "calibration_at_end": calib_end,
         # cross-round comparators (round-13 task): a uniform environment
         # shift cancels in these, a real regression does not.
         # warm_total_per_calib_cpu — headline seconds per calib-cpu
@@ -761,6 +784,12 @@ def main() -> None:
         # 23,264 for the noop row).
         "warm_total_per_calib_cpu": round(
             total / calib["cpu_single_thread_sec"], 2
+        ),
+        # the same quotient against the end-of-run probe: the spread
+        # between this and warm_total_per_calib_cpu is an intra-run
+        # sample of the residual the read rule must tolerate
+        "warm_total_per_calib_cpu_end": round(
+            total / calib_end["cpu_single_thread_sec"], 2
         ),
         "streaming_noop_rps_x_calib_cpu": (
             round(stream_rps * calib_stream["cpu_single_thread_sec"])
