@@ -195,11 +195,12 @@ def capped_bucket_self_join(
       survival and capped pair mass both scale ~p², the straight
       work-for-recall trade the recall budget picks. Measured at the
       same 2 M-vector point (docs/ARTIFACTS.md): p=2 lifts at-risk
-      survival 47.0% → the conditional-independence model's
-      prediction to within measurement noise. Output is MONOTONE in
-      p (probe 0 reproduces the p=1 shard exactly), and cold buckets
-      skip the replication entirely (their single shard makes every
-      probe land identically).
+      survival 47.0% → 85.4%, vs 85.5% predicted by the
+      conditional-independence model — validated to 0.1pp, same as
+      the p=1 row. Output is MONOTONE in p (probe 0 reproduces the
+      p=1 shard exactly), and cold buckets skip the replication
+      entirely (their single shard makes every probe land
+      identically).
 
     Occupancy counts DISTINCT ids per (band, bucket) — duplicate
     (id, band, bucket) rows in a non-deduplicated band table must not
