@@ -558,7 +558,7 @@ WHERE {cos} >= {COSINE_THRESHOLD}
 
 
 def _band_candidate_pairs(
-    bands: DataFrame, *, force_cap: int | None = None
+    bands: DataFrame, *, force_cap: int | None = None, n_probes: int = 1
 ) -> DataFrame:
     """Candidate ``(vec_a < vec_b)`` pairs from the sign-LSH band
     index ``(vec_id, band, bucket)`` — the OCCUPANCY-GATED band
@@ -590,7 +590,12 @@ def _band_candidate_pairs(
     ``force_cap`` bypasses the gate so the integration test
     (tests/test_skew.py) can drive a tiny cap through this EXACT
     production path — the capped branch is never dead code waiting for
-    a corpus to cross the threshold."""
+    a corpus to cross the threshold. ``n_probes`` passes through to
+    the capped join's multi-probe recall knob (measured at the
+    2 M-vector point: p=2 lifts at-risk survival 47.0% → 85.4% for
+    ~p² capped mass, docs/ARTIFACTS.md) — the parameter the wiring
+    day's recall budget turns; it has no effect on the naive branch
+    (which loses no recall to shard)."""
     from iot_sparkstreaming_spark.operators.skew import (
         CAP_MULT,
         SKEW_WIRE_THRESHOLD,
@@ -618,9 +623,9 @@ def _band_candidate_pairs(
             if skew >= SKEW_WIRE_THRESHOLD:
                 cap = max(int(CAP_MULT * n / (1 << bits)), 1)
     if cap is not None:
-        return capped_bucket_self_join(bands, cap, id_col="vec_id").select(
-            col("id1").alias("vec_a"), col("id2").alias("vec_b")
-        )
+        return capped_bucket_self_join(
+            bands, cap, id_col="vec_id", n_probes=n_probes
+        ).select(col("id1").alias("vec_a"), col("id2").alias("vec_b"))
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])

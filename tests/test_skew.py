@@ -299,3 +299,31 @@ def test_cap_wiring_production_path_bounds_hot_buckets(spark):
         ).alias("uncapped_mass"),
     ).first()
     assert masses["capped_mass"] < 0.5 * masses["uncapped_mass"]
+
+
+def test_cap_wiring_multiprobe_through_production_path(spark):
+    """The recall knob reaches through the gate: n_probes=2 with the
+    same forced tiny cap must strictly extend the p=1 candidate set
+    (probe 0 keeps the base draw) while staying below the naive set —
+    i.e. the parameter the wiring day's recall budget turns is live
+    end-to-end in the production candidate path, not just on the
+    operator."""
+    from iot_sparkstreaming_spark.queries.dedup import _band_candidate_pairs
+    from iot_sparkstreaming_spark.queries.similarity import _lsh_bands
+
+    cap = 4
+    bands = _lsh_bands(spark, SF_DIR)
+    naive = {
+        (r.vec_a, r.vec_b) for r in _band_candidate_pairs(bands).collect()
+    }
+    p1 = {
+        (r.vec_a, r.vec_b)
+        for r in _band_candidate_pairs(bands, force_cap=cap).collect()
+    }
+    p2 = {
+        (r.vec_a, r.vec_b)
+        for r in _band_candidate_pairs(
+            bands, force_cap=cap, n_probes=2
+        ).collect()
+    }
+    assert p1 < p2 < naive
