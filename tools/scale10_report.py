@@ -302,6 +302,61 @@ def main() -> None:
     audit_rows = measure(AUDIT, runs=2)
     ref_rows = measure(REFERENCE8, runs=2)
 
+    def recheck_flags(rws, runs: int = 5):
+        """Adjudicate super-linear flags: a flagged alpha must
+        REPRODUCE on a fresh isolated re-measure of its worst decade
+        before it is believed. Motivation (round 14, measured): the
+        assortativity 100x cell read 24.8 s (alpha 1.26, flagged)
+        inside the heavy-set loop while a 6-trial isolated re-measure
+        at the same 64g config gave best 12.1 s (alpha 0.88 — matching
+        the prior round's 11.9 s cell): the in-context reading carries
+        JVM/GC neighborhood state from the surrounding heavy queries,
+        ±2x at the 100x cell, which best-of-3 cannot always see
+        through. The recheck runs HERE — after the streaming loops,
+        the furthest the process gets from the heavy-set churn — with
+        more trials; a flag that does not reproduce is annotated, not
+        silently replaced, so the table shows both draws."""
+        out = []
+        for name, best, alpha in rws:
+            note = ""
+            if alpha > 1.15:
+                pts = [
+                    (dir_scale[d], t, d)
+                    for d, t in zip(dirs, best)
+                    if t is not None
+                ]
+                (c1, _, d1), (c2, _, d2) = max(
+                    zip(pts, pts[1:]),
+                    key=lambda p: math.log10(
+                        max(p[1][1], 1e-4) / max(p[0][1], 1e-4)
+                    )
+                    / math.log10(p[1][0] / p[0][0]),
+                )
+                times = {}
+                for d in (d1, d2):
+                    t = math.inf
+                    for _ in range(runs):
+                        t0 = time.perf_counter()
+                        registry[name].spark(spark, d).count()
+                        t = min(t, time.perf_counter() - t0)
+                    times[d] = t
+                alpha2 = math.log10(
+                    max(times[d2], 1e-4) / max(times[d1], 1e-4)
+                ) / math.log10(c2 / c1)
+                verdict = (
+                    "reproduced"
+                    if alpha2 > 1.15
+                    else "did NOT reproduce — in-context GC/JIT state"
+                )
+                note = (
+                    f" (recheck of the {c1}x→{c2}x decade, isolated "
+                    f"best-of-{runs}: {times[d1]:.2f}s → {times[d2]:.2f}s, "
+                    f"alpha {alpha2:.2f} — {verdict})"
+                )
+                print(f"recheck {name}: alpha {alpha:.2f} -> {alpha2:.2f}")
+            out.append((name, best, alpha, note))
+        return out
+
     def measure_streaming(runs: int = 2) -> list[int]:
         """Sustained input rows/s of the reference warning pipeline
         (readStream -> derive -> classify -> filter -> payload ->
@@ -397,16 +452,22 @@ def main() -> None:
 
     sink_rps = measure_keyed_sink()
 
+    # flag adjudication LAST: the process is now as far from the
+    # heavy-set allocation churn as it gets without a restart
+    rows = recheck_flags(rows)
+    audit_rows = recheck_flags(audit_rows)
+    ref_rows = recheck_flags(ref_rows)
+
     cols = ["1x (sf0.1)"] + [f"{c}x" for c in SCALES]
     header = "| query | " + " | ".join(cols) + " | alpha |"
     sep = "|---|" + "---|" * (len(cols) + 1)
 
     def table(rws):
         out = [header, sep]
-        for name, best, alpha in rws:
+        for name, best, alpha, note in rws:
             flag = " **super-linear**" if alpha > 1.15 else ""
             cells = " | ".join("—" if t is None else f"{t:.2f}" for t in best)
-            out.append(f"| {name} | {cells} | {alpha:.2f}{flag} |")
+            out.append(f"| {name} | {cells} | {alpha:.2f}{flag}{note} |")
         return out
 
     lines = [
@@ -423,6 +484,14 @@ def main() -> None:
         "model). Warm best-of-3 (heavy set) / best-of-2 (audit) seconds;",
         "`alpha` = max per-decade exponent of t ∝ data^alpha, 1.0 = linear.",
         "alpha > ~1.15 on a measured decade flags super-linear work.",
+        "A flag triggers an END-OF-RUN isolated recheck of its worst",
+        "decade (best-of-5, after the streaming loops — the furthest the",
+        "process gets from the heavy-set allocation churn): round 14",
+        "measured the in-context 100x cell swinging ±2x with JVM/GC",
+        "neighborhood state (assortativity 24.8 s in-loop vs 12.1 s",
+        "isolated, same code/data), so a flag is believed only if it",
+        "reproduces; non-reproducing flags stay in the table with their",
+        "recheck numbers — both draws shown, neither erased.",
         "",
         "This measurement earned its keep on its first run: it caught",
         "`ann_incremental_assign` at **20.5x** for 10x data (1.62 s ->",
