@@ -594,7 +594,9 @@ def main() -> None:
         stream_rows = -1  # recorded as "measurement unavailable", not 0 rows/s
         stream_err = f"{type(e).__name__}: {e}"[:500]
 
-    def _addbatch_rate(breakdown: dict[str, int]) -> int | None:
+    def _addbatch_rate(
+        breakdown: dict[str, int], err: str | None = None
+    ) -> int | None:
         """Rows/s through the DATA PATH alone: total rows processed
         across the timed trials over the summed addBatch milliseconds.
         Motivation (round 13): the headline noop rate at sf0.1 is
@@ -612,7 +614,12 @@ def main() -> None:
         entries (numInputRows and addBatch ms accumulate in the same
         complete-or-absent _fold_progress transaction), so a trial
         whose fold failed drops out of both sides instead of
-        overstating the rate."""
+        overstating the rate. A run that ERRORED partway (``err``
+        set) returns None: a rate folded from the partial trials
+        would read as a valid measurement of a failed run
+        (ADVICE r14)."""
+        if err is not None:
+            return None
         ms = (breakdown or {}).get("addBatch", 0)
         rows = (breakdown or {}).get("numInputRows", 0)
         if not ms or rows <= 0:
@@ -749,18 +756,26 @@ def main() -> None:
         "streaming_sink_rows_per_sec_max": max(sink_rps_trials, default=None),
         "streaming_sink_keys_written": sink_rows_written,
         "streaming_sink_error": sink_err,
-        # durationMs totals across all micro-batches of all trials
-        # (plus n_batches): subtracting the noop row from the sink row
-        # shows where the keyed writer's extra wall-clock goes
-        # (addBatch = sink commit work vs planner/WAL overheads).
+        # durationMs totals across all micro-batches of all trials:
+        # subtracting the noop row from the sink row shows where the
+        # keyed writer's extra wall-clock goes (addBatch = sink commit
+        # work vs planner/WAL overheads). UNIT CAVEAT (ADVICE r14):
+        # two entries in each dict are COUNTS, not milliseconds —
+        # `n_batches` (micro-batches folded) and `numInputRows` (rows
+        # folded, the _addbatch_rate numerator); every other key is a
+        # summed durationMs component.
         "streaming_duration_ms_sum": stream_breakdown or None,
         "streaming_sink_duration_ms_sum": sink_breakdown or None,
         # data-path-only rates (rows over summed addBatch time): the
         # headline rows/s divides by WALL time, which at sf0.1 is
         # mostly per-batch driver constants for the noop run — these
         # fields track the pipeline itself (see _addbatch_rate)
-        "streaming_addbatch_rows_per_sec": _addbatch_rate(stream_breakdown),
-        "streaming_sink_addbatch_rows_per_sec": _addbatch_rate(sink_breakdown),
+        "streaming_addbatch_rows_per_sec": _addbatch_rate(
+            stream_breakdown, stream_err
+        ),
+        "streaming_sink_addbatch_rows_per_sec": _addbatch_rate(
+            sink_breakdown, sink_err
+        ),
         "artifacts_preloaded": artifacts_preloaded,
         # fixed-work environment probes, taken before any timed query:
         # normalize cross-round totals by the probe ratio (one division)
@@ -790,6 +805,27 @@ def main() -> None:
         # sample of the residual the read rule must tolerate
         "warm_total_per_calib_cpu_end": round(
             total / calib_end["cpu_single_thread_sec"], 2
+        ),
+        # CANONICAL cross-round comparator (r14 verdict task 2): warm
+        # total over the MEDIAN of the three same-run CPU probes.
+        # Round 14's committed run showed why a single probe cannot
+        # be the comparator: the start probe caught a transiently
+        # fast machine state (0.2706 s vs 0.3949 mid-run vs 0.3153 at
+        # end), putting the start-probe quotient (325.95) exactly on
+        # the 1.3x read-rule boundary while the end-probe quotient
+        # (279.74) sat comfortably inside it. The median of three
+        # probes is robust to any ONE probe landing in a transient —
+        # the r15 verdict and onward compare THIS field across rounds.
+        "warm_total_per_calib_cpu_median": round(
+            total
+            / _median(
+                [
+                    calib["cpu_single_thread_sec"],
+                    calib_stream["cpu_single_thread_sec"],
+                    calib_end["cpu_single_thread_sec"],
+                ]
+            ),
+            2,
         ),
         "streaming_noop_rps_x_calib_cpu": (
             round(stream_rps * calib_stream["cpu_single_thread_sec"])

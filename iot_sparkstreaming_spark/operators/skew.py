@@ -215,6 +215,14 @@ def capped_bucket_self_join(
         raise ValueError(f"capped_bucket_self_join cap must be >= 1, got {cap}")
     if n_probes < 1:
         raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    # Duplicate (id, band, bucket) rows would each survive the occ
+    # join and explode per-probe, multiplying join input d^2-fold for
+    # duplication factor d — the final pair-distinct hides that, but
+    # at the extra shuffle volume (the same rationale array_distinct
+    # states for coinciding probe shards below). Occupancy already
+    # counts DISTINCT ids, so dropping duplicates here changes no
+    # output, only the join input mass (ADVICE r14).
+    bands = bands.dropDuplicates([id_col, band_col, bucket_col])
     occ = bands.groupBy(band_col, bucket_col).agg(
         F.countDistinct(col(id_col)).alias("_occ")
     )

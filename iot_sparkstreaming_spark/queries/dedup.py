@@ -565,11 +565,12 @@ def _band_candidate_pairs(
     self-join (the conditional docs/ARTIFACTS.md's skew-trend sentence
     promises, executed here rather than prose).
 
-    The gate: one tiny aggregation over the (band, bucket) occupancy
-    table — at most N_BANDS·2^bits rows after the map-side combine, a
-    few KB at ANY corpus size, and the only extra action this branch
-    adds to the artifact build — measures the skew factor = candidate
-    mass Σ C(occ, 2) over the uniform-sign model's own
+    The gate: ONE extra action per artifact build — the (band,
+    bucket) occupancy aggregate (at most N_BANDS·2^bits rows after
+    the map-side combine, a few KB at ANY corpus size) crossJoined
+    with an exact countDistinct(vec_id) over the band table (O(n)
+    map-side partials, one row out) — measures the skew factor =
+    candidate mass Σ C(occ, 2) over the uniform-sign model's own
     N_BANDS·n²/2^(bits+1) (the identical definition the occupancy
     audit reports, tools/lsh_occupancy.py, which imports the SAME
     ``SKEW_WIRE_THRESHOLD`` / ``CAP_MULT`` constants from
@@ -608,14 +609,29 @@ def _band_candidate_pairs(
         occ = bands.groupBy("band", "bucket").agg(
             F.countDistinct("vec_id").alias("_occ")
         )
-        stats = occ.agg(
-            F.sum(
-                col("_occ").cast("bigint") * (col("_occ") - 1) / 2
-            ).alias("mass"),
-            F.sum("_occ").alias("n_rows"),
-        ).first()
-        # one row per (vec, band) in the index, so n = rows / N_BANDS
-        n = int(stats["n_rows"] or 0) // N_BANDS
+        # Corpus size n as an EXACT countDistinct(vec_id) over the
+        # band table, not the old `rows // N_BANDS` (r14 verdict task
+        # 5): the gate is the component future band tables get routed
+        # through, and a table where ids occupy MORE than one row per
+        # band — duplicated rows, or a probe-expanded index with
+        # several buckets per (id, band) — would inflate a row-derived
+        # n, inflate model_mass ~n²-fold, and silently understate skew
+        # below the wiring threshold. The crossJoin of the two 1-row
+        # aggregates keeps this ONE gate action; the countDistinct is
+        # an O(n) map-side-partial aggregate paid once per artifact
+        # build — noise next to the band self-join it gates.
+        stats = (
+            occ.agg(
+                F.sum(
+                    col("_occ").cast("bigint") * (col("_occ") - 1) / 2
+                ).alias("mass")
+            )
+            .crossJoin(
+                bands.agg(F.countDistinct("vec_id").alias("n_distinct"))
+            )
+            .first()
+        )
+        n = int(stats["n_distinct"] or 0)
         if n > 1:
             bits = lsh_bits(n)
             model_mass = N_BANDS * n * n / 2 ** (bits + 1)

@@ -399,9 +399,14 @@ def history_by_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Warning streaks: batch (gaps-and-islands) twin of the stateful operator
 # ---------------------------------------------------------------------------
 
-STREAK_ORACLE = (
-    TELEMETRY_CTE
-    + """,
+def _streak_oracle(min_streak: int) -> str:
+    """Gaps-and-islands streak oracle, parametrized on the minimum
+    streak length — identical text at every threshold except the
+    final WHERE constant, so both registered variants share one
+    audited SQL shape."""
+    return (
+        TELEMETRY_CTE
+        + f""",
 seq AS (
   SELECT user_id, event_ms, warning,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -417,22 +422,21 @@ FROM (
   FROM seq
   WHERE warning <> 'no-use'
 )
-WHERE streak_len >= 3
+WHERE streak_len >= {min_streak}
 """
-)
+    )
 
 
-@register("warning_streak_alerts", oracle=STREAK_ORACLE)
-def warning_streak_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consecutive-warning streaks >= 3 per user — the batch
-    (gaps-and-islands window) twin of the streaming state-store
-    operator :func:`iot_sparkstreaming_spark.streaming.stateful.
-    warning_streaks`; same semantics, oracle-exact here, state-store
-    incremental there.
+STREAK_ORACLE = _streak_oracle(3)
+
+
+def _warning_streaks(
+    spark: SparkSession, sf_dir: str, min_streak: int
+) -> DataFrame:
+    """Shared gaps-and-islands plan behind both streak variants.
 
     Scale: both window passes partition by ``user_id`` — one shuffle,
-    reused across the three ROW_NUMBERs (same partitioning key).
-    """
+    reused across the three ROW_NUMBERs (same partitioning key)."""
     from pyspark.sql.window import Window
 
     c = classified(spark, sf_dir).select(
@@ -458,5 +462,36 @@ def warning_streak_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "warning",
             F.row_number().over(island).cast("bigint").alias("streak_len"),
         )
-        .filter(col("streak_len") >= 3)
+        .filter(col("streak_len") >= min_streak)
     )
+
+
+@register("warning_streak_alerts", oracle=STREAK_ORACLE)
+def warning_streak_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-warning streaks >= 3 per user — the batch
+    (gaps-and-islands window) twin of the streaming state-store
+    operator :func:`iot_sparkstreaming_spark.streaming.stateful.
+    warning_streaks`; same semantics, oracle-exact here, state-store
+    incremental there.
+
+    See :func:`_warning_streaks` for the plan and its scale note.
+    """
+    return _warning_streaks(spark, sf_dir, 3)
+
+
+@register("warning_streak_alerts_min2", oracle=_streak_oracle(2))
+def warning_streak_alerts_min2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-2 variant of :func:`warning_streak_alerts` —
+    same gaps-and-islands plan, same oracle shape, ``streak_len >= 2``.
+
+    Registered because the threshold-3 original returns ZERO rows at
+    sf0.01 (streaks of >= 3 classified warnings never occur in the
+    synthetic events draw), so its external CORRECTNESS row had
+    passed vacuously in every round since r2 — 0 Spark rows vs 0
+    oracle rows discriminates nothing (r14 verdict task 4). At
+    threshold 2 the query yields nonzero rows at sf0.01, giving the
+    streak family its first hash row computed over actual data; the
+    threshold-3 semantics stay pinned locally with nonzero rows by
+    tests/test_stateful.py (exact streak-and-reset fixture).
+    """
+    return _warning_streaks(spark, sf_dir, 2)

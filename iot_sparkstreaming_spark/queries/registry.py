@@ -162,11 +162,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 #   filled from the oldest round-9 rows in landing order. After r14,
 #   no query's latest external row is older than r9.
 #
+# * round 15 applies the standing policy again: 8 reference pinned
+#   + the 3 round-15 code-changed queries (dedup_embedding_cosine
+#   and mutual_nn_pairs — the gate's corpus-size estimate hardened
+#   to a duplicate-proof per-band distinct sum, so the
+#   lsh_scored_pairs fingerprint rotated and the naive branch's
+#   bitwise-identity is re-proved externally; plus the NEW
+#   warning_streak_alerts_min2, the streak family's first external
+#   row with nonzero spark_rows in 13 rounds — the threshold-3
+#   original had passed vacuously at 0 oracle rows since r2) + the
+#   complete 35-query round-9 cohort + 4 slots filled from the
+#   oldest round-10 rows in landing order. After r15, no query's
+#   latest external row is older than r10 (the standing N−5
+#   invariant, held four rounds running).
+#
 # Everything outside the prefix keeps local oracle coverage via
 # tests/test_oracle_parity.py, which parametrizes the full registry.
 _PRIORITY_PREFIX = [
-    # ROUND 14 window: 8 reference pinned + 2 code-changed + the full
-    # 38-query round-8 cohort + 2 oldest round-9 rows = 50 exactly.
+    # ROUND 15 window: 8 reference pinned + 3 code-changed + the full
+    # 35-query round-9 cohort + 4 oldest round-10 rows = 50 exactly.
     #
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
@@ -177,60 +191,63 @@ _PRIORITY_PREFIX = [
     "userhistory_pk_dedup",
     "history_by_user_join",
     "warning_streak_alerts",
-    # -- code changed in round 14: queries/dedup._lsh_scored_pairs
-    #    (the shared artifact both these queries filter) now builds
-    #    its candidate pairs through the occupancy-gated
-    #    _band_candidate_pairs — naive equi-join below the measured
-    #    2.0x skew threshold (all reachable fixtures), the
-    #    operators/skew.py capped join above it. The gate is inert at
-    #    fixture scale by measurement, so these rows prove the
-    #    no-hash-movement claim externally.
+    # -- code changed in round 15: the lsh_scored_pairs gate's
+    #    corpus-size estimate is now the duplicate-proof per-band
+    #    distinct sum taken in the same bounded occupancy pass
+    #    (queries/dedup._band_candidate_pairs), and the capped join
+    #    dedupes input rows before the occ join (operators/skew.py) —
+    #    both inert on the duplicate-free production band table, and
+    #    these two consumers' rows prove no hash moved.
     "dedup_embedding_cosine",
     "mutual_nn_pairs",
-    # -- oldest-first fill (38): the complete round-8 cohort — every
-    #    query whose latest external row is r8, the oldest anywhere,
+    #    NEW in round 15: the streak family's discriminating external
+    #    row (threshold 2 -> nonzero rows at sf0.01; the threshold-3
+    #    original above stays pinned, 0-row since r2 but locally
+    #    pinned with data by tests/test_stateful.py).
+    "warning_streak_alerts_min2",
+    # -- oldest-first fill (35): the complete round-9 cohort — every
+    #    query whose latest external row is r9, the oldest anywhere,
     #    in its original landing order
-    "ks_drift_events",
-    "image_gif_features",
-    "bfs_distance_from_hub",
-    "ann_dim_truncation_overlap",
-    "dedup_weighted_sampling",
-    "k_anonymity_audit",
-    "textrank_keywords",
-    "tar_shard_roundtrip",
-    "theil_sen_trend_user",
-    "doc_novelty_ratio",
-    "nearest_event_join",
-    "sql_top_spenders_per_segment",
-    "seasonal_zscore_outliers",
-    "revenue_mom_growth",
-    "user_activity_features",
-    "kmeans_centroid_drift",
-    "cdc_apply_changes",
-    "activity_bitmap_retention",
-    "gini_concentration_segment",
-    "holt_linear_forecast_user",
-    "mann_whitney_events",
-    "mmr_diversified_topk",
-    "zonemap_skipping_report",
-    "ann_hard_negatives",
-    "cross_correlation_types",
-    "graph_modularity_communities",
-    "sql_above_segment_average",
-    "compaction_bin_packing",
-    "lang_confusion_matrix",
-    "sql_recursive_month_spine",
-    "viewers_without_purchase",
-    "classifier_agreement_kappa",
-    "ols_time_regression_user",
-    "ohlc_bars_type_hour",
-    "phrase_search_positional",
-    "attribution_linear_touches",
-    "pareto_front_customers",
-    "rate_limit_sliding_audit",
-    # -- fill to 50 (2): the oldest round-9 rows in landing order
-    "er_fellegi_sunter",
-    "grid_density_core",
+    "sql_unpivot_user_metrics",
+    "audience_overlap_jaccard",
+    "calibration_bins_events",
+    "chisq_type_segment",
+    "curriculum_interleave_docs",
+    "hits_trade_graph",
+    "hll_portable_events",
+    "spearman_value_vs_time",
+    "holt_winters_seasonal_user",
+    "kwic_concordance_docs",
+    "readability_flesch_docs",
+    "skew_key_diagnosis",
+    "sql_group_by_all",
+    "welch_t_test_purchase_view",
+    "zip_shard_roundtrip",
+    "multimodal_manifest",
+    "multimodal_features",
+    "sql_revenue_by_region",
+    "temperature_mix_allocation",
+    "assign_global_ids",
+    "bpe_encode_docs",
+    "window_topk_per_user",
+    "window_running_total",
+    "window_event_deltas",
+    "sessionize_events",
+    "rollup_customer_census",
+    "cube_event_census",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    # -- fill to 50 (4): the oldest round-10 rows in landing order
+    "approx_distinct_sketch",
+    "customers_without_orders",
+    "datetime_ship_delay",
+    "distinct_suppliers_per_segment",
 ]
 
 _MODULE_ORDER = [

@@ -181,6 +181,48 @@ def test_capped_occupancy_counts_distinct_ids(spark):
     assert got == _naive_pairs(set(rows))
 
 
+def test_gate_corpus_estimate_immune_to_expanded_bands(spark):
+    """The gate's corpus-size estimate is countDistinct(vec_id), not
+    rows-derived (r14 verdict task 5): a band table where each id
+    occupies MORE than one bucket per band (probe-expanded index, or
+    plain duplicated rows) must not inflate n — the old
+    `rows // N_BANDS` would double n here, quadruple model_mass, read
+    skew 0.97 < 2.0 and silently leave the hot buckets UNCAPPED.
+
+    Geometry (4 bands = similarity.N_BANDS, 64 distinct ids, each id
+    on TWO rows per band): per band, ids 0..31 share one hot bucket
+    (occ 32) and every id also sits in its own singleton bucket
+    (mass 0). True n = 64 -> bits = 4, model_mass = 512, mass =
+    4*C(32,2) = 1984, skew = 3.875 >= 2.0 -> the gate must cap at
+    CAP_MULT*64/16 = 16 and shard the occ-32 buckets: output is a
+    strict subset of the naive pairs, and IDENTICAL to forcing that
+    cap through the same path."""
+    from iot_sparkstreaming_spark.queries.dedup import _band_candidate_pairs
+
+    rows = []
+    for band in range(4):
+        rows += [(i, band, 0) for i in range(32)]          # hot bucket
+        rows += [(i, band, 1 + (i - 32)) for i in range(32, 64)]
+        rows += [(i, band, 1000 + i) for i in range(64)]   # 2nd row/id
+    df = _bands_df(spark, rows)
+    gated = {(r.vec_a, r.vec_b) for r in _band_candidate_pairs(df).collect()}
+    naive = _naive_pairs(rows)
+    assert gated < naive  # the gate fired despite the row expansion
+    forced = {
+        (r.vec_a, r.vec_b)
+        for r in _band_candidate_pairs(df, force_cap=16).collect()
+    }
+    assert gated == forced  # gate-derived cap == CAP_MULT * n / 2^bits
+    # whole-table duplication changes nothing: n and mass are both
+    # distinct-based, and the capped join drops duplicate input rows
+    # before the occ join (ADVICE r14) instead of exploding them
+    gated_dup = {
+        (r.vec_a, r.vec_b)
+        for r in _band_candidate_pairs(_bands_df(spark, rows * 2)).collect()
+    }
+    assert gated_dup == gated
+
+
 def test_multiprobe_monotone_and_bounded(spark):
     """n_probes=2 must strictly EXTEND the p=1 candidate set (probe 0
     is the base (id, band) draw, so every p=1 collision persists),

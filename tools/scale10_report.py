@@ -348,12 +348,54 @@ def main() -> None:
                     if alpha2 > 1.15
                     else "did NOT reproduce — in-context GC/JIT state"
                 )
+                floor = ""
+                if name == "link_prediction_suppliers":
+                    # Re-confirm the exact-enumeration floor at the
+                    # SAME draw that adjudicates the flag (r14 verdict
+                    # task 6): the established explanation for any
+                    # near-linear link-prediction alpha is Θ(wedge
+                    # mass) work at flat throughput, so publish the
+                    # recheck's own wedge rows/s beside its alpha —
+                    # if the flag were a real plan defect, throughput
+                    # would COLLAPSE across the decade instead of
+                    # holding the 41-43 M rows/s band. Mass comes from
+                    # a bounded aggregation over the capped adjacency
+                    # (never by enumerating the wedge stream).
+                    from pyspark.sql import functions as F
+                    from pyspark.sql.functions import col
+
+                    from iot_sparkstreaming_spark.operators.graph import (
+                        wedge_adjacency,
+                    )
+                    from iot_sparkstreaming_spark.queries.analytics import (
+                        LP_MAX_DEG,
+                        _trade_pairs,
+                    )
+
+                    thr = {}
+                    for d in (d1, d2):
+                        adj = wedge_adjacency(_trade_pairs(spark, d), LP_MAX_DEG)
+                        wm = int(
+                            adj.select(F.size("nb").alias("sz"))
+                            .agg(
+                                F.sum(
+                                    col("sz").cast("bigint") * (col("sz") - 1) / 2
+                                ).alias("wm")
+                            )
+                            .first()["wm"]
+                        )
+                        adj.unpersist()
+                        thr[d] = wm / max(times[d], 1e-4) / 1e6
+                    floor = (
+                        f"; wedge throughput at this draw "
+                        f"{thr[d1]:.0f} → {thr[d2]:.0f} M wedge rows/s"
+                    )
                 note = (
                     f" (recheck of the {c1}x→{c2}x decade, isolated "
                     f"best-of-{runs}: {times[d1]:.2f}s → {times[d2]:.2f}s, "
-                    f"alpha {alpha2:.2f} — {verdict})"
+                    f"alpha {alpha2:.2f} — {verdict}{floor})"
                 )
-                print(f"recheck {name}: alpha {alpha:.2f} -> {alpha2:.2f}")
+                print(f"recheck {name}: alpha {alpha:.2f} -> {alpha2:.2f}{floor}")
             out.append((name, best, alpha, note))
         return out
 
@@ -491,7 +533,12 @@ def main() -> None:
         "neighborhood state (assortativity 24.8 s in-loop vs 12.1 s",
         "isolated, same code/data), so a flag is believed only if it",
         "reproduces; non-reproducing flags stay in the table with their",
-        "recheck numbers — both draws shown, neither erased.",
+        "recheck numbers — both draws shown, neither erased. A",
+        "link-prediction recheck additionally records the wedge",
+        "throughput (mass / recheck seconds) at the SAME draw, so the",
+        "exact-enumeration floor claim — flat ~41-43 M wedge rows/s,",
+        "Θ(capped wedge mass) work — is re-confirmed by the very numbers",
+        "that adjudicate the flag instead of standing on an earlier run.",
         "",
         "This measurement earned its keep on its first run: it caught",
         "`ann_incremental_assign` at **20.5x** for 10x data (1.62 s ->",
