@@ -106,6 +106,48 @@ def test_streak_stateful_twin_parity(spark):
     assert stream_rows == batch_rows
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(TWIN_SF_DIR), reason="sf0.1 testdata not present"
+)
+def test_streak_min2_stateful_twin_parity(spark):
+    """The threshold-2 registered variant (warning_streak_alerts_min2,
+    the streak family's externally discriminating row since round 15)
+    must ALSO be the same computation as the stateful operator at
+    min_streak=2 — the twin claim holds at every threshold, not just
+    the reference's 3."""
+    from iot_sparkstreaming_spark.functions.health import classify_warning
+    from iot_sparkstreaming_spark.queries.reference import (
+        warning_streak_alerts_min2,
+    )
+    from iot_sparkstreaming_spark.streaming.stateful import warning_streaks
+
+    classified = _fitbit_stream(spark, TWIN_SF_DIR).withColumn(
+        "warning",
+        classify_warning(F.col("pulse"), F.col("age"), F.col("bp_cat")),
+    )
+    _run_to_memory(
+        warning_streaks(
+            classified, min_streak=2, order_cols=("ts", "event_id")
+        ),
+        "twin_streaks_min2",
+    )
+    stream_rows = sorted(
+        (r.user_id, r.machine_timestamp, r.streak_len, r.warning)
+        for r in spark.sql(
+            "SELECT user_id, machine_timestamp, streak_len, warning"
+            " FROM twin_streaks_min2"
+        ).collect()
+    )
+    batch_rows = sorted(
+        (str(r.user_id), r.event_ms, int(r.streak_len), r.warning)
+        for r in warning_streak_alerts_min2(spark, TWIN_SF_DIR).collect()
+    )
+    # the min2 set strictly contains the min3 set and is nonzero even
+    # at sf0.01 (why the variant exists); at sf0.1 both are nonempty
+    assert len(batch_rows) > 0
+    assert stream_rows == batch_rows
+
+
 def test_streak_state_survives_micro_batch_boundaries(spark, tmp_path):
     """The streak counter must persist across REAL micro-batch
     boundaries: split the events table into six time-range files,
