@@ -372,6 +372,8 @@ def main() -> None:
                         _trade_pairs,
                     )
 
+                    import gc
+
                     thr = {}
                     for d in (d1, d2):
                         adj = wedge_adjacency(_trade_pairs(spark, d), LP_MAX_DEG)
@@ -382,9 +384,20 @@ def main() -> None:
                                     col("sz").cast("bigint") * (col("sz") - 1) / 2
                                 ).alias("wm")
                             )
+                            # `or 0`: an empty capped adjacency sums to
+                            # NULL, and the recheck must degrade to a
+                            # 0-rate column, not kill the ~35-min run
                             .first()["wm"]
+                            or 0
                         )
                         adj.unpersist()
+                        # the adjacency is localCheckpoint-backed;
+                        # unpersist alone doesn't free the checkpoint
+                        # blocks — drop the reference and let the
+                        # ContextCleaner reclaim them before the
+                        # streaming loops (linkpred_profile precedent)
+                        del adj
+                        gc.collect()
                         thr[d] = wm / max(times[d], 1e-4) / 1e6
                     floor = (
                         f"; wedge throughput at this draw "
