@@ -223,6 +223,69 @@ def test_gate_corpus_estimate_immune_to_expanded_bands(spark):
     assert gated_dup == gated
 
 
+def test_capped_join_invariants_randomized(spark):
+    """Property test over randomized band tables (hypothesis): for ANY
+    table — including duplicate rows and multi-bucket ids — and any
+    cap, (1) p=1 pairs ⊆ p=2 pairs ⊆ naive pairs (monotone in probes,
+    never exceeds the uncapped set), (2) cap ≥ the max distinct
+    occupancy gives EXACTLY the naive set (the wireability guarantee
+    on arbitrary geometry, not just the fixtures above), and (3)
+    duplicating every input row changes nothing (distinct-based
+    occupancy + input dedup). One Spark job chain per example, low
+    example count for JVM round-trip cost (test_properties.py
+    policy)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from iot_sparkstreaming_spark.operators.skew import capped_bucket_self_join
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),  # vec_id
+                st.integers(min_value=0, max_value=1),   # band
+                st.integers(min_value=0, max_value=2),   # bucket
+            ),
+            min_size=2,
+            max_size=48,
+        ),
+        cap=st.integers(min_value=1, max_value=6),
+    )
+    def prop(rows, cap):
+        df = _bands_df(spark, rows)
+        p1 = {
+            (r.id1, r.id2)
+            for r in capped_bucket_self_join(df, cap=cap).collect()
+        }
+        p2 = {
+            (r.id1, r.id2)
+            for r in capped_bucket_self_join(df, cap=cap, n_probes=2).collect()
+        }
+        naive = _naive_pairs(set(rows))
+        assert p1 <= p2 <= naive
+        occ = Counter()
+        for vid, band, bucket in set(rows):
+            occ[(band, bucket)] += 1
+        if cap >= max(occ.values()):
+            assert p1 == naive
+        dup = {
+            (r.id1, r.id2)
+            for r in capped_bucket_self_join(
+                _bands_df(spark, rows * 2), cap=cap
+            ).collect()
+        }
+        assert dup == p1
+
+    prop()
+
+
 def test_multiprobe_monotone_and_bounded(spark):
     """n_probes=2 must strictly EXTEND the p=1 candidate set (probe 0
     is the base (id, band) draw, so every p=1 collision persists),
