@@ -82,6 +82,16 @@ PLANES: list[list[float]] = [
 
 
 def _dot(u: Column, w: Column) -> Column:
+    # NOTE (r15 optimization round, measured and REJECTED): unrolling
+    # this HOF fold into 64 codegen'd multiply-adds is 2.2x faster
+    # per evaluation on an isolated 4M-pair cross-score, but it makes
+    # every expression tree that embeds a dot ~64x larger — and the
+    # multi-branch ANN/kmeans plans walk those trees repeatedly during
+    # Catalyst optimization and whole-stage codegen, which DOMINATES
+    # at bench scale (ann_ivf_pq 0.53 s -> 2.41 s, ann_incremental
+    # 1.76 -> 4.62, rrf 1.00 -> 2.37, knn 0.44 -> 0.96; the banded-LSH
+    # index build additionally overflowed janino and fell back to
+    # interpreted execution). See OPTIMIZATION_r15.md.
     return F.aggregate(
         F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1987,24 +1997,32 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         # max|u| > 2^63·V (~1e5-1e6 vectors); this form keeps the
         # engine exact to the scatter's own decimal(29,0) bound
         # (~1e10 vectors at |s| ≤ 1e4).
+        #
+        # max|u| rides an UNPARTITIONED WINDOW over the d-row iterate
+        # (bounded: u is always exactly DIM rows), not a separate
+        # agg + crossJoin: the agg form referenced ``u`` from TWO plan
+        # branches per round, and with the iterate feeding forward the
+        # unrolled plan duplicated the scatter join 2^rounds times
+        # (28 parquet scans / 84 hash aggregates for 3 rounds —
+        # plans/r15/embedding_pca_power_before.txt). One reference per
+        # round keeps the plan linear: 3 scatter passes, one window
+        # exchange over 64 rows each. The md expression is unchanged,
+        # so every component is bitwise identical.
         vn = F.lit(PCA_VNORM).cast("decimal(38,0)")
-        mx = F.max(F.abs(col("u")))
-        m = u.agg(
+        mx = F.max(F.abs(col("u"))).over(Window.partitionBy())
+        v = u.withColumn(
+            "md",
             F.greatest(
                 ((mx - mx % vn) / vn).cast("decimal(29,0)"),
                 F.lit(1).cast("decimal(29,0)"),
-            ).alias("md")
-        )
-        v = (
-            u.crossJoin(F.broadcast(m))
-            .select(
-                col("i").alias("j"),
-                (
-                    F.when(col("u") < 0, F.lit(-1)).otherwise(F.lit(1))
-                    * F.expr("abs(u) div md")
-                ).cast("long")
-                .alias("v"),
-            )
+            ),
+        ).select(
+            col("i").alias("j"),
+            (
+                F.when(col("u") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr("abs(u) div md")
+            ).cast("long")
+            .alias("v"),
         )
     return v.select(
         col("j").cast("bigint").alias("dim"),
