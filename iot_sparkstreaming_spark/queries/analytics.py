@@ -1542,12 +1542,14 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate that costs one exchange of group rows, never data
     rows. Exact decimal sum keeps the per-bin mass order-independent.
     """
+    from iot_sparkstreaming_spark.operators.output import bounded_sort
+
     ev = load_table(spark, sf_dir, "events")
     bin_c = F.least(
         F.greatest(F.floor(col("value") / HIST_BIN_WIDTH), F.lit(0)),
         F.lit(HIST_N_BINS - 1),
     ).cast("bigint")
-    return (
+    hist = (
         ev.select("event_type", "value", bin_c.alias("bin"))
         .groupBy("event_type", "bin")
         .agg(
@@ -1561,8 +1563,10 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
-        .orderBy("event_type", "bin")
     )
+    # bounded output (event types x HIST_N_BINS cells): sorted without
+    # the range-sample job + exchange a global orderBy plans
+    return bounded_sort(hist, "event_type", "bin")
 
 
 # ---------------------------------------------------------------------------
@@ -1712,13 +1716,18 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(col("to_type").isNotNull())
+    from iot_sparkstreaming_spark.operators.output import bounded_sort
+
     c = nxt.groupBy("from_type", "to_type").agg(F.count("*").cast("bigint").alias("n"))
-    return c.select(
+    matrix = c.select(
         "from_type",
         "to_type",
         "n",
         (col("n").cast("double") / F.sum("n").over(Window.partitionBy("from_type"))).alias("p"),
-    ).orderBy("from_type", "to_type")
+    )
+    # bounded output (|types|^2 matrix cells): sorted without the
+    # range-sample job + exchange a global orderBy plans
+    return bounded_sort(matrix, "from_type", "to_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1875,7 +1884,9 @@ def value_equidepth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_num=col("value"),
         tiebreaks=["event_id"],
     )
-    return (
+    from iot_sparkstreaming_spark.operators.output import bounded_sort
+
+    bins = (
         ranked.select(
             "event_type",
             "value",
@@ -1887,8 +1898,11 @@ def value_equidepth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
         )
-        .orderBy("event_type", "bucket")
     )
+    # bounded output (event types x 4 quartile buckets): sorted without
+    # the range-sample job + exchange a global orderBy plans (measured
+    # 0.94 -> 0.71 s isolated at sf0.1)
+    return bounded_sort(bins, "event_type", "bucket")
 
 
 # ---------------------------------------------------------------------------

@@ -745,7 +745,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(c) for c in VOCAB_CUTS]), (col("id") + 1).cast("int")
         ).alias("cut")
     )
-    return (
+    from iot_sparkstreaming_spark.operators.output import bounded_sort
+
+    curve = (
         F.broadcast(cuts)
         .join(ranked, ranked.rk <= col("cut"))
         .crossJoin(F.broadcast(total))
@@ -761,8 +763,10 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
             (col("covered").cast("double") / col("total_tokens")).alias("coverage"),
         )
-        .orderBy("cut")
     )
+    # bounded output (one row per VOCAB_CUTS entry): sorted without
+    # the range-sample job + exchange a global orderBy plans
+    return bounded_sort(curve, "cut")
 
 
 # ---------------------------------------------------------------------------
