@@ -1071,6 +1071,17 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique, so row_number is deterministic without a tie-break
     column.
     """
+    return _dup_spans(spark, sf_dir)
+
+
+def _dup_spans(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
+    """The dup_token_spans derivation with the report sort optional:
+    ``dedup_span_scrub`` consumes the spans through a distinct +
+    collect_set (order-insensitive), so it skips the global sort —
+    removing a full range exchange AND its sampling job from the scrub
+    plan (and, at scale, a global sort of every duplicated-span row)."""
     from iot_sparkstreaming_spark.artifacts import artifact_memo
 
     def build() -> DataFrame:
@@ -1082,7 +1093,7 @@ def dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input-invariant, so it is session-memoized like the other
     # retrieval indexes; the diagonal merge runs per call.
     kept = artifact_memo(spark, ("dup_span_grams", sf_dir), build)
-    return spans_from_gram_index(kept, k=DUP_SPAN_K)
+    return spans_from_gram_index(kept, k=DUP_SPAN_K, ordered=ordered)
 
 
 def dup_span_gram_index(
@@ -1115,9 +1126,13 @@ def duplicate_token_spans(
     return spans_from_gram_index(dup_span_gram_index(docs, k, max_df), k=k)
 
 
-def spans_from_gram_index(kept: DataFrame, k: int) -> DataFrame:
+def spans_from_gram_index(
+    kept: DataFrame, k: int, ordered: bool = True
+) -> DataFrame:
     """Stage 2: inverted-index self-join on the gram hash + the
-    gaps-and-islands diagonal merge into maximal shared spans."""
+    gaps-and-islands diagonal merge into maximal shared spans.
+    ``ordered=False`` skips the report sort for consumers that reduce
+    the spans order-insensitively (see ``_dup_spans``)."""
     a = kept.select(col("doc_id").alias("doc_a"), col("pos").alias("pa"), "gh")
     b = kept.select(col("doc_id").alias("doc_b"), col("pos").alias("pb"), "gh")
     hits = (
@@ -1127,7 +1142,7 @@ def spans_from_gram_index(kept: DataFrame, k: int) -> DataFrame:
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = hits.withColumn("isle", col("pa") - F.row_number().over(w))
-    return (
+    spans = (
         runs.groupBy("doc_a", "doc_b", "diag", "isle")
         .agg(
             F.min("pa").cast("bigint").alias("start_a"),
@@ -1135,8 +1150,10 @@ def spans_from_gram_index(kept: DataFrame, k: int) -> DataFrame:
             (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
-        .orderBy("doc_a", "doc_b", "start_a", "start_b")
     )
+    if not ordered:
+        return spans
+    return spans.orderBy("doc_a", "doc_b", "start_a", "start_b")
 
 
 dup_token_spans.__doc__ = dup_token_spans.__doc__.replace("{K}", str(DUP_SPAN_K)).replace(
@@ -1231,7 +1248,11 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-doc token arrays never leave their partitions.
     """
     docs = load_table(spark, sf_dir, "documents")
-    spans = dup_token_spans(spark, sf_dir)
+    # unordered spans: the distinct + collect_set below is
+    # order-insensitive, so the report sort (a range exchange + its
+    # sampling job, and at scale a global sort of every span row)
+    # would be pure waste in this plan
+    spans = _dup_spans(spark, sf_dir, ordered=False)
     rem = (
         spans.select(
             col("doc_b").alias("doc_id"),
