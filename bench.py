@@ -336,6 +336,8 @@ def compact_line(
     calib: dict[str, object] | None = None,
     addbatch_rps: int | None = None,
     sink_addbatch_rps: int | None = None,
+    cpus: int | None = None,
+    default_parallelism: int | None = None,
 ) -> str:
     """Serialize the driver-facing JSON line, ≤ MAX_LINE_BYTES.
 
@@ -355,6 +357,14 @@ def compact_line(
         "cold_total_wall_sec": cold_total,
         "sf": sf,
         "runs_per_query": 2,
+        # scaling-contract legibility (r15 verdict task 2): the core
+        # count the harness was ASKED to use ($SPARK_GRAFT_CPUS, the
+        # value session.py passes to master/shuffle partitions) next to
+        # the parallelism the session ACTUALLY got — so "knob ignored"
+        # is mechanically distinguishable from "constant-bound at this
+        # SF" without reading the code.
+        "cpus": cpus,
+        "default_parallelism": default_parallelism,
         "streaming_rows_per_sec": stream_rps,
         "streaming_rows_per_sec_trials": stream_rps_trials,
         "streaming_sink_rows_per_sec": sink_rps,
@@ -403,6 +413,10 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Scaling-contract fields (r15 verdict task 2): the requested core
+    # count and the parallelism the session actually came up with.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    default_parallelism = spark.sparkContext.defaultParallelism
 
     # Whether the parquet artifact store already holds build-once
     # indexes (iot_sparkstreaming_spark/artifacts.py): when True, the
@@ -733,6 +747,9 @@ def main() -> None:
         "cold_total_wall_sec": cold_total,
         "sf": sf,
         "runs_per_query": 2,
+        # scaling-contract legibility (r15 verdict task 2)
+        "cpus": cpus,
+        "default_parallelism": default_parallelism,
         # the 15 heaviest queries (plus the pinned
         # ann_incremental_assign) run a 3rd time; full per-run spread
         # (run order: cold, warm, warm) so ±0.2 s swings are
@@ -873,6 +890,8 @@ def main() -> None:
             calib=calib,
             addbatch_rps=full["streaming_addbatch_rows_per_sec"],
             sink_addbatch_rps=full["streaming_sink_addbatch_rows_per_sec"],
+            cpus=cpus,
+            default_parallelism=default_parallelism,
         )
     )
     spark.stop()

@@ -764,8 +764,16 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (col("covered").cast("double") / col("total_tokens")).alias("coverage"),
         )
     )
-    # bounded output (one row per VOCAB_CUTS entry): sorted without
-    # the range-sample job + exchange a global orderBy plans
+    # bounded output (one row per VOCAB_CUTS entry). Evidence note
+    # (r15 verdict task 6): unlike the other three bounded_sort call
+    # sites, this query's orderBy never planned a rangepartitioning
+    # exchange — upstream already ends in an Exchange SinglePartition
+    # (the unpartitioned rank window), so Catalyst planned the final
+    # sort over that single partition and the committed before-plan
+    # shows no range-sample job. The swap here merely keeps the final
+    # sort inside the existing single partition (a coalesce instead of
+    # the single-partition exchange); rows and order are identical
+    # (tests/test_output_sort.py) and the plan stays range-free.
     return bounded_sort(curve, "cut")
 
 

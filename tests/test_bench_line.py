@@ -66,6 +66,21 @@ def test_streaming_trial_spread_recorded() -> None:
     assert parsed["streaming_sink_rows_per_sec_trials"] == [59000, 60000, 61000]
 
 
+def test_cpu_contract_fields_present() -> None:
+    """r15 verdict task 2: the printed line must state the core count
+    the harness was asked to use AND the parallelism the session got,
+    so the driver's scaling probe can tell "knob ignored" from
+    "constant-bound at this SF" without reading the code."""
+    times = {name: 7.7777 for name in HEADLINE}
+    line = compact_line(
+        times, 1.0, 1.0, 0.1, None, None, cpus=8, default_parallelism=8
+    )
+    assert len(line) <= MAX_LINE_BYTES
+    parsed = json.loads(line)
+    assert parsed["cpus"] == 8
+    assert parsed["default_parallelism"] == 8
+
+
 def test_median_helper() -> None:
     from bench import _median
 
