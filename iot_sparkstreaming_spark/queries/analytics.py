@@ -2685,33 +2685,59 @@ def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimals and combine in ONE identical double expression per
     engine (same moment-form discipline as ``stats_correlation``).
 
-    Scale shape: the distinct trading pairs come from the shared
+    Scale shape (restructured round 16 — the edge list crossed the
+    wire twice): the distinct trading pairs come from the shared
     memoized ``_trade_pairs`` artifact (one fact join + distinct per
     session, shared with PageRank/k-core/LPA); then one degree
-    aggregate (map-side combined), two joins of the degree table back
-    onto edges — both on the SAME node-key partitioning the degree
-    agg produced — then a 1-row moment collapse. No per-node windows,
-    no quadratic anything.
+    aggregate (map-side combined). The edge list is SYMMETRIC by
+    construction (both directions present), so the edge-level moment
+    sums collapse to NODE-level sums: every node is the source of
+    exactly ``deg`` directed edges, each contributing ``x = deg``, so
+    n = Σ deg, sx = sy = Σ deg², sx2 = sy2 = Σ deg³ — all exact
+    integer identities, no join needed. Only the cross moment
+    sxy = Σ_edges deg_a·deg_b needs edge-level pairing: ONE join of
+    the degree table onto edges (on the neighbor key), collapsed
+    map-side to one row per source node — and that group's row count
+    IS the source degree, so the single aggregate yields both deg(a)
+    and the neighbor-degree sum, and the degree subtree is planned
+    once. The edge list crosses the wire once (the old shape joined
+    degrees onto edges twice, built the degree table twice, and ran
+    the moment aggregate over the edge-sized joined table; past the
+    broadcast threshold both joins planned as sort-merge with the
+    edge list exchanged on each key in turn — measured 4.2x
+    wall-growth at the 10x fixture). Every sum is an exact decimal
+    of the same integers, so the final doubles — the same closing
+    expression as before — are bitwise identical.
     """
     pairs = _trade_pairs(spark, sf_dir)
     edges = pairs.union(pairs.select(col("b").alias("a"), col("a").alias("b")))
     deg = edges.groupBy(col("a").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
-    da = deg.select(col("node").alias("a"), col("deg").alias("x"))
-    db = deg.select(col("node").alias("b"), col("deg").alias("y"))
-    j = edges.join(da, "a").join(db, "b")
-    m = j.agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
-        F.sum(col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
-        F.sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — house cast
+    # ONE join of the degree table onto edges (on the neighbor key),
+    # collapsed map-side to one row per source node. The group's row
+    # COUNT is the source degree itself (node a owns exactly deg(a)
+    # edge rows), so this single aggregate yields both x = deg(a) and
+    # the neighbor-degree sum — the degree subtree is referenced once
+    # and no join back is needed.
+    node = (
+        edges.join(deg.select(col("node").alias("b"), col("deg").alias("y")), "b")
+        .groupBy("a")
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(d19(col("y"))).alias("sy_nbr"),
+        )
+    )
+    m = node.agg(
+        F.sum("x").cast("double").alias("n"),
+        F.sum(d19(col("x")) * d19(col("x"))).cast("double").alias("sx"),
+        F.sum(d19(col("x")) * d19(col("x"))).cast("double").alias("sy"),
+        F.sum(d19(col("x")) * col("sy_nbr")).cast("double").alias("sxy"),
+        F.sum(d19(col("x")) * d19(col("x")) * d19(col("x")))
         .cast("double")
         .alias("sx2"),
-        F.sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        F.sum(d19(col("x")) * d19(col("x")) * d19(col("x")))
         .cast("double")
         .alias("sy2"),
     )

@@ -148,14 +148,19 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     first). The fixture is integral, so all orphan counts are zero —
     the report proving it is the operator.
 
-    Scale shape, per relationship: the child side collapses to
-    DISTINCT fk values FIRST (map-side combined — at 100 TB the
-    lineitem scan reduces to |distinct orderkeys| long before any
-    join), then a LEFT ANTI join against the parent key column
-    (broadcast for the small dimensions, shuffle for orders);
-    orphan ROW counts come from joining the orphan-key set back to
-    the child's per-key counts, so no second full scan of raw rows.
-    The 7 one-row reports union into one frame.
+    Scale shape, per relationship (restructured round 16 — the child
+    was scanned TWICE, once for the row/null counts and once for the
+    per-key table): the child side collapses to DISTINCT fk values in
+    ONE map-side-combined groupBy that carries the per-key row count,
+    so child cardinality, NULL-FK rows, orphan rows, and orphan keys
+    all fold out of the SAME key-sized table — child_rows = Σ n_rows
+    (the null group included), null_fk_rows = the null group's count,
+    and orphanhood comes from a LEFT join against the parent key
+    column (unique PK, so the join multiplies nothing and "no match"
+    ≡ the old anti join; broadcast for the small dimensions, shuffle
+    for orders). One child scan, one exchange, one join, one 1-row
+    aggregate per relationship — at 100 TB this halves the corpus
+    scans the audit pays. The 7 one-row reports union into one frame.
     """
     out: DataFrame | None = None
     small_parents = {"part", "supplier", "customer", "nation", "region"}
@@ -163,31 +168,33 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         child = load_table(spark, sf_dir, child_t)
         parent = load_table(spark, sf_dir, parent_t).select(pk)
         per_key = child.groupBy(fk).agg(F.count("*").alias("n_rows"))
-        non_null = per_key.filter(col(fk).isNotNull())
         p = broadcast(parent) if parent_t in small_parents else parent
-        orphans = non_null.join(p, non_null[fk] == p[pk], "left_anti")
-        report = (
-            child.agg(
-                F.count("*").cast("bigint").alias("child_rows"),
-                F.coalesce(F.sum(F.when(col(fk).isNull(), 1).otherwise(0)), F.lit(0))
-                .cast("bigint")
-                .alias("null_fk_rows"),
+        annotated = per_key.join(p, per_key[fk] == p[pk], "left")
+        is_orphan = col(fk).isNotNull() & col(pk).isNull()
+        report = annotated.agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("child_rows"),
+            F.coalesce(
+                F.sum(F.when(col(fk).isNull(), col("n_rows")).otherwise(0)),
+                F.lit(0),
             )
-            .crossJoin(
-                orphans.agg(
-                    F.coalesce(F.sum("n_rows"), F.lit(0))
-                    .cast("bigint")
-                    .alias("orphan_rows"),
-                    F.count("*").cast("bigint").alias("orphan_keys"),
-                )
+            .cast("bigint")
+            .alias("null_fk_rows"),
+            F.coalesce(
+                F.sum(F.when(is_orphan, col("n_rows")).otherwise(0)), F.lit(0)
             )
-            .select(
-                F.lit(name).alias("relationship"),
-                "child_rows",
-                "null_fk_rows",
-                "orphan_rows",
-                "orphan_keys",
-            )
+            .cast("bigint")
+            .alias("orphan_rows"),
+            F.coalesce(F.sum(F.when(is_orphan, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("orphan_keys"),
+        ).select(
+            F.lit(name).alias("relationship"),
+            "child_rows",
+            "null_fk_rows",
+            "orphan_rows",
+            "orphan_keys",
         )
         out = report if out is None else out.unionByName(report)
     return out

@@ -182,8 +182,9 @@ _PRIORITY_PREFIX = [
     # ROUND 16 window: 8 reference pinned + the 7 query paths the
     # round-15 optimization session touched (r15 verdict task 1: their
     # oracle parity rested on builder-run checks; this window puts the
-    # external oracle on them) + the full 33-query round-10 cohort +
-    # 2 oldest round-11 rows = 50 exactly.
+    # external oracle on them) + the round-16 code-changed queries +
+    # the full 33-query round-10 cohort + oldest round-11 fill = 50
+    # exactly.
     #
     # -- reference pipeline core (8, pinned every round)
     "warning_notification",
@@ -207,6 +208,13 @@ _PRIORITY_PREFIX = [
     "vocab_coverage_curve",
     "dedup_span_scrub",
     "dup_token_spans",
+    # -- code changed in round 16 (optimization round 2): the
+    #    assortativity moment rewrite (edge list crosses the wire once)
+    #    and the FK audit single-scan fold (per-key left join replaces
+    #    the second child scan + anti join) — both bitwise-equal by
+    #    exact-integer identities, A/B'd at the 10x fixture.
+    "graph_assortativity_trade",
+    "fk_integrity_audit",
     # -- oldest-first fill (33): the complete round-10 cohort — every
     #    query whose latest external row is r10, the oldest anywhere,
     #    in its original landing order
@@ -243,9 +251,6 @@ _PRIORITY_PREFIX = [
     "image_bmp_thumbnail",
     "audio_wav_features",
     "winnowing_fingerprints",
-    # -- fill to 50 (2): the oldest round-11 rows in landing order
-    "ann_lsh_cosine",
-    "rp_project_embeddings",
 ]
 
 _MODULE_ORDER = [

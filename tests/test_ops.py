@@ -81,6 +81,48 @@ def test_fk_audit_detects_planted_orphans(spark, tmp_path):
     assert r.orphan_keys == 1
 
 
+def test_fk_audit_counts_null_fks_and_orphan_rows(spark, tmp_path):
+    """Round-16 internals change: the audit's four stats now all fold
+    out of ONE per-key aggregate left-joined to the parent (the child
+    is scanned once, not twice). Pin the null-FK group's accounting —
+    null FKs must count into child_rows and null_fk_rows but NEVER
+    into orphan_rows/orphan_keys (a null key has no parent match, so
+    a naive no-match test would miscount it as an orphan)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    src = SF_DIR
+    dst = tmp_path / "nullfk"
+    dst.mkdir()
+    for t in ["customer", "supplier", "part", "orders", "lineitem"]:
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    nat = load_table(spark, src, "nation")
+    # null out region FK for regions >= 3 AND drop region 2 from the
+    # parent so the same corrupted table carries nulls and orphans
+    nat.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_regionkey") >= 3, F.lit(None)).otherwise(
+            F.col("n_regionkey")
+        ),
+    ).write.mode("overwrite").parquet(str(dst / "nation.parquet"))
+    load_table(spark, src, "region").filter("r_regionkey <> 2").write.parquet(
+        str(dst / "region.parquet")
+    )
+    corrupted = load_table(spark, str(dst), "nation").collect()
+    n_null = sum(1 for r in corrupted if r.n_regionkey is None)
+    n_orphan = sum(1 for r in corrupted if r.n_regionkey == 2)
+    assert n_null > 0 and n_orphan > 0
+    rows = {
+        r.relationship: r for r in fk_integrity_audit(spark, str(dst)).collect()
+    }
+    r = rows["nation.n_regionkey->region"]
+    assert r.child_rows == len(corrupted)
+    assert r.null_fk_rows == n_null
+    assert r.orphan_rows == n_orphan
+    assert r.orphan_keys == 1
+
+
 def test_pit_join_version_containment(spark):
     """Every purchase maps to exactly one dimension version whose
     interval contains it, the active state is never 'purchase', and
