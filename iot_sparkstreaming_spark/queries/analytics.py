@@ -2730,7 +2730,9 @@ def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = node.agg(
-        F.sum("x").cast("double").alias("n"),
+        # coalesce: the old form's count(*) yielded 0 on an empty edge
+        # list where sum() yields NULL — keep that row identical too
+        F.coalesce(F.sum("x"), F.lit(0)).cast("double").alias("n"),
         F.sum(d19(col("x")) * d19(col("x"))).cast("double").alias("sx"),
         F.sum(d19(col("x")) * d19(col("x"))).cast("double").alias("sy"),
         F.sum(d19(col("x")) * col("sy_nbr")).cast("double").alias("sxy"),
